@@ -1,0 +1,69 @@
+"""Flagship point-in-time feature pipeline (the north_star composition).
+
+decode+featurize (fused actor pool, bytes never shipped) → per-entity window
+features + sessionization (one shuffle) → as-of join of probe queries against
+the feature timeline (second shuffle, same key) — the reference's
+extract→evaluate→align lifecycle (SURVEY.md §3) rebuilt Ray-Data-first.
+
+Every stage streams; nothing materializes the full dataset on the driver.
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from ..sources.images import synth_asof_queries, synth_images
+from ..stages.asof import asof_join
+from ..stages.features import feature_stage
+from ..stages.window import window_features
+
+SESSION_GAP_US = 120 * 1_000_000  # gaps > 120 s start a new session
+
+
+def feature_table(
+    n_entities: int,
+    seed: int = 42,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """input table → per-image features with per-entity window columns."""
+    images = synth_images(n_entities, seed=seed)
+    feats = feature_stage(images, concurrency=concurrency, batch_size=batch_size)
+    # project off heavyweight derived columns before the shuffle
+    feats = feats.drop_columns(["caption_tokens"])
+    return window_features(
+        feats,
+        key="image_id",
+        ts="ts",
+        value_cols=["quality_score", "gray_mean"],
+        session_gap_us=SESSION_GAP_US,
+    )
+
+
+def pit_join(
+    features: ray.data.Dataset,
+    n_entities: int,
+    n_queries: int,
+    seed: int = 43,
+) -> ray.data.Dataset:
+    """Point-in-time join of probe queries against the feature timeline."""
+    queries = synth_asof_queries(n_entities, n_queries, seed=seed)
+    return asof_join(
+        queries,
+        features,
+        on="image_id",
+        left_ts="query_ts",
+        right_ts="ts",
+        value_cols=["quality_score", "gray_mean", "phash_calc", "session_id"],
+    )
+
+
+def flagship(
+    n_entities: int = 50,
+    n_queries: int = 200,
+    seed: int = 42,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    feats = feature_table(n_entities, seed=seed, concurrency=concurrency, batch_size=batch_size)
+    return pit_join(feats, n_entities, n_queries)

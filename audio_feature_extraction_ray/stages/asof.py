@@ -1,0 +1,188 @@
+"""Point-in-time (as-of) join — the Ray-Data recast of the reference's DTW
+pairwise temporal alignment (J4, SURVEY.md §2.5).
+
+The reference aligns two frame-indexed time series per pair with a monotone
+cursor (05_dtw_alignment_experiment/dtw_alignment.py:532-1090, monotonic
+enforcement :1087-1088). Relationally that is: for every probe row
+``(key, left_ts)`` take the build row with the greatest ``right_ts <=
+left_ts`` (direction='backward'; zero temporal leakage), nulls when none —
+including probe keys absent from the build side (anti-join coverage, the
+``missing_student_audio`` analog, 05/dtw_alignment.py:1466-1468).
+
+Execution strategy (one shuffle, reused layout):
+  tag side → schema-align → union → groupby(key) [hash shuffle that never
+  splits an entity's timeline] → per-group vectorized sorted-merge
+  (np.searchsorted over the time axis).
+
+The per-group function emits Arrow tables cast to one precomputed output
+schema so block schemas are identical across groups regardless of null
+patterns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .util import arrow_schema_of
+
+_SIDE = "__side"
+_RTS = "__rts"
+_RPREFIX = "__r_"
+
+
+def _ts_i64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Timestamp/int column → int64 numpy (us)."""
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if pa.types.is_timestamp(a.type):
+        a = a.cast(pa.timestamp("us", tz=a.type.tz), safe=False).cast(pa.int64())
+    return a.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+
+def _append_null_cols(schema_cols: list[tuple[str, pa.DataType]]):
+    def fn(t: pa.Table) -> pa.Table:
+        for name, typ in schema_cols:
+            t = t.append_column(pa.field(name, typ), pa.nulls(t.num_rows, typ))
+        return t
+
+    return fn
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    matched_ts_col: str = "matched_ts",
+) -> ray.data.Dataset:
+    """As-of join ``left`` (probe) with ``right`` (build) on ``on``.
+
+    Returns all left rows + ``{c}{suffix}`` for each build value column +
+    ``matched_ts_col`` (null when no build row qualifies). ``tolerance_us``
+    bounds the lookback (backward) / lookahead (forward) window.
+
+    Scale notes: the groupby hash-partitions by entity so a partition never
+    splits a timeline (SURVEY.md §7.6); for hot entities combine with
+    :func:`salt_hot_keys` on the *probe* side and replicate the build side.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    left, lschema = arrow_schema_of(left)
+    right, rschema = arrow_schema_of(right)
+    rtypes = {n: t for n, t in zip(rschema.names, rschema.types)}
+    rts_type = rtypes[right_ts]
+    for c in value_cols:
+        if c not in rtypes:
+            raise ValueError(f"right side missing value column {c!r}")
+
+    # schema-align both sides: left cols + __rts + __r_<c> + __side
+    left_cols = list(zip(lschema.names, lschema.types))
+    extra_cols = [(_RTS, rts_type)] + [(_RPREFIX + c, rtypes[c]) for c in value_cols]
+
+    left_tagged = left.map_batches(
+        _append_null_cols(extra_cols), batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda t: t.append_column(_SIDE, pa.array(np.ones(t.num_rows, dtype=np.int8))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        out: dict[str, pa.Array | pa.ChunkedArray] = {}
+        for name, typ in left_cols:
+            if name == on:
+                out[name] = t.column(on)
+            else:
+                out[name] = pa.nulls(t.num_rows, typ)
+        out[_RTS] = t.column(right_ts)
+        for c in value_cols:
+            out[_RPREFIX + c] = t.column(c)
+        out[_SIDE] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        return pa.table(out)
+
+    right_tagged = right.map_batches(prep_right, batch_format="pyarrow", zero_copy_batch=True)
+    ordered = [n for n, _ in left_cols] + [n for n, _ in extra_cols] + [_SIDE]
+    unioned = left_tagged.select_columns(ordered).union(right_tagged.select_columns(ordered))
+
+    out_fields = (
+        [pa.field(n, t) for n, t in left_cols]
+        + [pa.field(c + suffix, rtypes[c]) for c in value_cols]
+        + [pa.field(matched_ts_col, rts_type)]
+    )
+    out_schema = pa.schema(out_fields)
+    fwd = direction == "forward"
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group.column(_SIDE).to_numpy(zero_copy_only=False)
+        lmask = side == 1
+        lt = group.filter(pa.array(lmask))
+        rt = group.filter(pa.array(~lmask))
+        n = lt.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        lts = _ts_i64(lt.column(left_ts))
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {
+            name: lt.column(name) for name, _ in left_cols
+        }
+        if rt.num_rows == 0:
+            for c in value_cols:
+                cols[c + suffix] = pa.nulls(n, rtypes[c])
+            cols[matched_ts_col] = pa.nulls(n, rts_type)
+            return pa.table(cols, schema=out_schema)
+        rts = _ts_i64(rt.column(_RTS))
+        order = np.argsort(rts, kind="stable")
+        rts_sorted = rts[order]
+        if fwd:
+            idx = np.searchsorted(rts_sorted, lts, side="left")
+            valid = idx < len(rts_sorted)
+            idx_c = np.minimum(idx, len(rts_sorted) - 1)
+            if tolerance_us is not None:
+                valid &= (rts_sorted[idx_c] - lts) <= tolerance_us
+        else:
+            idx = np.searchsorted(rts_sorted, lts, side="right") - 1
+            valid = idx >= 0
+            idx_c = np.maximum(idx, 0)
+            if tolerance_us is not None:
+                valid &= (lts - rts_sorted[idx_c]) <= tolerance_us
+        safe_idx = pa.array(
+            np.where(valid, order[idx_c], 0).astype(np.int64), pa.int64()
+        )
+        validity = pa.array(valid)
+        for c in value_cols:
+            taken = pc.take(rt.column(_RPREFIX + c).combine_chunks(), safe_idx)
+            cols[c + suffix] = pc.if_else(validity, taken, pa.nulls(n, rtypes[c]))
+        taken_ts = pc.take(rt.column(_RTS).combine_chunks(), safe_idx)
+        cols[matched_ts_col] = pc.if_else(validity, taken_ts, pa.nulls(n, rts_type))
+        return pa.table(cols, schema=out_schema)
+
+    return unioned.groupby(on).map_groups(merge, batch_format="pyarrow")
+
+
+def salt_hot_keys(
+    ds: ray.data.Dataset, key: str, hot_keys: list[str], salt_buckets: int = 8
+) -> ray.data.Dataset:
+    """Append a ``__salt`` column that spreads listed hot keys over
+    ``salt_buckets`` pseudo-keys (two-phase aggregation / skew mitigation,
+    SURVEY.md §7.5). Non-hot keys get salt 0."""
+    import zlib
+
+    hot = set(hot_keys)
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = t.column(key).to_pylist()
+        salt = np.zeros(len(keys), dtype=np.int32)
+        for i, k in enumerate(keys):
+            if k in hot:
+                # deterministic (never the process-salted builtin hash())
+                salt[i] = (zlib.crc32(str(k).encode()) + i) % salt_buckets
+        return t.append_column("__salt", pa.array(salt))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

