@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01 and
+compares it against the matching ``oracle_sql()[name]`` via DuckDB (row-count
++ schema + order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Implementations live in ``audio_feature_extraction_ray.pipelines.queries``;
+this module is a thin adapter. Nothing here (or below) calls ``ray.init`` —
+the driver owns the session.
 """
 
 from __future__ import annotations
@@ -20,25 +17,24 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship point-in-time image-feature pipeline at smoke scale.
+
+    The engine's input table (BASELINE.json input_hint: image+caption event
+    rows) is synthesized deterministically — no external data; testdata
+    parquet tables are exercised via ``queries()``.
+    """
+    from audio_feature_extraction_ray.pipelines.flagship import flagship
+
+    return flagship(n_entities=40, n_queries=150)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from audio_feature_extraction_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: impl for name, (impl, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from audio_feature_extraction_ray.pipelines.queries import QUERIES
+
+    return {name: sql for name, (_impl, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,731 @@
+"""Correctness-gate query registry: every operator family exposed as a
+``(ray_impl, oracle_sql)`` pair over the TPC-H-ish testdata tables.
+
+Float-parity policy: any aggregate whose accumulation order differs between
+engines (sums, means, stds, quantiles, cosines) is rounded to 6 decimals on
+BOTH sides. Inputs live on coarse decimal grids (prices: 1e-2, computed
+revenue: 1e-4), so the true values sit ≥5e-7 away from any 6-decimal rounding
+boundary while cross-engine float noise is ≤1e-9 — both engines always snap to
+the same grid point. Pure column passthroughs and same-expression arithmetic
+(e.g. ``v - lag(v)``) are bitwise-identical and stay unrounded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+from ..sources.tables import read_table
+from ..stages.aggregates import exact_quantiles, grouped_stats
+from ..stages.asof import asof_join
+from ..stages.dedup import minhash_dedup_pairs
+from ..stages.joins import broadcast_join, broadcast_semi_join
+from ..stages.similarity import knn_bruteforce, _normalize, _stack_embeddings
+from ..stages.text import text_features
+from ..stages.window import sessionize, time_bucket, window_features
+
+HOUR_US = 3_600_000_000
+
+
+def _round_half_away(x, digits: int = 6):
+    """Round-half-away-from-zero — bit-exact with DuckDB ROUND (numpy/pyarrow
+    round are half-even and disagree with SQL on .5 ties).
+
+    Digits are chosen per column so the rounding boundary sits far above
+    cross-engine summation noise: big price sums (1e-2 input grid, ~1e8
+    magnitude at sf0.01 → noise ~1e-6) round at 2; revenue sums (1e-4 grid)
+    and averages round at 4; bounded values (cosines, rates) round at 6.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    scale = 10.0 ** digits
+    return np.where(x >= 0, np.floor(x * scale + 0.5), np.ceil(x * scale - 0.5)) / scale
+
+
+def _round6(x):
+    return _round_half_away(x, 6)
+
+
+def _round6_scalar(x: float) -> float:
+    return float(_round_half_away(np.array([x]), 6)[0])
+
+
+def _round_cols(ds: ray.data.Dataset, cols: list[str], digits: int = 6) -> ray.data.Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        for c in cols:
+            if c in t.column_names:
+                arr = t.column(c).cast(pa.float64()).to_numpy(zero_copy_only=False)
+                out = _round_half_away(arr, digits)
+                out[np.isnan(arr)] = np.nan
+                t = t.set_column(
+                    t.column_names.index(c), c, pa.array(out, pa.float64(), from_pandas=True)
+                )
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _one_row(d: dict) -> pa.Table:
+    return pa.table({k: [v] for k, v in d.items()})
+
+
+# ------------------------------------------------------------------ scans / maps
+
+def q_filter_project(sf_dir: str):
+    """M19/M20: predicate filter + projection with computed column."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater(t.column("l_quantity"), 30),
+            pc.and_(pc.greater_equal(t.column("l_discount"), 0.02),
+                    pc.less_equal(t.column("l_discount"), 0.08)),
+        )
+        t = t.filter(mask)
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("revenue", rev)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_discount,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+WHERE l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.08
+"""
+
+
+def q_pricing_summary(sf_dir: str):
+    """A3/A6 recast of TPC-H Q1: filtered grouped aggregates."""
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"), pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
+        disc_price = pc.multiply(t.column("l_extendedprice"),
+                                 pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("disc_price", disc_price)
+
+    agg = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum(on="l_quantity", alias_name="sum_qty"),
+            Sum(on="l_extendedprice", alias_name="sum_base_price"),
+            Sum(on="disc_price", alias_name="sum_disc_price"),
+            Mean(on="l_quantity", alias_name="avg_qty"),
+            Mean(on="l_extendedprice", alias_name="avg_price"),
+            Count(alias_name="count_order"),
+        )
+    agg = _round_cols(agg, ["sum_base_price"], digits=2)
+    return _round_cols(agg, ["sum_qty", "sum_disc_price", "avg_qty", "avg_price"], digits=4)
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_global_stats(sf_dir: str):
+    """A1: one-row global min/max/mean/std."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity"])
+    row = ds.aggregate(
+        Count(alias_name="n"),
+        Min(on="l_extendedprice", alias_name="min_price"),
+        Max(on="l_extendedprice", alias_name="max_price"),
+        Mean(on="l_extendedprice", alias_name="mean_price"),
+        Std(on="l_extendedprice", alias_name="std_price"),
+        Mean(on="l_quantity", alias_name="mean_qty"),
+    )
+    for k in ("mean_price", "std_price", "mean_qty"):
+        row[k] = float(_round_half_away(np.array([float(row[k])]), 4)[0])
+    return _one_row(row)
+
+
+SQL_GLOBAL_STATS = """
+SELECT COUNT(*) AS n,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       ROUND(AVG(l_extendedprice), 4) AS mean_price,
+       ROUND(STDDEV(l_extendedprice), 4) AS std_price,
+       ROUND(AVG(l_quantity), 4) AS mean_qty
+FROM lineitem
+"""
+
+
+def q_quality_rates(sf_dir: str):
+    """A2: boolean quality-rate aggregates over orders."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "urgent": pc.cast(pc.equal(t.column("o_orderpriority"), "1-URGENT"), pa.float64()),
+                "fulfilled": pc.cast(pc.equal(t.column("o_orderstatus"), "F"), pa.float64()),
+                "bigticket": pc.cast(pc.greater(t.column("o_totalprice"), 100_000.0), pa.float64()),
+            }
+        )
+
+    row = ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        Count(alias_name="n"),
+        Mean(on="urgent", alias_name="urgent_rate"),
+        Mean(on="fulfilled", alias_name="fulfilled_rate"),
+        Mean(on="bigticket", alias_name="bigticket_rate"),
+    )
+    for k in ("urgent_rate", "fulfilled_rate", "bigticket_rate"):
+        row[k] = _round6_scalar(float(row[k]))
+    return _one_row(row)
+
+
+SQL_QUALITY_RATES = """
+SELECT COUNT(*) AS n,
+       ROUND(AVG(CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END), 6) AS urgent_rate,
+       ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 6) AS fulfilled_rate,
+       ROUND(AVG(CASE WHEN o_totalprice > 100000 THEN 1.0 ELSE 0.0 END), 6) AS bigticket_rate
+FROM orders
+"""
+
+
+def q_grouped_stats_documents(sf_dir: str):
+    """A3: per-category grouped stats (documents by lang)."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    return _round_cols(grouped_stats(ds, "lang", ["n_chars"]), ["mean_n_chars", "std_n_chars"],
+                       digits=4)
+
+
+SQL_GROUPED_STATS_DOCUMENTS = """
+SELECT lang, COUNT(*) AS n,
+       ROUND(AVG(n_chars), 4) AS mean_n_chars,
+       ROUND(STDDEV(n_chars), 4) AS std_n_chars,
+       MIN(n_chars) AS min_n_chars,
+       MAX(n_chars) AS max_n_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_percentiles_events(sf_dir: str):
+    """A4: exact quantile_cont percentiles of events.value."""
+    ds = read_table(sf_dir, "events", columns=["value"])
+    p25, p50, p75 = exact_quantiles(ds, "value", [0.25, 0.5, 0.75])
+    return _one_row({"p25": _round6_scalar(p25), "p50": _round6_scalar(p50), "p75": _round6_scalar(p75)})
+
+
+SQL_PERCENTILES_EVENTS = """
+SELECT ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.75), 6) AS p75
+FROM events
+"""
+
+
+def q_distinct_counts(sf_dir: str):
+    """A9: exact distinct counts."""
+    li = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_partkey"])
+    flags = li.unique("l_returnflag")
+    stats = li.unique("l_linestatus")
+    parts = li.unique("l_partkey")
+    return _one_row(
+        {"n_returnflag": len(flags), "n_linestatus": len(stats), "n_partkey": len(parts)}
+    )
+
+
+SQL_DISTINCT_COUNTS = """
+SELECT COUNT(DISTINCT l_returnflag) AS n_returnflag,
+       COUNT(DISTINCT l_linestatus) AS n_linestatus,
+       COUNT(DISTINCT l_partkey) AS n_partkey
+FROM lineitem
+"""
+
+
+def q_unique_event_types(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+SQL_UNIQUE_EVENT_TYPES = "SELECT DISTINCT event_type FROM events"
+
+
+def q_topk_orders(sf_dir: str):
+    """Sort + limit with deterministic tie-break."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# ------------------------------------------------------------------ joins
+
+def q_join_customer_orders(sf_dir: str):
+    """J1/J3: broadcast equi-join (small dim side) + grouped rollup."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(
+        orders,
+        cust.map_batches(lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+                         batch_format="pyarrow"),
+        keys="o_custkey",
+        join_type="inner",
+    )
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Sum(on="o_totalprice", alias_name="sum_totalprice"),
+    )
+    return _round_cols(agg, ["sum_totalprice"], digits=2)
+
+
+SQL_JOIN_CUSTOMER_ORDERS = """
+SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_anti_join_customers(sf_dir: str):
+    """J2 missing-counterpart detection: customers with no order > 400k."""
+    big_orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]) \
+        .filter(lambda r: r["o_totalprice"] > 400_000.0)
+    keys = pa.table({"c_custkey": pa.array(sorted(set(big_orders.to_pandas()["o_custkey"])), pa.int64())})
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    return broadcast_semi_join(cust, keys, key="c_custkey", anti=True)
+
+
+SQL_ANTI_JOIN_CUSTOMERS = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+def q_top10_order_revenue(sf_dir: str):
+    """Large-side aggregate + broadcast join + global top-k."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "revenue": r})
+
+    per_order = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("l_orderkey").aggregate(Sum(on="revenue", alias_name="revenue"))
+    top = _round_cols(per_order, ["revenue"], digits=4) \
+        .sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).to_pandas()
+    orders = pa.Table.from_pandas(orders.rename(columns={"o_orderkey": "l_orderkey"}),
+                                  preserve_index=False)
+    return broadcast_join(top, orders, keys="l_orderkey", join_type="inner")
+
+
+SQL_TOP10_ORDER_REVENUE = """
+SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, o_orderdate
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Join chain: orders ⋈ customer ⋈ nation, grouped rollup."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
+    dim = pa.Table.from_pandas(dim.rename(columns={"c_custkey": "o_custkey"}), preserve_index=False)
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, dim, keys="o_custkey", join_type="inner")
+    agg = joined.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"),
+        Sum(on="o_totalprice", alias_name="sum_totalprice"),
+    )
+    return _round_cols(agg, ["sum_totalprice"], digits=2)
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ------------------------------------------------------------------ as-of / windows / sessions
+
+def q_asof_events(sf_dir: str):
+    """J4 recast: for each click, the latest purchase value at-or-before it."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    clicks = ev.filter(lambda r: r["event_type"] == "click") \
+        .select_columns(["event_id", "user_id", "ts"])
+    purchases = ev.filter(lambda r: r["event_type"] == "purchase") \
+        .select_columns(["user_id", "ts", "value"])
+    return asof_join(clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+                     value_cols=["value"], suffix="_purchase")
+
+
+SQL_ASOF_EVENTS = """
+SELECT c.event_id, c.user_id, c.ts, p.value AS value_purchase, p.ts AS matched_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_lag_lead_events(sf_dir: str):
+    """Lag/lead/Δ/Δ² window features per user."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = window_features(ev, key="user_id", ts="ts", value_cols=["value"], tiebreak="event_id")
+    return out.select_columns(
+        ["event_id", "user_id", "ts", "value", "value_lag_1", "value_lead_1",
+         "value_delta", "value_delta2"]
+    )
+
+
+SQL_LAG_LEAD_EVENTS = """
+WITH d AS (
+  SELECT event_id, user_id, ts, value,
+         lag(value) OVER w AS value_lag_1,
+         lead(value) OVER w AS value_lead_1,
+         value - lag(value) OVER w AS value_delta
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, ts, value, value_lag_1, value_lead_1, value_delta,
+       value_delta - lag(value_delta) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_delta2
+FROM d
+"""
+
+
+def q_ffill_events(sf_dir: str):
+    """Forward-fill: carry the last purchase value forward per user."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def project(t: pa.Table) -> pa.Table:
+        v = pc.if_else(pc.equal(t.column("event_type"), "purchase"),
+                       t.column("value"), pa.nulls(t.num_rows, pa.float64()))
+        return pa.table(
+            {"event_id": t.column("event_id"), "user_id": t.column("user_id"),
+             "ts": t.column("ts"), "v_purchase": v}
+        )
+
+    proj = ev.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    out = window_features(proj, key="user_id", ts="ts", value_cols=[], lags=(), leads=(),
+                          deltas=False, fill_cols=["v_purchase"], tiebreak="event_id")
+    return out.select_columns(["event_id", "user_id", "ts", "v_purchase_ffill"])
+
+
+SQL_FFILL_EVENTS = """
+SELECT event_id, user_id, ts,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v_purchase_ffill
+FROM events
+"""
+
+
+def q_sessionize_events(sf_dir: str):
+    """Gap-based sessionization (gap > 1 h starts a new session)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = sessionize(ev, key="user_id", ts="ts", gap_us=HOUR_US)
+    return out.select_columns(["event_id", "user_id", "session_id"])
+
+
+SQL_SESSIONIZE_EVENTS = """
+SELECT event_id, user_id,
+       SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+                THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+FROM (SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+"""
+
+
+def q_session_stats(sf_dir: str):
+    """Per-session rollup: events, duration, mean value."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    sess = sessionize(ev, key="user_id", ts="ts", gap_us=HOUR_US)
+
+    def to_us(t: pa.Table) -> pa.Table:
+        ts_us = t.column("ts").cast(pa.int64())
+        return t.append_column("ts_us", ts_us)
+
+    agg = sess.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["user_id", "session_id"]).aggregate(
+            Count(alias_name="n_events"),
+            Min(on="ts_us", alias_name="start_us"),
+            Max(on="ts_us", alias_name="end_us"),
+            Mean(on="value", alias_name="avg_value"),
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        dur = pc.subtract(t.column("end_us"), t.column("start_us"))
+        t = t.append_column("duration_us", dur)
+        return t.drop_columns(["start_us", "end_us"])
+
+    return _round_cols(
+        agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True), ["avg_value"],
+        digits=4,
+    )
+
+
+SQL_SESSION_STATS = """
+WITH s AS (
+  SELECT user_id, ts, value,
+         SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM (SELECT event_id, user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events)
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       ROUND(AVG(value), 4) AS avg_value,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_time_bucket_stats(sf_dir: str):
+    """A8: hourly-bucket aggregates."""
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+    agg = time_bucket(ev, "ts", width_us=HOUR_US).groupby("bucket").aggregate(
+        Count(alias_name="n"), Sum(on="value", alias_name="sum_value")
+    )
+    return _round_cols(agg, ["sum_value"], digits=4)
+
+
+SQL_TIME_BUCKET_STATS = """
+SELECT epoch_us(ts) // 3600000000 AS bucket, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------------ text / dedup
+
+def q_token_count_documents(sf_dir: str):
+    from ..stages.text import token_count_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_count_table(ds, "doc_id")
+
+
+SQL_TOKEN_COUNT_DOCUMENTS = r"""
+SELECT doc_id,
+       CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
+            ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'))
+       END AS token_count
+FROM documents
+"""
+
+
+def q_text_quality_documents(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = text_features(ds, quality=True, lang=False, fingerprints=False)
+    out = out.select_columns(
+        ["doc_id", "n_chars_calc", "n_tokens", "punct_ratio", "digit_ratio", "avg_token_len"]
+    )
+    return _round_cols(out, ["punct_ratio", "digit_ratio", "avg_token_len"])
+
+
+SQL_TEXT_QUALITY_DOCUMENTS = r"""
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
+            ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'))
+       END AS n_tokens,
+       ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0
+             / NULLIF(length(text), 0), 6) AS punct_ratio,
+       ROUND((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+             / NULLIF(length(text), 0), 6) AS digit_ratio,
+       ROUND(list_aggregate(list_transform(
+               string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'),
+               x -> length(x)), 'sum') * 1.0
+             / NULLIF(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+')), 0),
+             6) AS avg_token_len
+FROM documents
+"""
+
+
+def q_dedup_exact_documents(sf_dir: str):
+    """Exact dedup via md5 fingerprint: one row per distinct text."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    fp = text_features(ds, quality=False, lang=False, fingerprints=True) \
+        .select_columns(["doc_id", "fingerprint_md5"])
+    return fp.groupby("fingerprint_md5").aggregate(
+        Min(on="doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
+    )
+
+
+SQL_DEDUP_EXACT_DOCUMENTS = """
+SELECT md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13)))) AS fingerprint_md5,
+       MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_pairs_documents(sf_dir: str):
+    """MinHash+LSH near-dup pairs (no SQL oracle — rows-only check)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, id_col="doc_id", threshold=0.7)
+    return _round_cols(pairs.select_columns(["id_a", "id_b", "est_jaccard"]), ["est_jaccard"])
+
+
+def q_simhash_documents(sf_dir: str):
+    """Per-doc 64-bit SimHash signatures (rows-only)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return text_features(ds, quality=False, lang=False, fingerprints=False, simhash=True) \
+        .select_columns(["doc_id", "simhash"])
+
+
+def q_langid_documents(sf_dir: str):
+    """n-gram/stopword language ID vs the labeled lang column (rows-only)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = text_features(ds, quality=False, lang=True, fingerprints=False)
+    return out.select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def q_fingerprint_documents(sf_dir: str):
+    """Winnowing-style rolling fingerprints (rows-only)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return text_features(ds, quality=False, lang=False, fingerprints=True) \
+        .select_columns(["doc_id", "fingerprint_md5", "fingerprint_rolling"])
+
+
+# ------------------------------------------------------------------ similarity
+
+def q_knn_embeddings(sf_dir: str):
+    """Brute-force cosine top-10 for probe vectors vec_id < 5."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    probes = emb.filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
+    qm = np.stack(probes["embedding"].to_list()).astype(np.float64)
+    out = knn_bruteforce(emb, probes["vec_id"].to_numpy(), qm, k=10)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+SQL_KNN_EMBEDDINGS = """
+SELECT q.vec_id AS query_id, e.vec_id,
+       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                          ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                          CAST(e.embedding AS DOUBLE[])) DESC,
+                                   e.vec_id) AS rank
+FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, embeddings e
+QUALIFY rank <= 10
+"""
+
+
+def q_neardup_embeddings(sf_dir: str):
+    """Exact cosine-threshold pairs: probes vec_id < 100 vs the full table."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    probes = emb.filter(lambda r: r["vec_id"] < 100).to_pandas().sort_values("vec_id")
+    qids = probes["vec_id"].to_numpy()
+    qm = _normalize(np.stack(probes["embedding"].to_list()).astype(np.float64))
+    import ray as _ray
+
+    ref = _ray.put((qids, qm))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        e = _normalize(_stack_embeddings(t.column("embedding")))
+        pq, pm = _ray.get(ref)
+        sims = pm @ e.T  # (P, B)
+        pi, bi = np.where(sims >= 0.3)
+        mask = pq[pi] != ids[bi]
+        return pa.table(
+            {
+                "id_a": pa.array(pq[pi[mask]].astype(np.int64), pa.int64()),
+                "id_b": pa.array(ids[bi[mask]].astype(np.int64), pa.int64()),
+                "cosine": pa.array(_round6(sims[pi[mask], bi[mask]]), pa.float64()),
+            }
+        )
+
+    return emb.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_NEARDUP_EMBEDDINGS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM (SELECT * FROM embeddings WHERE vec_id < 100) a, embeddings b
+WHERE a.vec_id <> b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
+"""
+
+
+# ------------------------------------------------------------------ flagship (image engine, rows-only)
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.001
+
+
+def q_flagship_images(sf_dir: str):
+    """North-star image pipeline at sf-scaled entity count (rows-only)."""
+    from .flagship import feature_table
+
+    n = max(30, int(6000 * _sf_of(sf_dir)))
+    feats = feature_table(n_entities=n)
+    return feats.drop_columns(["embedding"])
+
+
+def q_images_asof(sf_dir: str):
+    """Point-in-time join over the image feature timeline (rows-only)."""
+    from .flagship import flagship
+
+    n = max(30, int(6000 * _sf_of(sf_dir)))
+    return flagship(n_entities=n, n_queries=4 * n)
+
+
+# ------------------------------------------------------------------ registry
+
+QUERIES = {
+    "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "global_stats": (q_global_stats, SQL_GLOBAL_STATS),
+    "quality_rates": (q_quality_rates, SQL_QUALITY_RATES),
+    "grouped_stats_documents": (q_grouped_stats_documents, SQL_GROUPED_STATS_DOCUMENTS),
+    "percentiles_events": (q_percentiles_events, SQL_PERCENTILES_EVENTS),
+    "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
+    "unique_event_types": (q_unique_event_types, SQL_UNIQUE_EVENT_TYPES),
+    "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
+    "join_customer_orders": (q_join_customer_orders, SQL_JOIN_CUSTOMER_ORDERS),
+    "anti_join_customers": (q_anti_join_customers, SQL_ANTI_JOIN_CUSTOMERS),
+    "top10_order_revenue": (q_top10_order_revenue, SQL_TOP10_ORDER_REVENUE),
+    "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
+    "asof_events": (q_asof_events, SQL_ASOF_EVENTS),
+    "lag_lead_events": (q_lag_lead_events, SQL_LAG_LEAD_EVENTS),
+    "ffill_events": (q_ffill_events, SQL_FFILL_EVENTS),
+    "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
+    "session_stats": (q_session_stats, SQL_SESSION_STATS),
+    "time_bucket_stats": (q_time_bucket_stats, SQL_TIME_BUCKET_STATS),
+    "token_count_documents": (q_token_count_documents, SQL_TOKEN_COUNT_DOCUMENTS),
+    "text_quality_documents": (q_text_quality_documents, SQL_TEXT_QUALITY_DOCUMENTS),
+    "dedup_exact_documents": (q_dedup_exact_documents, SQL_DEDUP_EXACT_DOCUMENTS),
+    "minhash_pairs_documents": (q_minhash_pairs_documents, None),
+    "simhash_documents": (q_simhash_documents, None),
+    "langid_documents": (q_langid_documents, None),
+    "fingerprint_documents": (q_fingerprint_documents, None),
+    "knn_embeddings": (q_knn_embeddings, SQL_KNN_EMBEDDINGS),
+    "neardup_embeddings": (q_neardup_embeddings, SQL_NEARDUP_EMBEDDINGS),
+    "flagship_images": (q_flagship_images, None),
+    "images_asof": (q_images_asof, None),
+}

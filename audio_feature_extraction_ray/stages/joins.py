@@ -54,9 +54,8 @@ def broadcast_join(
     on the driver. join_type follows pyarrow: 'inner', 'left outer', ...
     """
     if isinstance(small, ray.data.Dataset):
-        small = pa.Table.from_batches(
-            [b for b in small.iter_batches(batch_format="pyarrow", batch_size=None)]
-        ) if small.count() > 0 else small.schema().empty_table()
+        tables = list(small.iter_batches(batch_format="pyarrow", batch_size=None))
+        small = pa.concat_tables(tables) if tables else small.schema().empty_table()
     small = small.combine_chunks()
     ref = ray.put(small)
     keys = [keys] if isinstance(keys, str) else list(keys)

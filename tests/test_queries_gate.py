@@ -1,0 +1,92 @@
+"""Local mirror of the driver's correctness gate: run every ``queries()``
+entry at sf0.001 and compare against its ``oracle_sql()`` via DuckDB —
+row count, column set, and exact values after canonical (column-name,
+row) sorting. Floats must match EXACTLY (both sides round where
+accumulation order differs), because the driver hashes values.
+"""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+    return df
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+ORACLE = entrymod.oracle_sql()
+ALL = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(con, name):
+    ray_df = _normalize(_to_pandas(ALL[name](SF_DIR)))
+    sql_df = _normalize(con.sql(ORACLE[name]).df())
+    assert list(ray_df.columns) == list(sql_df.columns), (
+        f"{name}: columns {list(ray_df.columns)} vs {list(sql_df.columns)}"
+    )
+    assert len(ray_df) == len(sql_df), f"{name}: {len(ray_df)} vs {len(sql_df)} rows"
+    for c in ray_df.columns:
+        a, b = ray_df[c].to_numpy(), sql_df[c].to_numpy()
+        if a.dtype.kind == "f":
+            eq = (a == b) | (np.isnan(a) & np.isnan(b))
+        else:
+            eq = (a == b) | (pd.isna(a) & pd.isna(b))
+        assert eq.all(), (
+            f"{name}.{c}: {np.count_nonzero(~eq)} mismatches, "
+            f"first at {np.argmax(~eq)}: {a[np.argmax(~eq)]!r} vs {b[np.argmax(~eq)]!r}"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL) - set(ORACLE)))
+def test_rows_only_queries_run(name):
+    df = _to_pandas(ALL[name](SF_DIR))
+    assert df is not None and len(df.columns) > 0
+    # deterministic: second run must produce identical rows
+    df2 = _to_pandas(ALL[name](SF_DIR))
+    a, b = _normalize(df), _normalize(df2)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_entry_smoke():
+    ds = entrymod.entry()
+    df = _to_pandas(ds)
+    assert len(df) > 0 and "image_id" in df.columns
