@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1), one JSON line to stdout.
+
+Modes:
+  bench.py                 — full headline suite at $RAY_GRAFT_CPUS (default 32)
+  bench.py --scaling       — flagship pipeline at num_cpus=8 and 32 in fresh
+                             processes (same input): strong-scaling evidence
+                             for the N vs 4N criterion (BASELINE.md protocol;
+                             this sandbox has no multi-node cluster), plus a
+                             4x-input weak-scaling run at the high level.
+  bench.py --flagship-only --cpus N [--entities K]   (internal, one process)
+
+Only this script owns ray.init/ray.shutdown.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline subset of the gate registry: one per operator family, run at sf
+HEADLINE = [
+    "pricing_summary",
+    "top10_order_revenue",
+    "asof_events",
+    "lag_lead_events",
+    "sessionize_events",
+    "session_stats",
+    "time_bucket_stats",
+    "text_quality_documents",
+    "minhash_pairs_documents",
+    "knn_embeddings",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    logging.getLogger("ray").setLevel(logging.ERROR)
+    return ray
+
+
+def _consume(res) -> int:
+    """Execute a query result fully; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        n = 0
+        for b in res.iter_batches(batch_format="pyarrow", batch_size=8192):
+            n += b.num_rows
+        return n
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    return 0
+
+
+def run_flagship(num_cpus: int, n_entities: int) -> dict:
+    ray = _init_ray(num_cpus)
+    from audio_feature_extraction_ray.pipelines.flagship import feature_table, pit_join
+
+    t0 = time.time()
+    feats = feature_table(n_entities=n_entities, concurrency=(1, max(2, num_cpus // 2)),
+                          batch_size=256)
+    joined = pit_join(feats, n_entities, n_queries=4 * n_entities)
+    rows = _consume(joined)
+    dt = time.time() - t0
+    # images processed = all feature rows (decode+featurize+window) per entity
+    # timeline; count from the deterministic generator parameters
+    from audio_feature_extraction_ray.sources.images import synth_images
+
+    n_images = _consume(synth_images(n_entities).select_columns(["image_id"]))
+    ray.shutdown()
+    return {
+        "seconds": round(dt, 3),
+        "rows_out": rows,
+        "n_images": n_images,
+        "images_per_sec": round(n_images / dt, 2),
+        "num_cpus": num_cpus,
+        "n_entities": n_entities,
+    }
+
+
+def run_suite(sf_dir: str, num_cpus: int) -> dict:
+    ray = _init_ray(num_cpus)
+    from audio_feature_extraction_ray.pipelines.flagship import feature_table, pit_join
+    from audio_feature_extraction_ray.pipelines.queries import QUERIES
+
+    sf = _sf_of(sf_dir)
+    per_query: dict[str, float] = {}
+    t_all = time.time()
+
+    # flagship image pipeline (the north-star metric: images/sec end-to-end)
+    n_entities = max(60, int(6000 * sf))
+    t0 = time.time()
+    feats = feature_table(n_entities=n_entities, concurrency=(1, max(2, num_cpus // 2)))
+    joined = pit_join(feats, n_entities, n_queries=4 * n_entities)
+    _consume(joined)
+    flagship_s = time.time() - t0
+    per_query["flagship_images_pit"] = round(flagship_s, 3)
+    from audio_feature_extraction_ray.sources.images import synth_images
+
+    n_images = _consume(synth_images(n_entities).select_columns(["image_id"]))
+
+    for name in HEADLINE:
+        impl, _sql = QUERIES[name]
+        t0 = time.time()
+        _consume(impl(sf_dir))
+        per_query[name] = round(time.time() - t0, 3)
+
+    total = time.time() - t_all
+    ray.shutdown()
+    return {
+        "metric": "seconds end-to-end for headline suite (flagship PIT image pipeline + operator queries)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_images": n_images,
+        "images_per_sec": round(n_images / flagship_s, 2),
+    }
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job at two parallelism levels in fresh processes (sandbox evidence
+    for the N-vs-4N cluster criterion; 1 physical CPU here, so wall-clock
+    scaling saturates — the real signal appears on a multi-core bench host)."""
+    sf = _sf_of(sf_dir)
+    n = max(60, int(6000 * sf))
+    out = {}
+    for label, cpus, ents in (("low", 8, n), ("high", 32, n), ("high_4x", 32, 4 * n)):
+        cmd = [sys.executable, __file__, "--flagship-only", "--cpus", str(cpus),
+               "--entities", str(ents)]
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
+        out[label] = json.loads(line)
+    tp_low, tp_high = out["low"]["images_per_sec"], out["high"]["images_per_sec"]
+    strong_eff = (tp_high / tp_low) / (32 / 8)
+    weak_eff = out["low"]["seconds"] / out["high_4x"]["seconds"]
+    return {
+        "metric": "flagship images/sec at num_cpus=8 vs 32 (fresh processes, same input) + 4x-input weak scaling",
+        "value": round(tp_high, 2),
+        "unit": "images/sec",
+        "sf": sf,
+        "low": out["low"],
+        "high": out["high"],
+        "high_4x_input": out["high_4x"],
+        "strong_scaling_efficiency": round(strong_eff, 3),
+        "weak_scaling_efficiency": round(weak_eff, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--flagship-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=NUM_CPUS)
+    ap.add_argument("--entities", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.flagship_only:
+        n = args.entities or max(60, int(6000 * _sf_of(SF_DIR)))
+        print(json.dumps(run_flagship(args.cpus, n)))
+    elif args.scaling:
+        print(json.dumps(run_scaling(SF_DIR)))
+    else:
+        print(json.dumps(run_suite(SF_DIR, args.cpus)))
+
+
+if __name__ == "__main__":
+    main()
