@@ -151,7 +151,7 @@ def _encode_jpgl(px: np.ndarray) -> bytes:
     coeffs = []
     for ci in range(c):
         blocks, _, _ = _blockify(px[:, :, ci].astype(np.float64) - 128.0)
-        dct = np.einsum("ij,abjk,lk->abil", _D8, blocks, _D8)
+        dct = _D8 @ blocks @ _D8.T  # broadcast matmul over the block grid
         q = np.round(dct / _QSTEP).astype(np.int16)
         coeffs.append(q)
     payload = zlib.compress(np.stack(coeffs).tobytes(), 6)
@@ -176,7 +176,7 @@ def _decode_jpgl(data: bytes) -> np.ndarray:
     out = np.empty((h, w, c), dtype=np.uint8)
     for ci in range(c):
         dct = q[ci].astype(np.float64) * _QSTEP
-        blocks = np.einsum("ji,abjk,kl->abil", _D8, dct, _D8)
+        blocks = _D8.T @ dct @ _D8  # inverse: transpose basis, broadcast matmul
         ch = blocks.transpose(0, 2, 1, 3).reshape(hh, ww)[:h, :w]
         out[:, :, ci] = np.clip(np.round(ch + 128.0), 0, 255).astype(np.uint8)
     return out

@@ -125,6 +125,77 @@ def quality_from_stats(stats: dict[str, float], h: int, w: int) -> dict[str, obj
     }
 
 
+def batch_gray(stack: np.ndarray) -> np.ndarray:
+    """(N, H, W, 3) uint8 → (N, H, W) float64 luminance."""
+    return stack.astype(np.float64) @ _GRAY_W
+
+
+def batch_low_freq_dct(stack: np.ndarray) -> np.ndarray:
+    """(N, H, W, 3) → (N, 8, 8) low-frequency DCT blocks, vectorized.
+
+    Bitwise-identical to :func:`_low_freq_dct` per image: the pooling
+    (reduceat over the same memory layout) and matmul broadcasting reduce in
+    the same order as the single-image path — required for the ``allclose``
+    gate against the serial oracle.
+    """
+    g = batch_gray(stack)
+    g = _pool_axis(_pool_axis(g, 32, 1), 32, 2)
+    return (_D32 @ g @ _D32.T)[:, :8, :8]
+
+
+def batch_phash_embedding(stack: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized phash + embedding for N same-shape images.
+
+    Returns (phash int64 (N,), embedding float32 (N, 64)).
+    """
+    blocks = batch_low_freq_dct(stack).reshape(len(stack), 64)
+    med = np.median(blocks, axis=1, keepdims=True)
+    bits = (blocks > med).astype(np.uint8)
+    ph = np.packbits(bits, axis=1).view(">u8").ravel().astype(np.uint64)
+    ph_i64 = ph.view(np.int64)
+    emb = blocks.copy()
+    emb[:, 0] = 0.0
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    emb = (emb / (norms + 1e-12)).astype(np.float32)
+    return ph_i64, emb
+
+
+def batch_channel_stats(stack: np.ndarray) -> dict[str, np.ndarray]:
+    """Vectorized per-channel stats for N same-shape images (float64)."""
+    x = stack.astype(np.float64) / 255.0
+    out: dict[str, np.ndarray] = {}
+    for ci, name in enumerate(("r", "g", "b")):
+        ch = x[:, :, :, ci]
+        m = ch.mean(axis=(1, 2))
+        s = ch.std(axis=(1, 2))
+        out[f"mean_{name}"] = m
+        out[f"std_{name}"] = s
+        out[f"cv_{name}"] = s / (np.abs(m) + 1e-12)
+        out[f"min_{name}"] = ch.min(axis=(1, 2))
+        out[f"max_{name}"] = ch.max(axis=(1, 2))
+    out["gray_mean"] = batch_gray(stack).mean(axis=(1, 2)) / 255.0
+    return out
+
+
+def batch_quality(stats: dict[str, np.ndarray], h: int, w: int) -> dict[str, np.ndarray]:
+    """Vectorized quality flags + score (same rule as quality_from_stats)."""
+    n = len(stats["gray_mean"])
+    size_ok = np.full(n, h >= 8 and w >= 8)
+    contrast = (stats["std_r"] + stats["std_g"] + stats["std_b"]) / 3.0
+    contrast_ok = contrast >= 0.01
+    exposure_ok = (stats["gray_mean"] >= 0.05) & (stats["gray_mean"] <= 0.95)
+    range_ok = np.maximum.reduce([stats["max_r"], stats["max_g"], stats["max_b"]]) > \
+        np.minimum.reduce([stats["min_r"], stats["min_g"], stats["min_b"]])
+    failed = (~size_ok).astype(np.int64) + (~contrast_ok) + (~exposure_ok) + (~range_ok)
+    return {
+        "size_ok": size_ok,
+        "contrast_ok": contrast_ok,
+        "exposure_ok": exposure_ok,
+        "range_ok": range_ok,
+        "quality_score": np.maximum(0.0, 1.0 - 0.3 * failed),
+    }
+
+
 def tokenize_caption(caption: str) -> list[str]:
     """Whitespace tokenization (``str.split``) — byte-exact caption itself is
     passed through untouched; tokens are a derived feature."""

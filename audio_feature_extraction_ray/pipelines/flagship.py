@@ -24,19 +24,28 @@ def feature_table(
     n_entities: int,
     seed: int = 42,
     concurrency: int | tuple[int, int] = (1, 8),
-    batch_size: int = 256,
+    batch_size: int = 50,
 ) -> ray.data.Dataset:
-    """input table → per-image features with per-entity window columns."""
+    """input table → per-image features with per-entity window columns.
+
+    ``batch_size`` counts ENTITY ids (the fused gen→featurize stage's input
+    rows), not images: ~50 entities ≈ 300 images per task keeps the actor
+    pool fanned out (256 collapsed the whole run to 3 tasks) without flooding
+    the downstream window sort with tiny blocks.
+    """
     images = synth_images(n_entities, seed=seed)
     feats = feature_stage(images, concurrency=concurrency, batch_size=batch_size)
     # project off heavyweight derived columns before the shuffle
     feats = feats.drop_columns(["caption_tokens"])
+    # the synthetic source emits each entity's whole timeline inside one
+    # block, so the window stage can skip its shuffle (assume_partitioned)
     return window_features(
         feats,
         key="image_id",
         ts="ts",
         value_cols=["quality_score", "gray_mean"],
         session_gap_us=SESSION_GAP_US,
+        assume_partitioned=True,
     )
 
 

@@ -136,12 +136,38 @@ def synth_images(
     and cumulative-ts computation trivial). At 10^12-image scale this is the
     same pattern with entity ranges read from a manifest instead of range().
     """
+    if override_num_blocks is None:
+        # enough input blocks that the fused gen->featurize actor pool can
+        # actually fan out (default range() blocking gave ~3 tasks for 600
+        # entities → 3-way parallelism ceiling), but not so many that the
+        # downstream sort shuffle drowns in per-block overhead
+        override_num_blocks = max(8, n_entities // 50)
     ents = ray.data.range(n_entities, override_num_blocks=override_num_blocks)
 
     def gen(batch: dict[str, np.ndarray]) -> pa.Table:
         return generate_entity_events(batch["id"], n_entities, seed=seed, **gen_kwargs)
 
-    return ents.map_batches(gen, batch_format="numpy", batch_size=64)
+    return ents.map_batches(gen, batch_format="numpy", batch_size=50)
+
+
+def count_events(
+    n_entities: int,
+    seed: int = 42,
+    base_events: int = 4,
+    hot_frac: float = 0.01,
+    hot_mult: int = 50,
+) -> int:
+    """Exact event count of :func:`synth_images` without generating pixels —
+    replays only the generator's first RNG draw per entity (cheap)."""
+    n_hot = max(1, int(n_entities * hot_frac)) if n_entities > 0 else 0
+    total = 0
+    for eid in range(n_entities):
+        rng = np.random.Generator(np.random.Philox(key=[seed, eid]))
+        if eid < n_hot:
+            total += base_events * hot_mult
+        else:
+            total += int(base_events + rng.integers(-1, 3))
+    return total
 
 
 def synth_asof_queries(

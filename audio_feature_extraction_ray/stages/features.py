@@ -10,6 +10,13 @@ tokens + count, and pass-through identity/caption columns.
 enter the object store at all — the anti-capability fix for the reference's
 5x-redundant-decode-per-record pattern (04/feature_extractor.py:641-658):
 decode once, fan all features out.
+
+Vectorization: rows are grouped by image shape and stacked into (N, H, W, 3)
+tensors, so all feature math runs as whole-stack numpy kernels
+(functions/imagefx.py batch_*) rather than per-row tiny-array calls — the
+hot path has no per-pixel Python. The batch kernels reduce in the same
+order as the single-image kernels, so the serial-oracle allclose gate holds
+bitwise.
 """
 
 from __future__ import annotations
@@ -22,10 +29,9 @@ import ray.data
 from ..functions import codecs
 from ..functions.imagefx import (
     EMBED_DIM,
-    channel_stats,
-    phash64,
-    phash_embedding,
-    quality_from_stats,
+    batch_channel_stats,
+    batch_phash_embedding,
+    batch_quality,
     tokenize_caption,
 )
 
@@ -39,41 +45,50 @@ FLAG_NAMES = ["size_ok", "contrast_ok", "exposure_ok", "range_ok"]
 ALL_FEATURES = ("embedding", "stats", "quality", "caption_tokens")
 
 
-def _feature_columns(n: int, features: tuple[str, ...]) -> dict[str, list]:
-    cols: dict[str, list] = {}
+def _compute_feature_columns(
+    pixels: list[np.ndarray | None], n: int, features: tuple[str, ...]
+) -> dict[str, np.ndarray]:
+    """Shape-grouped vectorized feature computation; failed rows stay zero."""
+    cols: dict[str, np.ndarray] = {}
     if "embedding" in features:
-        cols["embedding"] = [None] * n
-        cols["phash_calc"] = [None] * n
+        cols["embedding"] = np.zeros((n, EMBED_DIM), dtype=np.float32)
+        cols["phash_calc"] = np.zeros(n, dtype=np.int64)
     if "stats" in features:
         for s in STAT_NAMES:
-            cols[s] = [None] * n
+            cols[s] = np.full(n, np.nan)
     if "quality" in features:
         for f in FLAG_NAMES:
-            cols[f] = [None] * n
-        cols["quality_score"] = [None] * n
+            cols[f] = np.zeros(n, dtype=bool)
+        cols["quality_score"] = np.full(n, np.nan)
+
+    by_shape: dict[tuple[int, int], list[int]] = {}
+    for i, px in enumerate(pixels):
+        if px is not None:
+            by_shape.setdefault((px.shape[0], px.shape[1]), []).append(i)
+
+    for (h, w), idxs in by_shape.items():
+        ii = np.asarray(idxs, dtype=np.int64)
+        stack = np.stack([pixels[i] for i in idxs])
+        if "embedding" in features:
+            ph, emb = batch_phash_embedding(stack)
+            cols["phash_calc"][ii] = ph
+            cols["embedding"][ii] = emb
+        if "stats" in features or "quality" in features:
+            stats = batch_channel_stats(stack)
+        if "stats" in features:
+            for s in STAT_NAMES:
+                cols[s][ii] = stats[s]
+        if "quality" in features:
+            q = batch_quality(stats, h, w)
+            for f in FLAG_NAMES:
+                cols[f][ii] = q[f]
+            cols["quality_score"][ii] = q["quality_score"]
     return cols
-
-
-def _fill_feature_row(cols: dict[str, list], i: int, px: np.ndarray, features: tuple[str, ...]) -> None:
-    if "embedding" in features:
-        cols["embedding"][i] = phash_embedding(px)
-        cols["phash_calc"][i] = phash64(px)
-    stats = None
-    if "stats" in features or "quality" in features:
-        stats = channel_stats(px)
-    if "stats" in features:
-        for s in STAT_NAMES:
-            cols[s][i] = stats[s]
-    if "quality" in features:
-        q = quality_from_stats(stats, px.shape[0], px.shape[1])
-        for f in FLAG_NAMES:
-            cols[f][i] = q[f]
-        cols["quality_score"][i] = q["quality_score"]
 
 
 def _finish_table(
     batch: pa.Table,
-    cols: dict[str, list],
+    cols: dict[str, np.ndarray],
     status: list[str],
     features: tuple[str, ...],
     drop: tuple[str, ...],
@@ -81,27 +96,20 @@ def _finish_table(
     out = {n: batch.column(n) for n in batch.column_names if n not in drop}
     out["status"] = pa.array(status, pa.string())
     if "embedding" in features:
-        # Failed rows carry an all-zero embedding (status != 'ok' marks them);
-        # a non-null fixed_size_list column stays zero-copy through shuffles.
-        flat = np.zeros((len(status), EMBED_DIM), dtype=np.float32)
-        for i, e in enumerate(cols["embedding"]):
-            if e is not None:
-                flat[i] = e
+        # Failed rows carry an all-zero embedding and phash 0 (status != 'ok'
+        # marks them); non-null fixed-width columns survive pandas round-trips
+        # without the nullable-int64→float64 corruption.
         out["embedding"] = pa.FixedSizeListArray.from_arrays(
-            pa.array(flat.ravel(), pa.float32()), EMBED_DIM
+            pa.array(cols["embedding"].ravel(), pa.float32()), EMBED_DIM
         )
-        # 0 (not null) for failed rows: a nullable int64 would round-trip
-        # through pandas as float64 and corrupt 64-bit hash values
-        out["phash_calc"] = pa.array(
-            [v if v is not None else 0 for v in cols["phash_calc"]], pa.int64()
-        )
+        out["phash_calc"] = pa.array(cols["phash_calc"], pa.int64())
     if "stats" in features:
         for s in STAT_NAMES:
-            out[s] = pa.array(cols[s], pa.float64())
+            out[s] = pa.array(cols[s], pa.float64(), from_pandas=True)  # NaN → null
     if "quality" in features:
         for f in FLAG_NAMES:
             out[f] = pa.array(cols[f], pa.bool_())
-        out["quality_score"] = pa.array(cols["quality_score"], pa.float64())
+        out["quality_score"] = pa.array(cols["quality_score"], pa.float64(), from_pandas=True)
     if "caption_tokens" in features and "caption" in batch.column_names:
         caps = batch.column("caption").to_pylist()
         toks = [tokenize_caption(c) if c is not None else [] for c in caps]
@@ -119,16 +127,17 @@ class ImageFeatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        cols = _feature_columns(n, self.features)
         status = batch.column("status").to_pylist()
-        pixels = batch.column("pixels")
+        pix_col = batch.column("pixels")
         hs = batch.column("dec_h").to_numpy(zero_copy_only=False)
         ws = batch.column("dec_w").to_numpy(zero_copy_only=False)
-        for i in range(n):
-            if status[i] != "ok":
-                continue
-            px = np.frombuffer(pixels[i].as_py(), dtype=np.uint8).reshape(int(hs[i]), int(ws[i]), 3)
-            _fill_feature_row(cols, i, px, self.features)
+        pixels: list[np.ndarray | None] = [
+            np.frombuffer(pix_col[i].as_py(), dtype=np.uint8).reshape(int(hs[i]), int(ws[i]), 3)
+            if status[i] == "ok"
+            else None
+            for i in range(n)
+        ]
+        cols = _compute_feature_columns(pixels, n, self.features)
         drop = ("pixels",) if self.drop_pixels else ()
         return _finish_table(batch, cols, status, self.features, drop)
 
@@ -142,16 +151,15 @@ class DecodeFeaturize:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        cols = _feature_columns(n, self.features)
         status = ["ok"] * n
         raw = batch.column("bytes")
+        pixels: list[np.ndarray | None] = [None] * n
         for i in range(n):
             try:
-                px = codecs.decode_image(raw[i].as_py())
+                pixels[i] = codecs.decode_image(raw[i].as_py())
             except codecs.DecodeError as e:
                 status[i] = f"decode_error:{str(e).split(':')[0]}"
-                continue
-            _fill_feature_row(cols, i, px, self.features)
+        cols = _compute_feature_columns(pixels, n, self.features)
         return _finish_table(batch, cols, status, self.features, drop=("bytes",))
 
 

@@ -84,6 +84,7 @@ def window_features(
     fill_cols: list[str] | None = None,
     session_gap_us: int | None = None,
     tiebreak: str | None = None,
+    assume_partitioned: bool = False,
 ) -> ray.data.Dataset:
     """Add per-entity window columns in one shuffle.
 
@@ -94,6 +95,13 @@ def window_features(
     previous event exceeds the threshold).
 
     Rows come back sorted by (key, ts[, tiebreak]) within each entity.
+
+    ``assume_partitioned=True`` skips the groupby shuffle entirely and windows
+    within each block — ONLY valid when every entity's rows already live in
+    one block (e.g. the entity-partitioned synthetic source, or a dataset
+    read back from :func:`...state.checkpoint.write_partitioned_resumable`
+    partitions). This is the reuse-one-partitioning-across-stages path
+    (SURVEY.md §7.5); the caller owns the partitioning guarantee.
     """
     fill_cols = fill_cols or []
     ds, schema = arrow_schema_of(ds)
@@ -148,6 +156,27 @@ def window_features(
                 arr = cols[name].to_numpy(zero_copy_only=False)
                 cols[name] = pa.array(arr, pa.float64(), from_pandas=True)
         return pa.table(cols, schema=out_schema)
+
+    if assume_partitioned:
+
+        def per_block(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return out_schema.empty_table()
+            keys = block.column(key).to_numpy(zero_copy_only=False)
+            order = np.argsort(keys, kind="stable")
+            block = block.take(pa.array(order, pa.int64()))
+            keys = keys[order]
+            bounds = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+            bounds = np.append(bounds, len(keys))
+            parts = [
+                per_group(block.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i])))
+                for i in range(len(bounds) - 1)
+            ]
+            return pa.concat_tables(parts)
+
+        return ds.map_batches(
+            per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
 
     return ds.groupby(key).map_groups(per_group, batch_format="pyarrow")
 

@@ -83,16 +83,13 @@ def run_flagship(num_cpus: int, n_entities: int) -> dict:
     from audio_feature_extraction_ray.pipelines.flagship import feature_table, pit_join
 
     t0 = time.time()
-    feats = feature_table(n_entities=n_entities, concurrency=(1, max(2, num_cpus // 2)),
-                          batch_size=256)
+    feats = feature_table(n_entities=n_entities, concurrency=(1, max(2, num_cpus // 2)))
     joined = pit_join(feats, n_entities, n_queries=4 * n_entities)
     rows = _consume(joined)
     dt = time.time() - t0
-    # images processed = all feature rows (decode+featurize+window) per entity
-    # timeline; count from the deterministic generator parameters
-    from audio_feature_extraction_ray.sources.images import synth_images
+    from audio_feature_extraction_ray.sources.images import count_events
 
-    n_images = _consume(synth_images(n_entities).select_columns(["image_id"]))
+    n_images = count_events(n_entities)
     ray.shutdown()
     return {
         "seconds": round(dt, 3),
@@ -121,9 +118,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     _consume(joined)
     flagship_s = time.time() - t0
     per_query["flagship_images_pit"] = round(flagship_s, 3)
-    from audio_feature_extraction_ray.sources.images import synth_images
+    from audio_feature_extraction_ray.sources.images import count_events
 
-    n_images = _consume(synth_images(n_entities).select_columns(["image_id"]))
+    n_images = count_events(n_entities)
 
     for name in HEADLINE:
         impl, _sql = QUERIES[name]

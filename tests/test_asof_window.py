@@ -178,3 +178,29 @@ def test_time_bucket():
     df = pd.DataFrame({"ts": pd.to_datetime([0, 3599, 3600, 7200], unit="s"), "v": [1, 2, 3, 4]})
     out = time_bucket(ray.data.from_pandas(df), "ts", width_us=3_600_000_000).to_pandas()
     assert out["bucket"].tolist() == [0, 0, 1, 2]
+
+
+def test_window_assume_partitioned_matches_shuffle():
+    """The shuffle-free path must equal the groupby path when the input is
+    entity-partitioned (one block per key set)."""
+    from audio_feature_extraction_ray.sources.images import synth_images
+
+    ds1 = synth_images(30, seed=42).drop_columns(["bytes", "caption"])
+    ds2 = synth_images(30, seed=42).drop_columns(["bytes", "caption"])
+    a = (
+        window_features(ds1, key="image_id", ts="ts", value_cols=["phash"],
+                        session_gap_us=120_000_000, assume_partitioned=True)
+        .to_pandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    b = (
+        window_features(ds2, key="image_id", ts="ts", value_cols=["phash"],
+                        session_gap_us=120_000_000)
+        .to_pandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    assert (a.columns == b.columns).all()
+    for c in a.columns:
+        x, y = a[c].to_numpy(), b[c].to_numpy()
+        if x.dtype.kind == "f":
+            assert ((x == y) | (np.isnan(x) & np.isnan(y))).all(), c
+        else:
+            assert (x == y).all(), c
