@@ -1,0 +1,84 @@
+"""Corpus-level feature evaluation report — the FeatureEvaluator recast
+(SURVEY.md §2.6 A1/A2/A4/A5; evaluation/evaluator.py:16-206).
+
+Unlike the reference — which unions dict keys and materializes every value
+list in driver RAM (evaluator.py:29-49) — statistics run as distributed
+partial+final aggregates; only the small final report reaches the driver.
+The JSON report sink is the K4 analog (evaluator.py:136-140).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+from ..stages.aggregates import exact_quantiles
+
+
+def feature_statistics(ds: ray.data.Dataset, cols: list[str]) -> dict:
+    """A1: per-feature min/max/mean/std over the corpus (one pass)."""
+    aggs = [Count(alias_name="n_rows")]
+    for c in cols:
+        aggs += [
+            Min(on=c, alias_name=f"{c}_min"),
+            Max(on=c, alias_name=f"{c}_max"),
+            Mean(on=c, alias_name=f"{c}_mean"),
+            Std(on=c, alias_name=f"{c}_std"),
+        ]
+    return ds.aggregate(*aggs)
+
+
+def quality_rates(ds: ray.data.Dataset, flag_cols: list[str], score_col: str | None) -> dict:
+    """A2: fraction-true per boolean flag + mean quality score (the
+    '%files passing each check' table, evaluator.py:57-99)."""
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def to_float(t: pa.Table) -> pa.Table:
+        out = {}
+        for c in flag_cols:
+            out[c] = pc.cast(t.column(c), pa.float64())
+        if score_col:
+            out[score_col] = t.column(score_col)
+        return pa.table(out)
+
+    aggs = [Count(alias_name="n_rows")] + [
+        Mean(on=c, alias_name=f"{c}_rate") for c in flag_cols
+    ]
+    if score_col:
+        aggs.append(Mean(on=score_col, alias_name=f"{score_col}_mean"))
+    return ds.map_batches(to_float, batch_format="pyarrow", zero_copy_batch=True).aggregate(*aggs)
+
+
+def generate_evaluation_report(
+    ds: ray.data.Dataset,
+    stat_cols: list[str],
+    flag_cols: list[str],
+    score_col: str | None = "quality_score",
+    quantile_col: str | None = None,
+    out_path: str | None = None,
+) -> dict:
+    """Full report: statistics + quality rates + optional distribution
+    percentiles (A4, evaluator.py:149-206); JSON sink when ``out_path``."""
+    ok = ds.filter(expr="status == 'ok'") if "status" in ds.schema().names else ds
+    ok = ok.materialize()  # reused by three aggregate passes
+    report = {
+        "feature_statistics": feature_statistics(ok, stat_cols),
+        "quality_metrics": quality_rates(ok, flag_cols, score_col),
+    }
+    if quantile_col:
+        p25, p50, p75 = exact_quantiles(ok, quantile_col, [0.25, 0.5, 0.75])
+        report["distribution"] = {f"{quantile_col}_p25": p25,
+                                  f"{quantile_col}_p50": p50,
+                                  f"{quantile_col}_p75": p75}
+    if out_path:
+        tmp = f"{out_path}.tmp"
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(report, f, indent=2, default=float)
+        os.replace(tmp, out_path)
+    return report
