@@ -20,7 +20,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
 from ..sources.tables import read_table
-from ..stages.aggregates import exact_quantiles, grouped_stats
+from ..stages.aggregates import exact_quantiles, grouped_agg_fast, grouped_stats
 from ..stages.asof import asof_join
 from ..stages.dedup import minhash_dedup_pairs
 from ..stages.joins import broadcast_join, broadcast_semi_join
@@ -116,15 +116,18 @@ def q_pricing_summary(sf_dir: str):
                                  pc.subtract(pa.scalar(1.0), t.column("l_discount")))
         return t.append_column("disc_price", disc_price)
 
-    agg = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
-            Sum(on="l_quantity", alias_name="sum_qty"),
-            Sum(on="l_extendedprice", alias_name="sum_base_price"),
-            Sum(on="disc_price", alias_name="sum_disc_price"),
-            Mean(on="l_quantity", alias_name="avg_qty"),
-            Mean(on="l_extendedprice", alias_name="avg_price"),
-            Count(alias_name="count_order"),
-        )
+    agg = grouped_agg_fast(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_returnflag", "l_linestatus"],
+        specs=[
+            ("sum_qty", "l_quantity", "sum"),
+            ("sum_base_price", "l_extendedprice", "sum"),
+            ("sum_disc_price", "disc_price", "sum"),
+            ("avg_qty", "l_quantity", "mean"),
+            ("avg_price", "l_extendedprice", "mean"),
+        ],
+        count_alias="count_order",
+    )
     agg = _round_cols(agg, ["sum_base_price"], digits=2)
     return _round_cols(agg, ["sum_qty", "sum_disc_price", "avg_qty", "avg_price"], digits=4)
 
@@ -288,9 +291,9 @@ def q_join_customer_orders(sf_dir: str):
         keys="o_custkey",
         join_type="inner",
     )
-    agg = joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"),
-        Sum(on="o_totalprice", alias_name="sum_totalprice"),
+    agg = grouped_agg_fast(
+        joined, keys=["c_mktsegment"],
+        specs=[("sum_totalprice", "o_totalprice", "sum")], count_alias="n_orders",
     )
     return _round_cols(agg, ["sum_totalprice"], digits=2)
 
@@ -305,7 +308,7 @@ GROUP BY c_mktsegment
 def q_anti_join_customers(sf_dir: str):
     """J2 missing-counterpart detection: customers with no order > 400k."""
     big_orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]) \
-        .filter(lambda r: r["o_totalprice"] > 400_000.0)
+        .filter(expr="o_totalprice > 400000.0")
     keys = pa.table({"c_custkey": pa.array(sorted(set(big_orders.to_pandas()["o_custkey"])), pa.int64())})
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
     return broadcast_semi_join(cust, keys, key="c_custkey", anti=True)
@@ -326,14 +329,18 @@ def q_top10_order_revenue(sf_dir: str):
                         pc.subtract(pa.scalar(1.0), t.column("l_discount")))
         return pa.table({"l_orderkey": t.column("l_orderkey"), "revenue": r})
 
-    per_order = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("l_orderkey").aggregate(Sum(on="revenue", alias_name="revenue"))
+    per_order = grouped_agg_fast(
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_orderkey"], specs=[("revenue", "revenue", "sum")],
+    )
     top = _round_cols(per_order, ["revenue"], digits=4) \
         .sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).to_pandas()
-    orders = pa.Table.from_pandas(orders.rename(columns={"o_orderkey": "l_orderkey"}),
-                                  preserve_index=False)
-    return broadcast_join(top, orders, keys="l_orderkey", join_type="inner")
+    top_t = pa.concat_tables(list(top.iter_batches(batch_format="pyarrow", batch_size=None)))
+    # stream the big orders table against the broadcast 10-row top table
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderdate"]), batch_format="pyarrow"
+    )
+    return broadcast_join(orders, top_t, keys="l_orderkey", join_type="inner")
 
 
 SQL_TOP10_ORDER_REVENUE = """
@@ -352,9 +359,9 @@ def q_revenue_by_nation(sf_dir: str):
     dim = pa.Table.from_pandas(dim.rename(columns={"c_custkey": "o_custkey"}), preserve_index=False)
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     joined = broadcast_join(orders, dim, keys="o_custkey", join_type="inner")
-    agg = joined.groupby("n_name").aggregate(
-        Count(alias_name="n_orders"),
-        Sum(on="o_totalprice", alias_name="sum_totalprice"),
+    agg = grouped_agg_fast(
+        joined, keys=["n_name"],
+        specs=[("sum_totalprice", "o_totalprice", "sum")], count_alias="n_orders",
     )
     return _round_cols(agg, ["sum_totalprice"], digits=2)
 
@@ -372,9 +379,9 @@ GROUP BY n_name
 def q_asof_events(sf_dir: str):
     """J4 recast: for each click, the latest purchase value at-or-before it."""
     ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
-    clicks = ev.filter(lambda r: r["event_type"] == "click") \
+    clicks = ev.filter(expr="event_type == 'click'") \
         .select_columns(["event_id", "user_id", "ts"])
-    purchases = ev.filter(lambda r: r["event_type"] == "purchase") \
+    purchases = ev.filter(expr="event_type == 'purchase'") \
         .select_columns(["user_id", "ts", "value"])
     return asof_join(clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
                      value_cols=["value"], suffix="_purchase")
@@ -466,13 +473,16 @@ def q_session_stats(sf_dir: str):
         ts_us = t.column("ts").cast(pa.int64())
         return t.append_column("ts_us", ts_us)
 
-    agg = sess.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby(["user_id", "session_id"]).aggregate(
-            Count(alias_name="n_events"),
-            Min(on="ts_us", alias_name="start_us"),
-            Max(on="ts_us", alias_name="end_us"),
-            Mean(on="value", alias_name="avg_value"),
-        )
+    agg = grouped_agg_fast(
+        sess.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id", "session_id"],
+        specs=[
+            ("start_us", "ts_us", "min"),
+            ("end_us", "ts_us", "max"),
+            ("avg_value", "value", "mean"),
+        ],
+        count_alias="n_events",
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         dur = pc.subtract(t.column("end_us"), t.column("start_us"))
@@ -506,8 +516,9 @@ FROM s GROUP BY user_id, session_id
 def q_time_bucket_stats(sf_dir: str):
     """A8: hourly-bucket aggregates."""
     ev = read_table(sf_dir, "events", columns=["ts", "value"])
-    agg = time_bucket(ev, "ts", width_us=HOUR_US).groupby("bucket").aggregate(
-        Count(alias_name="n"), Sum(on="value", alias_name="sum_value")
+    agg = grouped_agg_fast(
+        time_bucket(ev, "ts", width_us=HOUR_US), keys=["bucket"],
+        specs=[("sum_value", "value", "sum")], count_alias="n",
     )
     return _round_cols(agg, ["sum_value"], digits=4)
 
@@ -569,8 +580,9 @@ def q_dedup_exact_documents(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     fp = text_features(ds, quality=False, lang=False, fingerprints=True) \
         .select_columns(["doc_id", "fingerprint_md5"])
-    return fp.groupby("fingerprint_md5").aggregate(
-        Min(on="doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
+    return grouped_agg_fast(
+        fp, keys=["fingerprint_md5"], specs=[("doc_id", "doc_id", "min")],
+        count_alias="n_dups",
     )
 
 
@@ -614,7 +626,7 @@ def q_fingerprint_documents(sf_dir: str):
 def q_knn_embeddings(sf_dir: str):
     """Brute-force cosine top-10 for probe vectors vec_id < 5."""
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    probes = emb.filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
+    probes = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
     qm = np.stack(probes["embedding"].to_list()).astype(np.float64)
     out = knn_bruteforce(emb, probes["vec_id"].to_numpy(), qm, k=10)
     return out.select_columns(["query_id", "vec_id", "rank"])
@@ -634,7 +646,7 @@ QUALIFY rank <= 10
 def q_neardup_embeddings(sf_dir: str):
     """Exact cosine-threshold pairs: probes vec_id < 100 vs the full table."""
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    probes = emb.filter(lambda r: r["vec_id"] < 100).to_pandas().sort_values("vec_id")
+    probes = emb.filter(expr="vec_id < 100").to_pandas().sort_values("vec_id")
     qids = probes["vec_id"].to_numpy()
     qm = _normalize(np.stack(probes["embedding"].to_list()).astype(np.float64))
     import ray as _ray
