@@ -707,6 +707,63 @@ def q_images_asof(sf_dir: str):
     return flagship(n_entities=n, n_queries=4 * n)
 
 
+
+
+def q_native_hash_join(sf_dir: str):
+    """Large-large distributed hash join (Ray Data native): lineitem ⋈ orders,
+    rollup by order priority."""
+    from ..stages.joins import hash_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       join_type="inner", num_partitions=8)
+    agg = grouped_agg_fast(
+        joined, keys=["o_orderpriority"],
+        specs=[("sum_qty", "l_quantity", "sum")], count_alias="n_items",
+    )
+    return _round_cols(agg, ["sum_qty"], digits=4)
+
+
+SQL_NATIVE_HASH_JOIN = """
+SELECT o_orderpriority, COUNT(*) AS n_items, ROUND(SUM(l_quantity), 4) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_preprocess_images(sf_dir: str):
+    """Preprocessing chain over the synthetic image table (rows-only):
+    normalize → sharpen → content-region crop, emitting processed dims."""
+    from ..sources.images import synth_images
+    from ..stages.preprocess import preprocess_stage
+
+    n = max(30, int(1500 * _sf_of(sf_dir)))
+    ds = synth_images(n)
+    out = preprocess_stage(ds, chain=("peak_normalize", "sharpen", "content_region"))
+    return out.select_columns(["image_id", "ts", "status", "proc_h", "proc_w"])
+
+
+def q_evaluation_report(sf_dir: str):
+    """Corpus evaluation report (A1/A2/A4 composition) as a one-row table
+    (rows-only)."""
+    from ..sources.images import synth_images
+    from ..stages.features import feature_stage
+    from .evaluator import generate_evaluation_report
+
+    n = max(30, int(1500 * _sf_of(sf_dir)))
+    feats = feature_stage(synth_images(n)).drop_columns(["caption_tokens", "embedding"])
+    rep = generate_evaluation_report(
+        feats, stat_cols=["gray_mean"], flag_cols=["contrast_ok", "exposure_ok"],
+        quantile_col="quality_score",
+    )
+    flat: dict = {}
+    for section, vals in rep.items():
+        for k, v in vals.items():
+            flat[f"{section}.{k}"] = float(v)
+    return _one_row(flat)
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -737,6 +794,9 @@ QUERIES = {
     "langid_documents": (q_langid_documents, None),
     "fingerprint_documents": (q_fingerprint_documents, None),
     "knn_embeddings": (q_knn_embeddings, SQL_KNN_EMBEDDINGS),
+    "native_hash_join": (q_native_hash_join, SQL_NATIVE_HASH_JOIN),
+    "preprocess_images": (q_preprocess_images, None),
+    "evaluation_report": (q_evaluation_report, None),
     "neardup_embeddings": (q_neardup_embeddings, SQL_NEARDUP_EMBEDDINGS),
     "flagship_images": (q_flagship_images, None),
     "images_asof": (q_images_asof, None),

@@ -93,9 +93,14 @@ def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     on: str | tuple[str, ...],
+    right_on: str | tuple[str, ...] | None = None,
     join_type: str = "inner",
     num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """Large–large distributed hash join (Ray Data native shuffle join)."""
     on = (on,) if isinstance(on, str) else tuple(on)
-    return left.join(right, join_type=join_type, num_partitions=num_partitions, on=on)
+    if right_on is not None:
+        right_on = (right_on,) if isinstance(right_on, str) else tuple(right_on)
+    return left.join(
+        right, join_type=join_type, num_partitions=num_partitions, on=on, right_on=right_on
+    )
