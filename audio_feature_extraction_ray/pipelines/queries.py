@@ -764,6 +764,47 @@ def q_evaluation_report(sf_dir: str):
     return _one_row(flat)
 
 
+
+
+def q_explode_embedding_stats(sf_dir: str):
+    """Explode a list column to long form (flat_map; the reference's
+    list-feature flatten, evaluation/evaluator.py:38-49) then re-aggregate
+    per entity."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        arr = t.column("embedding").combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+        rep = np.repeat(ids, lens)
+        idx = np.concatenate([np.arange(l) for l in lens]) if len(lens) else np.array([], np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(rep, pa.int64()),
+                "idx": pa.array(idx.astype(np.int64), pa.int64()),
+                "value": pa.array(flat, pa.float64()),
+            }
+        )
+
+    long = emb.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_agg_fast(
+        long, keys=["vec_id"],
+        specs=[("mean_value", "value", "mean"), ("min_value", "value", "min"),
+               ("max_value", "value", "max")],
+        count_alias="dim",
+    )
+    return _round_cols(agg, ["mean_value"], digits=6)
+
+
+SQL_EXPLODE_EMBEDDING_STATS = """
+WITH l AS (SELECT vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS value FROM embeddings)
+SELECT vec_id, COUNT(*) AS dim, ROUND(AVG(value), 6) AS mean_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM l GROUP BY vec_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -795,6 +836,7 @@ QUERIES = {
     "fingerprint_documents": (q_fingerprint_documents, None),
     "knn_embeddings": (q_knn_embeddings, SQL_KNN_EMBEDDINGS),
     "native_hash_join": (q_native_hash_join, SQL_NATIVE_HASH_JOIN),
+    "explode_embedding_stats": (q_explode_embedding_stats, SQL_EXPLODE_EMBEDDING_STATS),
     "preprocess_images": (q_preprocess_images, None),
     "evaluation_report": (q_evaluation_report, None),
     "neardup_embeddings": (q_neardup_embeddings, SQL_NEARDUP_EMBEDDINGS),

@@ -61,16 +61,18 @@ class _MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        sigs = [
-            minhash_signature(char_shingle_hashes(t or "", self.shingle_k), self.a, self.b)
-            for t in texts
-        ]
-        return pa.table(
-            {
-                self.id_col: batch.column(self.id_col),
-                "sig": pa.array([s.astype(np.int64) for s in sigs], pa.list_(pa.int64())),
-            }
+        n = len(texts)
+        num_perm = len(self.a)
+        sigs = np.empty((n, num_perm), dtype=np.int64)
+        for i, t in enumerate(texts):
+            sigs[i] = minhash_signature(
+                char_shingle_hashes(t or "", self.shingle_k), self.a, self.b
+            ).view(np.int64)
+        # fixed_size_list: zero-copy flatten on the consumer side
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.ravel(), pa.int64()), num_perm
         )
+        return pa.table({self.id_col: batch.column(self.id_col), "sig": sig_col})
 
 
 def minhash_signatures(
@@ -112,19 +114,22 @@ def minhash_dedup_pairs(
 
     def to_bands(batch: pa.Table):
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        sig_list = batch.column("sig").to_pylist()
-        out_band, out_id, out_sig = [], [], []
-        for i in range(len(ids)):
-            sig = np.asarray(sig_list[i], dtype=np.uint64)
-            for bk in band_keys(sig, bands):
-                out_band.append(int(bk))
-                out_id.append(int(ids[i]))
-                out_sig.append(sig_list[i])
+        sig_arr = batch.column("sig").combine_chunks()
+        num_perm = sig_arr.type.list_size
+        sigs = sig_arr.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm)
+        n = len(ids)
+        bkeys = np.empty((n, bands), dtype=np.int64)
+        for i in range(n):
+            bkeys[i] = band_keys(sigs[i].view(np.uint64), bands)
+        rep_ids = np.repeat(ids, bands)
+        rep_sigs = np.repeat(sigs, bands, axis=0)
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int64()),
-                id_col: pa.array(out_id, pa.int64()),
-                "sig": pa.array(out_sig, pa.list_(pa.int64())),
+                "band": pa.array(bkeys.ravel(), pa.int64()),
+                id_col: pa.array(rep_ids, pa.int64()),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(rep_sigs.ravel(), pa.int64()), num_perm
+                ),
             }
         )
 
@@ -133,30 +138,37 @@ def minhash_dedup_pairs(
     def candidates(group: pa.Table) -> pa.Table:
         n = group.num_rows
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        sig_list = group.column("sig").to_pylist()
+        sig_arr = group.column("sig").combine_chunks()
+        num_perm = sig_arr.type.list_size
+        sigs = sig_arr.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm)
         order = np.argsort(ids, kind="stable")
         truncated = n > max_group
         order = order[:max_group]
-        out_a, out_b, out_j = [], [], []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                ia, ib = int(ids[order[x]]), int(ids[order[y]])
-                if ia == ib:
-                    continue
-                j = est_jaccard(
-                    np.asarray(sig_list[order[x]], dtype=np.int64),
-                    np.asarray(sig_list[order[y]], dtype=np.int64),
-                )
-                if j >= threshold:
-                    out_a.append(ia)
-                    out_b.append(ib)
-                    out_j.append(j)
+        ids, sigs = ids[order], sigs[order]
+        # dedupe identical doc ids within the band group
+        keep = np.concatenate(([True], ids[1:] != ids[:-1]))
+        ids, sigs = ids[keep], sigs[keep]
+        g = len(ids)
+        if g < 2:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                    "truncated": pa.array([], pa.bool_()),
+                }
+            )
+        # vectorized pairwise signature agreement
+        eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+        iu, ju = np.triu_indices(g, k=1)
+        jac = eq[iu, ju]
+        m = jac >= threshold
         return pa.table(
             {
-                "id_a": pa.array(out_a, pa.int64()),
-                "id_b": pa.array(out_b, pa.int64()),
-                "est_jaccard": pa.array(out_j, pa.float64()),
-                "truncated": pa.array([truncated] * len(out_a), pa.bool_()),
+                "id_a": pa.array(ids[iu[m]], pa.int64()),
+                "id_b": pa.array(ids[ju[m]], pa.int64()),
+                "est_jaccard": pa.array(jac[m], pa.float64()),
+                "truncated": pa.array(np.full(int(m.sum()), truncated), pa.bool_()),
             }
         )
 
