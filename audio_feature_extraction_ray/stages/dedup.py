@@ -23,12 +23,15 @@ import pyarrow as pa
 
 import ray.data
 
+import pyarrow.compute as pc
+
 from ..functions.textfx import (
     band_keys,
+    char_shingle_hashes,
     est_jaccard,
     make_minhash_params,
-    char_shingle_hashes,
     minhash_signature,
+    ngram_jaccard,
     simhash64,
     simhash_bands,
 )
@@ -175,6 +178,55 @@ def minhash_dedup_pairs(
     pairs = banded.groupby("band").map_groups(candidates, batch_format="pyarrow")
     # same pair can surface from multiple bands → dedup on (id_a, id_b)
     return dedup_exact(pairs, ["id_a", "id_b"], order_col="est_jaccard", keep="max")
+
+
+def minhash_dedup_verified(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str = "text",
+    est_threshold: float = 0.6,
+    exact_threshold: float = 0.8,
+    shingle_k: int = 5,
+    **minhash_kwargs,
+) -> ray.data.Dataset:
+    """MinHash candidates verified with EXACT n-gram Jaccard.
+
+    LSH recalls candidates cheaply (est_threshold is set below the exact
+    threshold so the S-curve doesn't drop true pairs); only the candidate
+    documents' texts — a tiny fraction of the corpus — are fetched and
+    broadcast for the exact verification pass. This is the standard
+    sketch-then-verify near-dup shape for 100 TB corpora.
+    """
+    import ray as _ray
+
+    pairs = minhash_dedup_pairs(
+        ds, id_col, text_col, threshold=est_threshold, shingle_k=shingle_k, **minhash_kwargs
+    )
+    pair_t = pairs.take_all()  # candidate pairs are small by construction
+    if not pair_t:
+        return pairs.filter(expr="est_jaccard > 2.0")  # empty, schema-stable
+    from .joins import broadcast_semi_join
+
+    cand_ids = sorted({r["id_a"] for r in pair_t} | {r["id_b"] for r in pair_t})
+    texts_t = pa.concat_tables(
+        list(
+            broadcast_semi_join(ds, pa.table({id_col: pa.array(cand_ids, pa.int64())}), key=id_col)
+            .select_columns([id_col, text_col])
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    text_map = dict(zip(texts_t.column(id_col).to_pylist(), texts_t.column(text_col).to_pylist()))
+    ref = _ray.put(text_map)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        tm = _ray.get(ref)
+        ia = batch.column("id_a").to_pylist()
+        ib = batch.column("id_b").to_pylist()
+        exact = [ngram_jaccard(tm.get(a, ""), tm.get(b, ""), shingle_k) for a, b in zip(ia, ib)]
+        out = batch.append_column("exact_jaccard", pa.array(exact, pa.float64()))
+        return out.filter(pc.greater_equal(out.column("exact_jaccard"), exact_threshold))
+
+    return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def simhash_dedup_pairs(

@@ -101,6 +101,106 @@ def knn_bruteforce(
     return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
+def train_ivf_centroids(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    seed: int = 42,
+    iters: int = 10,
+) -> np.ndarray:
+    """Train an IVF coarse quantizer: deterministic sample (first rows of the
+    dataset order) + Lloyd k-means in float64 on normalized vectors.
+
+    Driver-side on a bounded sample — at 10^12 scale this is the standard
+    train-on-sample / assign-distributed IVF split."""
+    sample = pa.concat_tables(
+        list(ds.limit(sample_size).select_columns([emb_col])
+             .iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    x = _normalize(_stack_embeddings(sample.column(emb_col)))
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0x495646]))  # "IVF"
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    """IVF approximate top-k: score only vectors whose coarse cell is among
+    each query's ``n_probe`` nearest cells — compute drops by roughly
+    n_probe/n_centroids at some recall cost (the scale path next to
+    :func:`knn_bruteforce`; recall tunable via n_probe)."""
+    cent = train_ivf_centroids(ds, emb_col, n_centroids, seed=seed)
+    qm = _normalize(query_matrix.astype(np.float64))
+    q_cells = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]  # (Q, n_probe)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qm, cent, q_cells))
+
+    class PartialIVF:
+        def __init__(self):
+            self.qids, self.qm, self.cent, self.qcells = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            emb = _normalize(_stack_embeddings(batch.column(emb_col)))
+            cells = np.argmax(emb @ self.cent.T, axis=1)
+            out_q, out_id, out_s = [], [], []
+            for qi in range(len(self.qids)):
+                m = np.isin(cells, self.qcells[qi])
+                if not m.any():
+                    continue
+                s = emb[m] @ self.qm[qi]
+                cand = ids[m]
+                order = np.lexsort((cand, -s))[: min(k, len(cand))]
+                out_q.extend([self.qids[qi]] * len(order))
+                out_id.extend(cand[order])
+                out_s.extend(s[order])
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(np.asarray(out_id, dtype=np.int64), pa.int64()),
+                    "score": pa.array(np.asarray(out_s, dtype=np.float64), pa.float64()),
+                }
+            )
+
+    partial = ds.map_batches(
+        PartialIVF, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        s = group.column("score").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))[:k]
+        return pa.table(
+            {
+                "query_id": group.column("query_id").take(pa.array(order, pa.int64())),
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "score": pa.array(s[order], pa.float64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.Generator(np.random.Philox(key=[seed, 0x4C5348]))  # "LSH"
     return rng.normal(size=(n_planes, dim))

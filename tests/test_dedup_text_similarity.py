@@ -146,3 +146,39 @@ def test_knn_lsh_recall_reasonable():
     inter = len(set(map(tuple, exact[["query_id", "vec_id"]].values))
                 & set(map(tuple, approx[["query_id", "vec_id"]].values)))
     assert inter >= 10
+
+
+def test_minhash_verified_exact_jaccard():
+    ds = ray.data.from_pandas(_corpus())
+    from audio_feature_extraction_ray.stages.dedup import minhash_dedup_verified
+
+    verified = minhash_dedup_verified(
+        ds, id_col="doc_id", est_threshold=0.5, exact_threshold=0.8
+    ).to_pandas()
+    got = set(zip(verified.id_a, verified.id_b))
+    assert (200, 201) in got and (100, 101) in got
+    assert (verified.exact_jaccard >= 0.8).all()
+    # identical docs verify at exactly 1.0
+    assert verified.set_index(["id_a", "id_b"]).loc[(200, 201), "exact_jaccard"] == 1.0
+
+
+def test_knn_ivf_recall():
+    from audio_feature_extraction_ray.stages.similarity import knn_bruteforce, knn_ivf
+
+    df, emb = _emb_table(n=400, d=16, seed=9)
+    qm = emb[:5]
+    exact = knn_bruteforce(ray.data.from_pandas(df), np.arange(5), qm, k=10).to_pandas()
+    approx = knn_ivf(ray.data.from_pandas(df), np.arange(5), qm, k=10,
+                     n_centroids=8, n_probe=3).to_pandas()
+    for qi in range(5):
+        got = approx[approx.query_id == qi]
+        assert len(got) > 0 and got.iloc[0].vec_id == qi  # self always found
+    inter = len(set(map(tuple, exact[["query_id", "vec_id"]].values))
+                & set(map(tuple, approx[["query_id", "vec_id"]].values)))
+    assert inter >= 20  # recall >= 40% at n_probe=3/8
+    # more probes -> recall can only improve
+    full = knn_ivf(ray.data.from_pandas(df), np.arange(5), qm, k=10,
+                   n_centroids=8, n_probe=8).to_pandas()
+    inter_full = len(set(map(tuple, exact[["query_id", "vec_id"]].values))
+                     & set(map(tuple, full[["query_id", "vec_id"]].values)))
+    assert inter_full == 50  # probing all cells == brute force membership
