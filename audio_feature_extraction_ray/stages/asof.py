@@ -166,6 +166,134 @@ def asof_join(
     return unioned.groupby(on).map_groups(merge, batch_format="pyarrow")
 
 
+def asof_join_bucketed(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    bucket_us: int,
+    suffix: str = "_asof",
+    matched_ts_col: str = "matched_ts",
+) -> ray.data.Dataset:
+    """Bounded-memory as-of join for giant entities (backward direction).
+
+    :func:`asof_join` materializes each entity's full timeline in one
+    ``map_groups`` call — fine until one hot ``image_id`` holds millions of
+    rows (SURVEY.md §7.6; the 1-teacher:N-students skew at small scale,
+    05_dtw_alignment_experiment/dtw_alignment.py:1410-1414). This variant
+    co-partitions BOTH sides by ``(entity, time-bucket)`` so no task ever
+    holds more than one bucket of one entity:
+
+    A. bucket both sides; per ``(on, bucket)`` group run the local backward
+       merge — probes with an in-bucket predecessor are final;
+    B. reduce the build side to one summary row per ``(on, bucket)`` (the
+       bucket's last build row) — bounded at one row per bucket;
+    C. resolve still-unmatched probes with a recursive :func:`asof_join` on
+       the bucket axis against the summaries (probe bucket - 1, backward),
+       i.e. "the last build row in any strictly earlier bucket".
+
+    Equivalent to :func:`asof_join` (see test_asof_window); choose
+    ``bucket_us`` so one bucket of the hottest entity fits a worker's heap.
+    """
+    left, lschema = arrow_schema_of(left)
+    right, rschema = arrow_schema_of(right)
+    rtypes = {n: t for n, t in zip(rschema.names, rschema.types)}
+    rts_type = rtypes[right_ts]
+    lcols = list(lschema.names)
+
+    def bucket_col(ts_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            b = _ts_i64(t.column(ts_col)) // bucket_us
+            return t.append_column("__b", pa.array(b, pa.int64()))
+
+        return fn
+
+    lb = left.map_batches(bucket_col(left_ts), batch_format="pyarrow", zero_copy_batch=True)
+    rb = right.map_batches(bucket_col(right_ts), batch_format="pyarrow", zero_copy_batch=True)
+
+    # ---- phase A: in-bucket merge; composite (entity, bucket) key keeps
+    # every group to one bucket of one entity
+    def composite(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(t.column(on), pa.string()),
+            pc.cast(t.column("__b"), pa.string()),
+            "\x1f",
+        )
+        return t.append_column("__kb", k)
+
+    lbk = lb.map_batches(composite, batch_format="pyarrow")
+    rbk = rb.map_batches(composite, batch_format="pyarrow")
+    phase_a = asof_join(
+        lbk.drop_columns(["__b"]),
+        rbk.drop_columns(["__b"]),
+        on="__kb",
+        left_ts=left_ts,
+        right_ts=right_ts,
+        value_cols=value_cols,
+        suffix=suffix,
+        matched_ts_col=matched_ts_col,
+    )
+
+    def keep_matched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column(matched_ts_col))).drop_columns(["__kb"])
+
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t.column(matched_ts_col))).drop_columns(
+            ["__kb", matched_ts_col] + [c + suffix for c in value_cols]
+        )
+
+    matched = phase_a.map_batches(keep_matched, batch_format="pyarrow", zero_copy_batch=True)
+    unmatched = phase_a.map_batches(keep_unmatched, batch_format="pyarrow", zero_copy_batch=True)
+
+    # ---- phase B: one summary row (last build row) per (entity, bucket)
+    def last_of_group(group: pa.Table) -> pa.Table:
+        ts = _ts_i64(group.column(right_ts))
+        i = int(np.argmax(ts))
+        return group.slice(i, 1)
+
+    summaries = (
+        rbk.groupby("__kb").map_groups(last_of_group, batch_format="pyarrow").drop_columns(["__kb"])
+    )
+
+    # ---- phase C: unmatched probes look back to strictly earlier buckets
+    def prev_bucket(t: pa.Table) -> pa.Table:
+        b = _ts_i64(t.column(left_ts)) // bucket_us - 1
+        return t.append_column("__qb", pa.array(b, pa.int64()))
+
+    un_b = unmatched.map_batches(prev_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    filled = asof_join(
+        un_b,
+        summaries,
+        on=on,
+        left_ts="__qb",
+        right_ts="__b",
+        value_cols=value_cols + [right_ts] if right_ts not in value_cols else value_cols,
+        suffix=suffix,
+        matched_ts_col="__mb",
+    )
+
+    out_schema = pa.schema(
+        [pa.field(n, t) for n, t in zip(lschema.names, lschema.types)]
+        + [pa.field(c + suffix, rtypes[c]) for c in value_cols]
+        + [pa.field(matched_ts_col, rts_type)]
+    )
+
+    def finish_filled(t: pa.Table) -> pa.Table:
+        cols = {n: t.column(n) for n in lcols}
+        for c in value_cols:
+            cols[c + suffix] = t.column(c + suffix)
+        cols[matched_ts_col] = t.column(right_ts + suffix)
+        return pa.table(cols, schema=out_schema)
+
+    filled = filled.map_batches(finish_filled, batch_format="pyarrow", zero_copy_batch=True)
+    matched = matched.map_batches(
+        lambda t: t.select(out_schema.names).cast(out_schema), batch_format="pyarrow"
+    )
+    return matched.union(filled)
+
+
 def salt_hot_keys(
     ds: ray.data.Dataset, key: str, hot_keys: list[str], salt_buckets: int = 8
 ) -> ray.data.Dataset:

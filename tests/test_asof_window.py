@@ -204,3 +204,43 @@ def test_window_assume_partitioned_matches_shuffle():
             assert ((x == y) | (np.isnan(x) & np.isnan(y))).all(), c
         else:
             assert (x == y).all(), c
+
+
+def test_asof_bucketed_equivalent(events_df):
+    """Bounded-memory (entity, time-bucket) as-of must equal the plain
+    per-entity as-of, including cross-bucket lookbacks over empty buckets,
+    misses, and before-first-event probes."""
+    from audio_feature_extraction_ray.stages.asof import asof_join_bucketed
+
+    df = events_df
+    rng = np.random.default_rng(17)
+    probes = df.sample(frac=0.4, random_state=8)[["user_id", "ts"]].copy()
+    probes["query_ts"] = probes["ts"] + pd.to_timedelta(
+        rng.integers(-48 * 3600, 48 * 3600, len(probes)), unit="s"
+    )
+    probes = probes.drop(columns=["ts"])
+    probes["query_id"] = np.arange(len(probes))
+    miss = pd.DataFrame({"user_id": [777], "query_ts": [probes["query_ts"].iloc[0]],
+                         "query_id": [-1]})
+    probes = pd.concat([probes, miss], ignore_index=True)
+
+    plain = asof_join(
+        ray.data.from_pandas(probes), ray.data.from_pandas(df[["user_id", "ts", "value"]]),
+        on="user_id", left_ts="query_ts", right_ts="ts", value_cols=["value"],
+    ).to_pandas().sort_values("query_id").reset_index(drop=True)
+
+    bucketed = asof_join_bucketed(
+        ray.data.from_pandas(probes), ray.data.from_pandas(df[["user_id", "ts", "value"]]),
+        on="user_id", left_ts="query_ts", right_ts="ts", value_cols=["value"],
+        bucket_us=6 * 3_600_000_000,  # 6h buckets force many cross-bucket lookbacks
+    ).to_pandas().sort_values("query_id").reset_index(drop=True)
+
+    assert len(plain) == len(bucketed)
+    np.testing.assert_allclose(
+        plain["value_asof"].to_numpy(np.float64),
+        bucketed["value_asof"].to_numpy(np.float64), equal_nan=True,
+    )
+    assert plain["matched_ts"].isna().equals(bucketed["matched_ts"].isna())
+    both = ~plain["matched_ts"].isna()
+    assert (plain.loc[both, "matched_ts"].to_numpy()
+            == bucketed.loc[both, "matched_ts"].to_numpy()).all()
