@@ -805,6 +805,61 @@ FROM l GROUP BY vec_id
 """
 
 
+
+
+def q_rolling_mean_events(sf_dir: str):
+    """Trailing k-row window aggregate (moving average) per user."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = window_features(ev, key="user_id", ts="ts", value_cols=[], lags=(), leads=(),
+                          deltas=False, tiebreak="event_id", rolling={"value": 5})
+    return _round_cols(
+        out.select_columns(["event_id", "user_id", "ts", "value", "value_rollmean_5"]),
+        ["value_rollmean_5"], digits=6,
+    )
+
+
+SQL_ROLLING_MEAN_EVENTS = """
+SELECT event_id, user_id, ts, value,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS value_rollmean_5
+FROM events
+"""
+
+
+def q_sample_lineitem(sf_dir: str):
+    """Deterministic md5-hash row sampling (~10%) — reproducible on any
+    cluster size, unlike random_shuffle-based sampling."""
+    from ..stages.sampling import deterministic_sample
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    return deterministic_sample(li, ["l_orderkey", "l_linenumber"], rate=0.1)
+
+
+SQL_SAMPLE_LINEITEM = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 4)
+      < '1999'
+"""
+
+
+def q_hash_split_documents(sf_dir: str):
+    """Deterministic train/val/test split assignment + per-split counts."""
+    from ..stages.sampling import hash_split
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    split = hash_split(docs, ["doc_id"], {"train": 0.8, "val": 0.1})
+    return grouped_agg_fast(split, keys=["split"], specs=[], count_alias="n")
+
+
+SQL_HASH_SPLIT_DOCUMENTS = """
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+            ELSE 'rest' END AS split,
+       COUNT(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -837,6 +892,9 @@ QUERIES = {
     "knn_embeddings": (q_knn_embeddings, SQL_KNN_EMBEDDINGS),
     "native_hash_join": (q_native_hash_join, SQL_NATIVE_HASH_JOIN),
     "explode_embedding_stats": (q_explode_embedding_stats, SQL_EXPLODE_EMBEDDING_STATS),
+    "rolling_mean_events": (q_rolling_mean_events, SQL_ROLLING_MEAN_EVENTS),
+    "sample_lineitem": (q_sample_lineitem, SQL_SAMPLE_LINEITEM),
+    "hash_split_documents": (q_hash_split_documents, SQL_HASH_SPLIT_DOCUMENTS),
     "preprocess_images": (q_preprocess_images, None),
     "evaluation_report": (q_evaluation_report, None),
     "neardup_embeddings": (q_neardup_embeddings, SQL_NEARDUP_EMBEDDINGS),

@@ -1,0 +1,80 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Hash-based (md5) row sampling is reproducible across engines and cluster
+sizes — the property a 100 TB training-data subsample needs (and that
+``random_shuffle``-based sampling lacks). The same expression is SQL-portable
+(``md5(key) < threshold-hex``), so the gate can oracle-check it exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+import ray.data
+
+
+def _hex_threshold(rate: float, digits: int = 4) -> str:
+    k = max(0, min(16**digits, int(rate * (16**digits))))
+    return format(k, f"0{digits}x")
+
+
+def deterministic_sample(
+    ds: ray.data.Dataset,
+    key_fn_cols: list[str],
+    rate: float,
+    sep: str = "-",
+    digits: int = 4,
+) -> ray.data.Dataset:
+    """Keep rows where ``md5(join(cols)) < rate`` (first ``digits`` hex chars).
+
+    Equivalent SQL predicate:
+    ``substr(md5(CAST(c1 AS VARCHAR) || '-' || ...), 1, digits) < '<hex>'``.
+    """
+    thr = _hex_threshold(rate, digits)
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols = [t.column(c).to_pylist() for c in key_fn_cols]
+        keep = [
+            hashlib.md5(sep.join(str(v) for v in row).encode()).hexdigest()[:digits] < thr
+            for row in zip(*cols)
+        ]
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    key_fn_cols: list[str],
+    splits: dict[str, float],
+    sep: str = "-",
+    digits: int = 4,
+    out_col: str = "split",
+) -> ray.data.Dataset:
+    """Assign a deterministic train/val/test split column by hash range.
+
+    ``splits`` maps name → fraction (must sum to ≤ 1; remainder → "rest").
+    Rows with the same key always land in the same split, on any cluster.
+    """
+    bounds = []
+    acc = 0.0
+    for name, frac in splits.items():
+        acc += frac
+        bounds.append((name, _hex_threshold(acc, digits)))
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols = [t.column(c).to_pylist() for c in key_fn_cols]
+        out = []
+        for row in zip(*cols):
+            h = hashlib.md5(sep.join(str(v) for v in row).encode()).hexdigest()[:digits]
+            for name, b in bounds:
+                if h < b:
+                    out.append(name)
+                    break
+            else:
+                out.append("rest")
+        return t.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

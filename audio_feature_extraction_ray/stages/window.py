@@ -85,6 +85,7 @@ def window_features(
     session_gap_us: int | None = None,
     tiebreak: str | None = None,
     assume_partitioned: bool = False,
+    rolling: dict[str, int] | None = None,
 ) -> ray.data.Dataset:
     """Add per-entity window columns in one shuffle.
 
@@ -118,6 +119,8 @@ def window_features(
     for c in fill_cols:
         out_fields.append(pa.field(f"{c}_ffill", pa.float64()))
         out_fields.append(pa.field(f"{c}_bfill", pa.float64()))
+    for c, k in (rolling or {}).items():
+        out_fields.append(pa.field(f"{c}_rollmean_{k}", pa.float64()))
     if session_gap_us is not None:
         out_fields.append(pa.field("session_id", pa.int64()))
     out_schema = pa.schema(out_fields)
@@ -146,6 +149,20 @@ def window_features(
             x = _f64(group.column(c))
             cols[f"{c}_ffill"] = pa.array(_ffill(x.copy()), pa.float64())
             cols[f"{c}_bfill"] = pa.array(_bfill(x.copy()), pa.float64())
+        for c, k in (rolling or {}).items():
+            # trailing k-row mean ignoring nulls (SQL AVG OVER ROWS k-1
+            # PRECEDING AND CURRENT ROW), via prefix sums — O(n) per group
+            x = _f64(group.column(c))
+            valid = ~np.isnan(x)
+            cs = np.concatenate(([0.0], np.cumsum(np.where(valid, x, 0.0))))
+            cc = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+            i = np.arange(len(x))
+            lo = np.maximum(0, i - k + 1)
+            sums = cs[i + 1] - cs[lo]
+            cnts = cc[i + 1] - cc[lo]
+            cols[f"{c}_rollmean_{k}"] = pa.array(
+                np.where(cnts > 0, sums / np.maximum(cnts, 1), np.nan), pa.float64()
+            )
         if session_gap_us is not None:
             gaps = np.diff(tsv, prepend=tsv[0] if len(tsv) else 0)
             new_sess = gaps > session_gap_us
