@@ -9,7 +9,6 @@ seeded — no process-salted ``hash()``.
 from __future__ import annotations
 
 import hashlib
-import math
 import re
 import zlib
 

@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+from ray.data.aggregate import Count, Max, Mean, Min, Std
 
 from ..sources.tables import read_table
 from ..stages.aggregates import exact_quantiles, grouped_agg_fast, grouped_stats

@@ -244,3 +244,34 @@ def test_asof_bucketed_equivalent(events_df):
     both = ~plain["matched_ts"].isna()
     assert (plain.loc[both, "matched_ts"].to_numpy()
             == bucketed.loc[both, "matched_ts"].to_numpy()).all()
+
+
+def test_salt_hot_keys_two_phase_equivalence():
+    """Salted two-phase aggregation over a hot key equals the unsalted
+    result — the skew-mitigation pattern for map_groups paths
+    (SURVEY.md §7.5)."""
+    from ray.data.aggregate import Count, Sum
+
+    from audio_feature_extraction_ray.stages.asof import salt_hot_keys
+
+    df = pd.DataFrame(
+        {
+            "k": ["hot"] * 5000 + ["a"] * 10 + ["b"] * 7,
+            "v": np.arange(5017, dtype=np.float64),
+        }
+    )
+    ds = salt_hot_keys(ray.data.from_pandas(df), "k", hot_keys=["hot"], salt_buckets=8)
+    # phase 1: aggregate per (key, salt); phase 2: combine per key
+    p1 = ds.groupby(["k", "__salt"]).aggregate(
+        Sum(on="v", alias_name="s"), Count(alias_name="n")
+    )
+    p2 = (
+        p1.groupby("k").aggregate(Sum(on="s", alias_name="s"), Sum(on="n", alias_name="n"))
+        .to_pandas().set_index("k").sort_index()
+    )
+    oracle = df.groupby("k").agg(s=("v", "sum"), n=("v", "count")).sort_index()
+    assert (p2["n"] == oracle["n"]).all()
+    np.testing.assert_allclose(p2["s"], oracle["s"])
+    # the hot key was actually spread over multiple salt buckets
+    hot_parts = p1.to_pandas().query("k == 'hot'")
+    assert hot_parts["__salt"].nunique() > 1
