@@ -152,6 +152,22 @@ def write_partitioned_resumable(
     return manifest
 
 
+def read_partitioned(out_dir: str) -> "ray.data.Dataset":
+    """Read a resumable-partitioned output with ONE block per partition file,
+    preserving the entity-partitioning contract (every entity's rows in one
+    block) so downstream window ops may use ``assume_partitioned=True``.
+
+    Plain ``read_parquet`` may split a file into several blocks mid-entity —
+    this reader pins block count to file count.
+    """
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no part-*.parquet under {out_dir}")
+    return ray.data.read_parquet(files, override_num_blocks=len(files))
+
+
 def read_manifest(out_dir: str) -> list[dict]:
     mdir = os.path.join(out_dir, "_manifest")
     rows = []

@@ -66,3 +66,42 @@ def test_kill_and_resume_identical(tmp_path):
     for p in sorted(glob.glob(f"{clean_dir}/part-*.parquet")):
         q = os.path.join(crash_dir, os.path.basename(p))
         assert pq.read_table(p).equals(pq.read_table(q)), p
+
+
+def test_checkpoint_readback_preserves_entity_partitioning(tmp_path):
+    """Files written by write_partitioned_resumable keep every entity's rows
+    in one file; reading them back one-file-per-block lets window ops use the
+    shuffle-free assume_partitioned path with identical results (the
+    documented partitioning contract, stages/window.py)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from audio_feature_extraction_ray.stages.window import window_features
+
+    out = str(tmp_path / "feats")
+    feats = _features().drop_columns(["pixels"] if False else [])
+    write_partitioned_resumable(feats, out, key="image_id", n_partitions=6)
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    # entity never split across files
+    seen: dict[str, str] = {}
+    for f in files:
+        for eid in set(pq.read_table(f, columns=["image_id"])["image_id"].to_pylist()):
+            assert seen.setdefault(eid, f) == f, (eid, f, seen[eid])
+
+    from audio_feature_extraction_ray.state.checkpoint import read_partitioned
+
+    back = read_partitioned(out)
+    fast = (
+        window_features(back, key="image_id", ts="ts", value_cols=["quality_score"],
+                        assume_partitioned=True)
+        .to_pandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    slow = (
+        window_features(ray.data.read_parquet(files), key="image_id", ts="ts",
+                        value_cols=["quality_score"])
+        .to_pandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    for c in ("quality_score_lag_1", "quality_score_delta"):
+        np.testing.assert_allclose(fast[c], slow[c], equal_nan=True)
