@@ -860,6 +860,64 @@ FROM documents GROUP BY 1
 """
 
 
+
+
+def q_percentiles_by_type(sf_dir: str):
+    """Per-group exact percentiles (A4 grouped): p50/p90 of value per
+    event_type via per-group sorted interpolation (quantile_cont)."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def per_group(group: pa.Table) -> pa.Table:
+        v = np.sort(group.column("value").to_numpy(zero_copy_only=False).astype(np.float64))
+        out = {"event_type": [group.column("event_type")[0].as_py()]}
+        for name, q in (("p50", 0.5), ("p90", 0.9)):
+            pos = q * (len(v) - 1)
+            lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+            out[name] = [float(v[lo] + (v[hi] - v[lo]) * (pos - lo))]
+        return pa.table({"event_type": pa.array(out["event_type"], pa.string()),
+                         "p50": pa.array(out["p50"], pa.float64()),
+                         "p90": pa.array(out["p90"], pa.float64())})
+
+    agg = ev.groupby("event_type").map_groups(per_group, batch_format="pyarrow")
+    return _round_cols(agg, ["p50", "p90"], digits=6)
+
+
+SQL_PERCENTILES_BY_TYPE = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY event_type
+"""
+
+
+def q_union_order_segments(sf_dir: str):
+    """Dataset union (set op): urgent orders UNION ALL big-ticket orders,
+    tagged by segment."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def tag(label):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o_orderkey": t.column("o_orderkey"),
+                    "segment": pa.array([label] * t.num_rows, pa.string()),
+                }
+            )
+
+        return fn
+
+    urgent = orders.filter(expr="o_orderpriority == '1-URGENT'")         .map_batches(tag("urgent"), batch_format="pyarrow")
+    big = orders.filter(expr="o_totalprice > 450000.0")         .map_batches(tag("big"), batch_format="pyarrow")
+    return urgent.union(big)
+
+
+SQL_UNION_ORDER_SEGMENTS = """
+SELECT o_orderkey, 'urgent' AS segment FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey, 'big' AS segment FROM orders WHERE o_totalprice > 450000
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -893,6 +951,8 @@ QUERIES = {
     "native_hash_join": (q_native_hash_join, SQL_NATIVE_HASH_JOIN),
     "explode_embedding_stats": (q_explode_embedding_stats, SQL_EXPLODE_EMBEDDING_STATS),
     "rolling_mean_events": (q_rolling_mean_events, SQL_ROLLING_MEAN_EVENTS),
+    "percentiles_by_type": (q_percentiles_by_type, SQL_PERCENTILES_BY_TYPE),
+    "union_order_segments": (q_union_order_segments, SQL_UNION_ORDER_SEGMENTS),
     "sample_lineitem": (q_sample_lineitem, SQL_SAMPLE_LINEITEM),
     "hash_split_documents": (q_hash_split_documents, SQL_HASH_SPLIT_DOCUMENTS),
     "preprocess_images": (q_preprocess_images, None),
