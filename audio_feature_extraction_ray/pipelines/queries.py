@@ -918,6 +918,58 @@ SELECT o_orderkey, 'big' AS segment FROM orders WHERE o_totalprice > 450000
 """
 
 
+
+
+def q_rolling_time_mean_events(sf_dir: str):
+    """Time-range trailing window (RANGE INTERVAL frame): 1-hour trailing
+    mean of value per user."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = window_features(ev, key="user_id", ts="ts", value_cols=[], lags=(), leads=(),
+                          deltas=False, tiebreak="event_id",
+                          rolling_time_us={"value": HOUR_US})
+    out = out.map_batches(
+        lambda t: t.rename_columns(
+            [n if n != f"value_rollmean_t{HOUR_US}" else "value_mean_1h"
+             for n in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    return _round_cols(
+        out.select_columns(["event_id", "user_id", "ts", "value", "value_mean_1h"]),
+        ["value_mean_1h"], digits=6,
+    )
+
+
+SQL_ROLLING_TIME_MEAN_EVENTS = """
+SELECT event_id, user_id, ts, value,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+             6) AS value_mean_1h
+FROM events
+"""
+
+
+def q_image_phash_dupes(sf_dir: str):
+    """Perceptual-hash dedup summary over decoded images (rows-only):
+    distinct phash count vs image count + dup-group count (exact phash
+    collisions are rare in the perturbed corpus — the summary is stable)."""
+    from ..sources.images import synth_images
+    from ..stages.features import feature_stage
+
+    n = max(30, int(1500 * _sf_of(sf_dir)))
+    feats = feature_stage(synth_images(n), features=("embedding",))
+    ok = feats.filter(expr="status == 'ok'")
+    groups = grouped_agg_fast(ok, keys=["phash_calc"], specs=[], count_alias="n").to_pandas()
+    return _one_row(
+        {
+            "n_images": int(groups["n"].sum()),
+            "n_distinct_phash": len(groups),
+            "n_dup_groups": int((groups["n"] > 1).sum()),
+            "max_group": int(groups["n"].max()),
+        }
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -952,6 +1004,8 @@ QUERIES = {
     "explode_embedding_stats": (q_explode_embedding_stats, SQL_EXPLODE_EMBEDDING_STATS),
     "rolling_mean_events": (q_rolling_mean_events, SQL_ROLLING_MEAN_EVENTS),
     "percentiles_by_type": (q_percentiles_by_type, SQL_PERCENTILES_BY_TYPE),
+    "rolling_time_mean_events": (q_rolling_time_mean_events, SQL_ROLLING_TIME_MEAN_EVENTS),
+    "image_phash_dupes": (q_image_phash_dupes, None),
     "union_order_segments": (q_union_order_segments, SQL_UNION_ORDER_SEGMENTS),
     "sample_lineitem": (q_sample_lineitem, SQL_SAMPLE_LINEITEM),
     "hash_split_documents": (q_hash_split_documents, SQL_HASH_SPLIT_DOCUMENTS),

@@ -86,6 +86,7 @@ def window_features(
     tiebreak: str | None = None,
     assume_partitioned: bool = False,
     rolling: dict[str, int] | None = None,
+    rolling_time_us: dict[str, int] | None = None,
 ) -> ray.data.Dataset:
     """Add per-entity window columns in one shuffle.
 
@@ -121,6 +122,8 @@ def window_features(
         out_fields.append(pa.field(f"{c}_bfill", pa.float64()))
     for c, k in (rolling or {}).items():
         out_fields.append(pa.field(f"{c}_rollmean_{k}", pa.float64()))
+    for c, w in (rolling_time_us or {}).items():
+        out_fields.append(pa.field(f"{c}_rollmean_t{w}", pa.float64()))
     if session_gap_us is not None:
         out_fields.append(pa.field("session_id", pa.int64()))
     out_schema = pa.schema(out_fields)
@@ -161,6 +164,23 @@ def window_features(
             sums = cs[i + 1] - cs[lo]
             cnts = cc[i + 1] - cc[lo]
             cols[f"{c}_rollmean_{k}"] = pa.array(
+                np.where(cnts > 0, sums / np.maximum(cnts, 1), np.nan), pa.float64()
+            )
+        for c, w in (rolling_time_us or {}).items():
+            # time-range trailing mean: rows with ts in [t - w, t] (SQL RANGE
+            # BETWEEN INTERVAL w PRECEDING AND CURRENT ROW); two-pointer via
+            # searchsorted over the sorted time axis, O(n log n) per group
+            x = _f64(group.column(c))
+            valid = ~np.isnan(x)
+            cs = np.concatenate(([0.0], np.cumsum(np.where(valid, x, 0.0))))
+            cc = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+            i = np.arange(len(x))
+            lo = np.searchsorted(tsv, tsv - w, side="left")
+            # RANGE frames include ALL rows at the current ts (peer rows)
+            hi = np.searchsorted(tsv, tsv, side="right")
+            sums = cs[hi] - cs[lo]
+            cnts = cc[hi] - cc[lo]
+            cols[f"{c}_rollmean_t{w}"] = pa.array(
                 np.where(cnts > 0, sums / np.maximum(cnts, 1), np.nan), pa.float64()
             )
         if session_gap_us is not None:
