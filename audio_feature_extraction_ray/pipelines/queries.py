@@ -970,6 +970,33 @@ def q_image_phash_dupes(sf_dir: str):
     )
 
 
+
+
+def q_token_frequencies(sf_dir: str):
+    """Corpus vocabulary build (word-count): flat_map documents to tokens,
+    grouped count, global top-50 with deterministic tie-break."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def to_tokens(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for txt in t.column("text").to_pylist():
+            toks.extend((txt or "").split())
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+    tokens = docs.map_batches(to_tokens, batch_format="pyarrow", zero_copy_batch=True)
+    counts = grouped_agg_fast(tokens, keys=["token"], specs=[], count_alias="n")
+    return counts.sort(["n", "token"], descending=[True, False]).limit(50)
+
+
+SQL_TOKEN_FREQUENCIES = r"""
+WITH toks AS (
+  SELECT UNNEST(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+')) AS token
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
+)
+SELECT token, COUNT(*) AS n FROM toks GROUP BY token ORDER BY n DESC, token LIMIT 50
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -993,6 +1020,7 @@ QUERIES = {
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
     "time_bucket_stats": (q_time_bucket_stats, SQL_TIME_BUCKET_STATS),
     "token_count_documents": (q_token_count_documents, SQL_TOKEN_COUNT_DOCUMENTS),
+    "token_frequencies": (q_token_frequencies, SQL_TOKEN_FREQUENCIES),
     "text_quality_documents": (q_text_quality_documents, SQL_TEXT_QUALITY_DOCUMENTS),
     "dedup_exact_documents": (q_dedup_exact_documents, SQL_DEDUP_EXACT_DOCUMENTS),
     "minhash_pairs_documents": (q_minhash_pairs_documents, None),

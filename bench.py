@@ -39,6 +39,10 @@ HEADLINE = [
     "text_quality_documents",
     "minhash_pairs_documents",
     "knn_embeddings",
+    "native_hash_join",
+    "explode_embedding_stats",
+    "rolling_mean_events",
+    "token_frequencies",
 ]
 
 
