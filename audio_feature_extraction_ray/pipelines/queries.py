@@ -997,6 +997,33 @@ SELECT token, COUNT(*) AS n FROM toks GROUP BY token ORDER BY n DESC, token LIMI
 """
 
 
+
+
+def q_align_image_pairs(sf_dir: str):
+    """Pairwise constrained-DTW alignment over per-entity embedding timelines
+    (rows-only): even entities play 'teacher', odd entities 'student' of the
+    same pair — the reference's teacher/student pairing recast
+    (05_dtw_alignment_experiment/dtw_alignment.py:1377-1416)."""
+    from ..sources.images import synth_images
+    from ..stages.align import align_pairs
+    from ..stages.features import feature_stage
+
+    n = max(20, int(600 * _sf_of(sf_dir)))
+    feats = feature_stage(synth_images(n), features=("embedding",)) \
+        .filter(expr="status == 'ok'")
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        eids = [int(i[3:]) for i in ids]
+        pair = pa.array([f"pair{e // 2:06d}" for e in eids], pa.string())
+        role = pa.array(["teacher" if e % 2 == 0 else "student" for e in eids], pa.string())
+        return t.append_column("pair", pair).append_column("role", role)
+
+    tagged = feats.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return align_pairs(tagged, pair_col="pair", role_col="role", ts_col="ts",
+                       emb_col="embedding")
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1034,6 +1061,7 @@ QUERIES = {
     "percentiles_by_type": (q_percentiles_by_type, SQL_PERCENTILES_BY_TYPE),
     "rolling_time_mean_events": (q_rolling_time_mean_events, SQL_ROLLING_TIME_MEAN_EVENTS),
     "image_phash_dupes": (q_image_phash_dupes, None),
+    "align_image_pairs": (q_align_image_pairs, None),
     "union_order_segments": (q_union_order_segments, SQL_UNION_ORDER_SEGMENTS),
     "sample_lineitem": (q_sample_lineitem, SQL_SAMPLE_LINEITEM),
     "hash_split_documents": (q_hash_split_documents, SQL_HASH_SPLIT_DOCUMENTS),
