@@ -1024,6 +1024,46 @@ def q_align_image_pairs(sf_dir: str):
                        emb_col="embedding")
 
 
+
+
+def q_price_histogram(sf_dir: str):
+    """Fixed-width numeric histogram (value binning + grouped count)."""
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def bin_(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({"bin": pa.array((v // 50_000.0).astype(np.int64), pa.int64())})
+
+    binned = orders.map_batches(bin_, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg_fast(binned, keys=["bin"], specs=[], count_alias="n")
+
+
+SQL_PRICE_HISTOGRAM = """
+SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin, COUNT(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_argmax_events(sf_dir: str):
+    """Arg-max per group: for each user, the event with the highest value
+    (deterministic tie-break by event_id)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        v = group.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -v))
+        return group.take(pa.array(order[:1], pa.int64()))
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+SQL_ARGMAX_EVENTS = """
+SELECT event_id, user_id, event_type, value FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) = 1
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1063,6 +1103,8 @@ QUERIES = {
     "image_phash_dupes": (q_image_phash_dupes, None),
     "align_image_pairs": (q_align_image_pairs, None),
     "union_order_segments": (q_union_order_segments, SQL_UNION_ORDER_SEGMENTS),
+    "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
+    "argmax_events": (q_argmax_events, SQL_ARGMAX_EVENTS),
     "sample_lineitem": (q_sample_lineitem, SQL_SAMPLE_LINEITEM),
     "hash_split_documents": (q_hash_split_documents, SQL_HASH_SPLIT_DOCUMENTS),
     "preprocess_images": (q_preprocess_images, None),
