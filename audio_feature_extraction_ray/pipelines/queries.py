@@ -23,7 +23,7 @@ from ..sources.tables import read_table
 from ..stages.aggregates import exact_quantiles, grouped_agg_fast, grouped_stats
 from ..stages.asof import asof_join
 from ..stages.dedup import minhash_dedup_pairs
-from ..stages.joins import broadcast_join, broadcast_semi_join
+from ..stages.joins import broadcast_join, broadcast_semi_join, bucket_hash_join
 from ..stages.similarity import knn_bruteforce, _normalize, _stack_embeddings
 from ..stages.text import text_features
 from ..stages.window import sessionize, time_bucket, window_features
@@ -306,10 +306,15 @@ GROUP BY c_mktsegment
 
 
 def q_anti_join_customers(sf_dir: str):
-    """J2 missing-counterpart detection: customers with no order > 400k."""
+    """J2 missing-counterpart detection: customers with no order > 400k.
+
+    The filtered fact side is reduced to its DISTINCT keys by a distributed
+    ``unique()`` (groupby shuffle) — only the already-distinct key set (dim
+    cardinality, not fact cardinality) reaches the driver for the broadcast.
+    """
     big_orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]) \
         .filter(expr="o_totalprice > 400000.0")
-    keys = pa.table({"c_custkey": pa.array(sorted(set(big_orders.to_pandas()["o_custkey"])), pa.int64())})
+    keys = pa.table({"c_custkey": pa.array(sorted(big_orders.unique("o_custkey")), pa.int64())})
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
     return broadcast_semi_join(cust, keys, key="c_custkey", anti=True)
 
@@ -352,16 +357,30 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 
 
 def q_revenue_by_nation(sf_dir: str):
-    """Join chain: orders ⋈ customer ⋈ nation, grouped rollup."""
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
-    dim = pa.Table.from_pandas(dim.rename(columns={"c_custkey": "o_custkey"}), preserve_index=False)
+    """Join chain: orders ⋈ customer ⋈ nation, grouped rollup — with NO
+    driver-side materialization of customer- or fact-derived data.
+
+    Shape: (1) pre-aggregate orders per custkey (map-side combine + small
+    shuffle), (2) bucket-hash-join the per-custkey aggregate against the
+    streaming customer dim (both sides distributed), (3) broadcast the 25-row
+    nation table, (4) final 25-group rollup. Customer never leaves the
+    cluster; only nation (constant-size) is broadcast.
+    """
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    joined = broadcast_join(orders, dim, keys="o_custkey", join_type="inner")
+    per_cust = grouped_agg_fast(
+        orders, keys=["o_custkey"],
+        specs=[("sum_price", "o_totalprice", "sum")], count_alias="n_ord",
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = bucket_hash_join(per_cust, cust, on="o_custkey", right_on="c_custkey",
+                              join_type="inner", num_buckets=8)
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).map_batches(
+        lambda t: t.rename_columns(["c_nationkey", "n_name"]), batch_format="pyarrow"
+    )
+    with_nation = broadcast_join(joined, nation, keys="c_nationkey", join_type="inner")
     agg = grouped_agg_fast(
-        joined, keys=["n_name"],
-        specs=[("sum_totalprice", "o_totalprice", "sum")], count_alias="n_orders",
+        with_nation, keys=["n_name"],
+        specs=[("sum_totalprice", "sum_price", "sum"), ("n_orders", "n_ord", "sum")],
     )
     return _round_cols(agg, ["sum_totalprice"], digits=2)
 
@@ -454,10 +473,10 @@ def q_sessionize_events(sf_dir: str):
 
 SQL_SESSIONIZE_EVENTS = """
 SELECT event_id, user_id,
-       SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
-                THEN 1 ELSE 0 END)
-         OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+       CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
 FROM (SELECT event_id, user_id, ts,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events)
@@ -498,10 +517,10 @@ def q_session_stats(sf_dir: str):
 SQL_SESSION_STATS = """
 WITH s AS (
   SELECT user_id, ts, value,
-         SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
-                  THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+                       THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
   FROM (SELECT event_id, user_id, ts, value,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         FROM events)

@@ -91,29 +91,34 @@ def grouped_agg_fast(
     #blocks × #distinct-keys-per-block, never by row count).
 
     specs: (out_name, src_col, fn) with fn ∈ {sum, min, max, mean, count}.
-    ``mean`` is carried as (sum, count) pairs and finalized in phase 2.
+    ``mean`` is carried as (sum, non-null count) pairs and finalized in
+    phase 2 — SQL ``AVG``/``COUNT(col)`` semantics hold on columns with nulls
+    (per-column non-null counts are separate partials, never COUNT(*)).
     """
-    import zlib as _zlib
-
     import pyarrow.compute as _pc
 
-    # phase-1 aggregation list: mean → sum+count
+    # phase-1 aggregation list: mean → sum + per-column non-null count
     p1_aggs: list[tuple[str, str]] = []
-    needs_count = count_alias is not None or any(fn in ("mean", "count") for _, _, fn in specs)
+    needs_count_all = count_alias is not None
     for out, col, fn in specs:
         if fn == "mean":
             p1_aggs.append((col, "sum"))
+            p1_aggs.append((col, "count"))
+        elif fn == "count":
+            p1_aggs.append((col, "count"))
         elif fn in ("sum", "min", "max"):
             p1_aggs.append((col, fn))
     p1_aggs = list(dict.fromkeys(p1_aggs))
     count_col = "__cnt"
 
     def phase1(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
+        # NOTE: no empty-batch early return — Arrow's group_by handles 0-row
+        # input and emits the partial-aggregate schema, so an upstream filter
+        # that empties a block can never leak the pre-aggregation schema into
+        # the shuffle (heterogeneous-schema bug).
         gb = t.group_by(keys)
         aggs = list(p1_aggs)
-        if needs_count:
+        if needs_count_all:
             aggs.append(([], "count_all"))
         res = gb.aggregate(aggs)
         ren = {}
@@ -126,14 +131,16 @@ def grouped_agg_fast(
     partial = ds.map_batches(phase1, batch_format="pyarrow", zero_copy_batch=True)
 
     def bucketize(t: pa.Table) -> pa.Table:
-        if len(keys) == 1:
-            kv = t.column(keys[0]).to_pylist()
-        else:
-            cols = [t.column(k).to_pylist() for k in keys]
-            kv = list(zip(*cols))
-        b = np.array(
-            [_zlib.crc32(str(v).encode()) % num_final_partitions for v in kv], dtype=np.int32
-        )
+        # columnar key hash (no per-row Python): polars hash_rows is a
+        # vectorized native row hash; bucket ids only route partials to a
+        # final combiner task, they never appear in output, so any
+        # deterministic-within-run hash is correct.
+        if t.num_rows == 0:
+            return t.append_column("__bucket", pa.array([], pa.int32()))
+        import polars as _pl
+
+        h = _pl.from_arrow(t.select(keys)).hash_rows(seed=42).to_numpy()
+        b = (h % np.uint64(num_final_partitions)).astype(np.int32)
         return t.append_column("__bucket", pa.array(b))
 
     bucketed = partial.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
@@ -143,24 +150,24 @@ def grouped_agg_fast(
         gb = group.group_by(keys)
         aggs = []
         for col, fn in p1_aggs:
-            # combine partials: sum-of-sums, min-of-mins, max-of-maxs
-            comb = "sum" if fn == "sum" else fn
+            # combine partials: sum-of-sums, min-of-mins, max-of-maxs,
+            # sum-of-counts
+            comb = "sum" if fn in ("sum", "count") else fn
             aggs.append((f"__{fn}_{col}", comb))
-        if needs_count:
+        if needs_count_all:
             aggs.append((count_col, "sum"))
         res = gb.aggregate(aggs)
         out: dict = {k: res.column(k) for k in keys}
-        cnt = res.column(f"{count_col}_sum") if needs_count else None
         if count_alias:
-            out[count_alias] = cnt
+            out[count_alias] = res.column(f"{count_col}_sum")
         for out_name, col, fn in specs:
             if fn == "mean":
                 out[out_name] = _pc.divide(
                     _pc.cast(res.column(f"__sum_{col}_sum"), pa.float64()),
-                    _pc.cast(cnt, pa.float64()),
+                    _pc.cast(res.column(f"__count_{col}_sum"), pa.float64()),
                 )
             elif fn == "count":
-                out[out_name] = cnt
+                out[out_name] = res.column(f"__count_{col}_sum")
             else:
                 suffix = "sum" if fn == "sum" else fn
                 out[out_name] = res.column(f"__{fn}_{col}_{suffix}")

@@ -14,6 +14,7 @@ shuffle of the big side, the right pattern for dim tables at 100 TB scale.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -104,3 +105,90 @@ def hash_join(
     return left.join(
         right, join_type=join_type, num_partitions=num_partitions, on=on, right_on=right_on
     )
+
+
+def bucket_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    join_type: str = "inner",
+    num_buckets: int = 16,
+    rsuffix: str = "_r",
+) -> ray.data.Dataset:
+    """Large–large equi-join on our own primitives: ONE union + groupby(bucket)
+    shuffle, per-bucket zero-copy Acero hash join.
+
+    Both sides get ``__bucket = hash(key) % num_buckets`` (columnar polars row
+    hash — identical buckets for identical key values on both sides), are
+    schema-aligned into one union (non-own columns null), and each bucket group
+    joins its two slices with ``pa.Table.join``. Neither input is ever
+    collected on the driver and no task holds more than one bucket — the
+    100 TB-safe large–large shape; skewed keys are bounded by the bucket count
+    (raise ``num_buckets``, or pre-aggregate/salt upstream for a hot key).
+    Measured faster than Ray's native ``Dataset.join`` at every scale tested
+    here (see BASELINE.md); `hash_join` stays as the native fallback.
+    """
+    from .util import arrow_schema_of
+
+    right_on = right_on or on
+    left, lschema = arrow_schema_of(left)
+    right, rschema = arrow_schema_of(right)
+    lcols = list(zip(lschema.names, lschema.types))
+    key_type = lschema.types[lschema.names.index(on)]
+    # right columns as they appear post-join (key consumed, clashes suffixed)
+    lnames = set(lschema.names)
+    rcols = [
+        (n + rsuffix if n in lnames else n, t)
+        for n, t in zip(rschema.names, rschema.types)
+        if n != right_on
+    ]
+    union_fields = lcols + rcols + [("__side", pa.int8()), ("__bucket", pa.int32())]
+    union_names = [n for n, _ in union_fields]
+
+    def bucket_of(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+        import polars as _pl
+
+        if len(col) == 0:
+            return pa.array([], pa.int32())
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        h = _pl.from_arrow(pa.table({"k": arr.cast(key_type)})).hash_rows(seed=7).to_numpy()
+        return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        out = {n: t.column(n) for n, _ in lcols}
+        for n, typ in rcols:
+            out[n] = pa.nulls(t.num_rows, typ)
+        out["__side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        out["__bucket"] = bucket_of(t.column(on))
+        return pa.table({n: out[n] for n in union_names})
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        out: dict = {}
+        for n, typ in lcols:
+            if n == on:
+                out[n] = t.column(right_on).cast(key_type)
+            else:
+                out[n] = pa.nulls(t.num_rows, typ)
+        for n, _ in rcols:
+            src = n[: -len(rsuffix)] if n.endswith(rsuffix) and n not in rschema.names else n
+            out[n] = t.column(src)
+        out["__side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        out["__bucket"] = bucket_of(t.column(right_on))
+        return pa.table({n: out[n] for n in union_names})
+
+    lt = left.map_batches(prep_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(prep_right, batch_format="pyarrow", zero_copy_batch=True)
+    unioned = lt.union(rt)
+    out_schema = pa.schema([pa.field(n, t) for n, t in lcols + rcols])
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        lmask = pa.array(side == 1)
+        lpart = group.filter(lmask).select([n for n, _ in lcols])
+        rpart = group.filter(pc.invert(lmask)).select([on] + [n for n, _ in rcols])
+        joined = lpart.join(rpart, keys=[on], join_type=join_type)
+        # Acero may reorder columns; restore the declared layout
+        return joined.select(out_schema.names).cast(out_schema)
+
+    return unioned.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
