@@ -205,3 +205,163 @@ def cosine(a: np.ndarray, b: np.ndarray) -> float:
     if na == 0 or nb == 0:
         return 0.0
     return float(np.dot(a, b) / (na * nb))
+
+
+# ---------------------------------------------------------------- vectorized batch kernels
+#
+# Columnar versions of the per-doc kernels above, used on the hot paths
+# (stages/text.py, stages/dedup.py). Each is pinned to the serial kernel by
+# tests/test_dedup_text_similarity.py::test_text_features_match_python_oracle
+# and the hypothesis property tests — identical outputs, no Python loop over
+# documents.
+
+def _flat_tokens(texts) -> tuple:
+    """Whitespace-split a string column; returns (flat_tokens: pa.Array,
+    offsets: np.int64[n+1], n_tokens: np.int64[n] with python ``str.split``
+    counts).
+
+    Arrow's ``utf8_split_whitespace`` emits empty strings at run boundaries
+    (python ``split()`` collapses them), so token counts are counts of
+    NON-empty slots.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = texts.fill_null("")
+    toks = pc.utf8_split_whitespace(texts)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off = toks.offsets.to_numpy().astype(np.int64)
+    flat = toks.values
+    nonempty = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    cs = np.concatenate(([0], np.cumsum(nonempty)))
+    n_tokens = cs[off[1:]] - cs[off[:-1]]
+    return flat, off, n_tokens
+
+
+def quality_batch(texts) -> dict[str, np.ndarray]:
+    """Vectorized :func:`text_quality` over a string column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = texts.fill_null("")
+    flat, off, n_tok = _flat_tokens(texts)
+    n = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_punct = pc.count_substring_regex(texts, "[.,!?;:]").to_numpy(zero_copy_only=False)
+    n_digit = pc.count_substring_regex(texts, "[0-9]").to_numpy(zero_copy_only=False)
+    n_upper = pc.count_substring_regex(texts, r"\p{Lu}").to_numpy(zero_copy_only=False)
+    n_alpha = pc.count_substring_regex(texts, r"\p{L}").to_numpy(zero_copy_only=False)
+    # sum of token lengths == length of tokens joined with '' (exact python
+    # parity: counts every non-whitespace codepoint)
+    tok_chars = pc.utf8_length(
+        pc.binary_join(pc.utf8_split_whitespace(texts), "")
+    ).to_numpy(zero_copy_only=False).astype(np.float64)
+    safe_n = np.maximum(n, 1.0)
+    return {
+        "n_chars": n,
+        "n_tokens": n_tok.astype(np.float64),
+        "punct_ratio": np.where(n > 0, n_punct / safe_n, 0.0),
+        "digit_ratio": np.where(n > 0, n_digit / safe_n, 0.0),
+        "upper_ratio": np.where(n_alpha > 0, n_upper / np.maximum(n_alpha, 1), 0.0),
+        "avg_token_len": np.where(n_tok > 0, tok_chars / np.maximum(n_tok, 1), 0.0),
+    }
+
+
+def langid_batch(texts) -> list[str]:
+    """Vectorized :func:`detect_lang`: flat-token stopword membership with
+    per-row segment sums (``np.add.reduceat`` over the list offsets)."""
+    import pyarrow.compute as pc
+
+    flat, off, n_tok = _flat_tokens(texts)
+    n_rows = len(off) - 1
+    if n_rows == 0:
+        return []
+    norm = pc.utf8_trim(pc.utf8_lower(flat), ".,!?;:()\"'")
+    langs = list(_LANG_STOPWORDS)
+    scores = np.zeros((n_rows, len(langs)), dtype=np.float64)
+    row_has_tokens = off[1:] > off[:-1]
+    starts = np.minimum(off[:-1], max(len(flat) - 1, 0))
+    for j, lang in enumerate(langs):
+        import pyarrow as pa
+
+        hit = pc.is_in(norm, value_set=pa.array(sorted(_LANG_STOPWORDS[lang]))) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(hit) == 0:
+            continue
+        sums = np.add.reduceat(hit, starts) * row_has_tokens
+        scores[:, j] = sums / np.maximum(n_tok, 1)
+    best = np.argmax(scores, axis=1)  # first-wins ties == serial kernel
+    best_score = scores[np.arange(n_rows), best]
+    return [langs[b] if s > 0.0 else "und" for b, s in zip(best, best_score)]
+
+
+def simhash_batch(texts, token_hash_cache: dict | None = None) -> np.ndarray:
+    """Vectorized :func:`simhash64` over a string column.
+
+    Unique (row, token) pairs are deduped columnarly; each distinct token is
+    md5-hashed ONCE (and cached across batches when the caller holds the
+    cache, e.g. an actor) — output is bit-identical to the serial kernel.
+    """
+    flat, off, _ = _flat_tokens(texts)
+    n_rows = len(off) - 1
+    out = np.zeros(n_rows, dtype=np.int64)
+    if n_rows == 0 or len(flat) == 0:
+        return out
+    import pyarrow.compute as pc
+
+    # dictionary-encode lowercased tokens: distinct tokens surface once,
+    # (row, token) dedupe becomes a np.unique over integer pair keys
+    de = pc.utf8_lower(flat).dictionary_encode()
+    idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = de.dictionary
+    K = len(vocab)
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(off))
+    ukey = np.unique(rows * K + idx)
+    urow, uidx = ukey // K, ukey % K
+    vocab_lens = pc.utf8_length(vocab).to_numpy(zero_copy_only=False)
+    keep = vocab_lens[uidx] > 0  # python set(tokens) never holds ''
+    urow, uidx = urow[keep], uidx[keep]
+    if len(urow) == 0:
+        return out
+    cache = token_hash_cache if token_hash_cache is not None else {}
+    vocab_list = vocab.to_pylist()
+    byte_mat = np.empty((K, 8), dtype=np.uint8)
+    for k, tok in enumerate(vocab_list):
+        b = cache.get(tok)
+        if b is None:
+            b = np.frombuffer(np.uint64(_token_hash64(tok)).tobytes(), dtype=np.uint8)
+            cache[tok] = b
+        byte_mat[k] = b
+    bits = np.unpackbits(byte_mat[:, ::-1], axis=1)  # MSB-first = h >> (63..0)
+    signs_dict = np.where(bits == 1, 1, -1).astype(np.int64)  # (K, 64)
+    acc = np.zeros((n_rows, 64), dtype=np.int64)
+    np.add.at(acc, urow, signs_dict[uidx])
+    outbits = (acc > 0).astype(np.uint8)
+    v = np.packbits(outbits, axis=1).view(">u8").ravel().astype(np.uint64)
+    return v.view(np.int64)
+
+
+def band_keys_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """Vectorized LSH band keys for a signature MATRIX (n, num_perm) uint64 →
+    (n, bands) int64.
+
+    Replaces the per-doc crc32 banding loop. Identical band contents map to
+    identical keys (all that correctness needs — candidates are re-verified
+    against full signatures); a 64-bit FNV-style fold keeps cross-band
+    collisions negligible.
+    """
+    n, perm = sigs.shape
+    r = perm // bands
+    x = sigs[:, : bands * r].reshape(n, bands, r).astype(np.uint64)
+    h = np.full((n, bands), 0xCBF29CE484222325, dtype=np.uint64)
+    P = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(r):
+            h = (h ^ x[:, :, j]) * P
+        h ^= h >> np.uint64(29)
+        h += np.arange(bands, dtype=np.uint64)[None, :] * np.uint64(0x9E3779B97F4A7C15)
+    return h.view(np.int64)

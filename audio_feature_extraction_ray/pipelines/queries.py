@@ -997,10 +997,11 @@ def q_token_frequencies(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["text"])
 
     def to_tokens(t: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for txt in t.column("text").to_pylist():
-            toks.extend((txt or "").split())
-        return pa.table({"token": pa.array(toks, pa.string())})
+        from ..functions.textfx import _flat_tokens
+
+        flat, _, _ = _flat_tokens(t.column("text"))
+        flat = flat.filter(pc.not_equal(pc.utf8_length(flat), 0))
+        return pa.table({"token": flat})
 
     tokens = docs.map_batches(to_tokens, batch_format="pyarrow", zero_copy_batch=True)
     counts = grouped_agg_fast(tokens, keys=["token"], specs=[], count_alias="n")

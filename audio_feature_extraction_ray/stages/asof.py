@@ -295,22 +295,34 @@ def asof_join_bucketed(
 
 
 def salt_hot_keys(
-    ds: ray.data.Dataset, key: str, hot_keys: list[str], salt_buckets: int = 8
+    ds: ray.data.Dataset,
+    key: str,
+    hot_keys: list[str],
+    salt_buckets: int = 8,
+    salt_by: str | None = None,
 ) -> ray.data.Dataset:
     """Append a ``__salt`` column that spreads listed hot keys over
     ``salt_buckets`` pseudo-keys (two-phase aggregation / skew mitigation,
-    SURVEY.md §7.5). Non-hot keys get salt 0."""
-    import zlib
+    SURVEY.md §7.5). Non-hot keys get salt 0.
 
+    The salt derives from ROW CONTENT (a columnar hash of ``salt_by``, or of
+    every column when unset) — never from batch-local position — so a row's
+    salt is identical across cluster sizes, block layouts and reruns
+    (layout-independence invariant; never the process-salted builtin
+    ``hash()``).
+    """
     hot = set(hot_keys)
 
     def fn(t: pa.Table) -> pa.Table:
-        keys = t.column(key).to_pylist()
-        salt = np.zeros(len(keys), dtype=np.int32)
-        for i, k in enumerate(keys):
-            if k in hot:
-                # deterministic (never the process-salted builtin hash())
-                salt[i] = (zlib.crc32(str(k).encode()) + i) % salt_buckets
-        return t.append_column("__salt", pa.array(salt))
+        import polars as _pl
+
+        if t.num_rows == 0:
+            return t.append_column("__salt", pa.array([], pa.int32()))
+        cols = [salt_by] if salt_by is not None else t.column_names
+        h = _pl.from_arrow(t.select(cols)).hash_rows(seed=11).to_numpy()
+        salt = (h % np.uint64(salt_buckets)).astype(np.int32)
+        is_hot = pc.is_in(t.column(key), value_set=pa.array(sorted(hot))) \
+            .to_numpy(zero_copy_only=False)
+        return t.append_column("__salt", pa.array(np.where(is_hot, salt, 0)))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

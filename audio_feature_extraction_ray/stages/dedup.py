@@ -26,14 +26,13 @@ import ray.data
 import pyarrow.compute as pc
 
 from ..functions.textfx import (
-    band_keys,
+    band_keys_matrix,
     char_shingle_hashes,
     est_jaccard,
     make_minhash_params,
     minhash_signature,
     ngram_jaccard,
-    simhash64,
-    simhash_bands,
+    simhash_batch,
 )
 
 
@@ -120,10 +119,7 @@ def minhash_dedup_pairs(
         sig_arr = batch.column("sig").combine_chunks()
         num_perm = sig_arr.type.list_size
         sigs = sig_arr.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm)
-        n = len(ids)
-        bkeys = np.empty((n, bands), dtype=np.int64)
-        for i in range(n):
-            bkeys[i] = band_keys(sigs[i].view(np.uint64), bands)
+        bkeys = band_keys_matrix(sigs.view(np.uint64), bands)
         rep_ids = np.repeat(ids, bands)
         rep_sigs = np.repeat(sigs, bands, axis=0)
         return pa.table(
@@ -245,56 +241,72 @@ def simhash_dedup_pairs(
     if bands is None:
         bands = next(b for b in (1, 2, 4, 8, 16, 32) if b > max_hamming)
 
-    def sig(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "simhash": pa.array([simhash64(t or "") for t in texts], pa.int64()),
-            }
-        )
+    class _SimHasher:
+        """Actor fn: per-actor token→md5 cache feeds the columnar kernel."""
 
-    sigs = ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
+        def __init__(self):
+            self.cache: dict = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "simhash": pa.array(
+                        simhash_batch(batch.column(text_col), self.cache), pa.int64()
+                    ),
+                }
+            )
+
+    sigs = ds.map_batches(
+        _SimHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
 
     def to_bands(batch: pa.Table) -> pa.Table:
+        # vectorized over rows (matches functions.textfx.simhash_bands):
+        # band key = (band_idx << 48) | the band's 64/bands-bit slice
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        hs = batch.column("simhash").to_numpy(zero_copy_only=False)
-        ob, oi, oh = [], [], []
-        for i in range(len(ids)):
-            for bk in simhash_bands(int(hs[i]), bands):
-                ob.append(bk)
-                oi.append(int(ids[i]))
-                oh.append(int(hs[i]))
+        hs = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = hs.view(np.uint64)
+        n = len(ids)
+        width = 64 // bands
+        mask = np.uint64((1 << width) - 1)
+        keys = np.empty((n, bands), dtype=np.uint64)
+        for bi in range(bands):
+            keys[:, bi] = np.uint64(bi << 48) | ((u >> np.uint64(bi * width)) & mask)
         return pa.table(
             {
-                "band": pa.array(ob, pa.int64()),
-                id_col: pa.array(oi, pa.int64()),
-                "simhash": pa.array(oh, pa.int64()),
+                "band": pa.array(keys.ravel().view(np.int64), pa.int64()),
+                id_col: pa.array(np.repeat(ids, bands), pa.int64()),
+                "simhash": pa.array(np.repeat(hs, bands), pa.int64()),
             }
         )
 
     banded = sigs.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
 
     def candidates(group: pa.Table) -> pa.Table:
+        # vectorized pairwise hamming: xor + byte-level popcount
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        hs = group.column("simhash").to_numpy(zero_copy_only=False)
+        hs = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ids, kind="stable")[:max_group]
-        oa, ob_, oh = [], [], []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                ia, ib = int(ids[order[x]]), int(ids[order[y]])
-                if ia == ib:
-                    continue
-                ham = bin((int(hs[order[x]]) ^ int(hs[order[y]])) & ((1 << 64) - 1)).count("1")
-                if ham <= max_hamming:
-                    oa.append(ia)
-                    ob_.append(ib)
-                    oh.append(ham)
+        ids, u = ids[order], hs[order].view(np.uint64)
+        g = len(ids)
+        if g < 2:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        iu, ju = np.triu_indices(g, k=1)
+        xor = (u[iu] ^ u[ju]).view(np.uint8).reshape(-1, 8)
+        ham = np.unpackbits(xor, axis=1).sum(axis=1).astype(np.int64)
+        m = (ham <= max_hamming) & (ids[iu] != ids[ju])
         return pa.table(
             {
-                "id_a": pa.array(oa, pa.int64()),
-                "id_b": pa.array(ob_, pa.int64()),
-                "hamming": pa.array(oh, pa.int64()),
+                "id_a": pa.array(ids[iu[m]], pa.int64()),
+                "id_b": pa.array(ids[ju[m]], pa.int64()),
+                "hamming": pa.array(ham[m], pa.int64()),
             }
         )
 

@@ -16,12 +16,12 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.textfx import (
-    detect_lang,
+    langid_batch,
     md5_fingerprint,
+    quality_batch,
     rolling_fingerprint,
-    simhash64,
-    text_quality,
-    ws_tokens,
+    simhash_batch,
+    _flat_tokens,
 )
 
 QUALITY_COLS = ("n_chars_calc", "n_tokens", "punct_ratio", "digit_ratio", "upper_ratio", "avg_token_len")
@@ -43,21 +43,25 @@ class TextFeatures:
         self.lang = lang
         self.fingerprints = fingerprints
         self.simhash = simhash
+        # per-actor token→md5 cache for the simhash kernel (tokens repeat
+        # heavily across documents; each distinct token hashes once per actor)
+        self._token_cache: dict = {}
         # warm compiled regexes once per actor
         from ..functions import textfx  # noqa: F401
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
+        col = batch.column(self.text_col)
         out = {n: batch.column(n) for n in batch.column_names}
         if self.quality:
-            qs = [text_quality(t or "") for t in texts]
-            out["n_chars_calc"] = pa.array([int(q["n_chars"]) for q in qs], pa.int64())
-            out["n_tokens"] = pa.array([int(q["n_tokens"]) for q in qs], pa.int64())
+            qs = quality_batch(col)
+            out["n_chars_calc"] = pa.array(qs["n_chars"].astype("int64"), pa.int64())
+            out["n_tokens"] = pa.array(qs["n_tokens"].astype("int64"), pa.int64())
             for c in ("punct_ratio", "digit_ratio", "upper_ratio", "avg_token_len"):
-                out[c] = pa.array([q[c] for q in qs], pa.float64())
+                out[c] = pa.array(qs[c], pa.float64())
         if self.lang:
-            out["lang_pred"] = pa.array([detect_lang(t or "") for t in texts], pa.string())
+            out["lang_pred"] = pa.array(langid_batch(col), pa.string())
         if self.fingerprints:
+            texts = col.to_pylist()
             out["fingerprint_md5"] = pa.array(
                 [md5_fingerprint(t or "") for t in texts], pa.string()
             )
@@ -65,7 +69,7 @@ class TextFeatures:
                 [rolling_fingerprint(t or "") for t in texts], pa.int64()
             )
         if self.simhash:
-            out["simhash"] = pa.array([simhash64(t or "") for t in texts], pa.int64())
+            out["simhash"] = pa.array(simhash_batch(col, self._token_cache), pa.int64())
         return pa.table(out)
 
 
@@ -87,14 +91,15 @@ def text_features(
 
 
 def token_count_table(ds: ray.data.Dataset, id_col: str, text_col: str = "text") -> ray.data.Dataset:
-    """Minimal projection: (id, token_count) with python str.split semantics."""
+    """Minimal projection: (id, token_count) with python str.split semantics
+    (columnar split — non-empty token slots counted, no per-doc loop)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
+        _, _, n_tok = _flat_tokens(batch.column(text_col))
         return pa.table(
             {
                 id_col: batch.column(id_col),
-                "token_count": pa.array([len(ws_tokens(t or "")) for t in texts], pa.int64()),
+                "token_count": pa.array(n_tok, pa.int64()),
             }
         )
 

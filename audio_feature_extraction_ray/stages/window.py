@@ -241,15 +241,19 @@ def sessionize(
         tsv = tsv[order]
         gaps = np.diff(tsv, prepend=tsv[0] if len(tsv) else 0)
         sess = np.cumsum(gaps > gap_us).astype(np.int64)
-        keep = np.ones(len(tsv), dtype=bool)
-        if min_events > 1 or min_duration_us > 0:
-            for s in np.unique(sess):
-                m = sess == s
-                dur = tsv[m].max() - tsv[m].min() if m.any() else 0
-                if m.sum() < min_events or dur < min_duration_us:
-                    keep[m] = False
         out = group.append_column("session_id", pa.array(sess, pa.int64()))
-        return out.filter(pa.array(keep)) if not keep.all() else out
+        if (min_events > 1 or min_duration_us > 0) and len(tsv):
+            # sessions are contiguous runs of the (sorted) time axis —
+            # per-run length/duration via run boundaries, no per-session loop
+            starts = np.flatnonzero(np.concatenate(([True], np.diff(sess) != 0)))
+            counts = np.diff(np.append(starts, len(sess)))
+            ends = starts + counts - 1
+            durs = tsv[ends] - tsv[starts]
+            ok_runs = (counts >= min_events) & (durs >= min_duration_us)
+            keep = np.repeat(ok_runs, counts)
+            if not keep.all():
+                return out.filter(pa.array(keep))
+        return out
 
     out = ds.groupby(key).map_groups(per_group, batch_format="pyarrow")
     return out.map_batches(

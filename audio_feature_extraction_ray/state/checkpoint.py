@@ -33,7 +33,6 @@ import json
 import os
 import time
 import uuid
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -43,27 +42,53 @@ import ray.data
 
 
 def _partition_of(col: pa.ChunkedArray | pa.Array, n_partitions: int) -> np.ndarray:
-    """Deterministic hash partition of a key column (crc32 of utf-8/bytes)."""
-    vals = col.to_pylist()
-    return np.array(
-        [zlib.crc32(str(v).encode("utf-8")) % n_partitions for v in vals], dtype=np.int32
+    """Deterministic hash partition of a key column.
+
+    Vectorized FNV-1a over each key's decimal/utf-8 string bytes — explicit
+    arithmetic (no library row-hash) so partition assignment is stable across
+    processes AND library versions, which exact resume depends on. The only
+    Python-level loop is over the MAX KEY LENGTH (≈10–20 iterations), never
+    over rows.
+    """
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    s = pa.compute.cast(arr, pa.large_string())
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    off = np.frombuffer(s.buffers()[1], dtype=np.int64)[s.offset : s.offset + n + 1]
+    data = (
+        np.frombuffer(s.buffers()[2], dtype=np.uint8)
+        if s.buffers()[2] is not None
+        else np.empty(0, np.uint8)
     )
+    lens = np.diff(off)
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    P = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(int(lens.max()) if n else 0):
+            active = lens > j
+            b = data[off[:-1][active] + j].astype(np.uint64)
+            h[active] = (h[active] ^ b) * P
+    return (h % np.uint64(n_partitions)).astype(np.int32)
 
 
 def _content_hash(table: pa.Table, sort_keys: list[str]) -> str:
-    """Order-insensitive content digest: canonical sort, then row digests."""
+    """Order-insensitive content digest: canonical sort, then sha256 of the
+    Arrow IPC stream bytes (columnar — no python value materialization)."""
     if table.num_rows == 0:
         return "empty"
     idx = pa.compute.sort_indices(
         table, sort_keys=[(k, "ascending") for k in sort_keys if k in table.column_names]
     )
-    t = table.take(idx)
-    h = hashlib.sha256()
-    for batch in t.to_batches():
-        for col in sorted(t.column_names):
-            arr = batch.column(batch.schema.get_field_index(col))
-            h.update(str(arr.to_pylist()).encode("utf-8"))
-    return h.hexdigest()
+    t = table.take(idx).select(sorted(table.column_names)).combine_chunks()
+    import io
+
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return hashlib.sha256(sink.getvalue()).hexdigest()
 
 
 class _PartitionWriter:
@@ -152,20 +177,50 @@ def write_partitioned_resumable(
     return manifest
 
 
-def read_partitioned(out_dir: str) -> "ray.data.Dataset":
+def read_partitioned(out_dir: str, validate_key: str | None = None) -> "ray.data.Dataset":
     """Read a resumable-partitioned output with ONE block per partition file,
     preserving the entity-partitioning contract (every entity's rows in one
     block) so downstream window ops may use ``assume_partitioned=True``.
 
-    Plain ``read_parquet`` may split a file into several blocks mid-entity —
-    this reader pins block count to file count.
+    ``override_num_blocks`` pins the READ task count to the file count, but
+    Ray Data's dynamic block splitting may still split a large file's output
+    mid-entity (silently breaking the contract once partition files exceed
+    the target block size). Pass ``validate_key`` to VERIFY the invariant
+    instead of trusting it: a streaming per-block distinct-key scan asserts
+    no key occupies more than one block and raises otherwise — callers then
+    fall back to the ``groupby`` shuffle path (``assume_partitioned=False``).
+    The check moves one row per (block, distinct key) to the driver — bounded
+    by entity count, never row count.
     """
     import glob as _glob
 
     files = sorted(_glob.glob(os.path.join(out_dir, "part-*.parquet")))
     if not files:
         raise FileNotFoundError(f"no part-*.parquet under {out_dir}")
-    return ray.data.read_parquet(files, override_num_blocks=len(files))
+    ds = ray.data.read_parquet(files, override_num_blocks=len(files))
+    if validate_key is not None:
+        import uuid as _uuid
+
+        def block_keys(block: pa.Table) -> pa.Table:
+            bid = _uuid.uuid4().hex  # one id per physical block
+            uniq = pa.compute.unique(block.column(validate_key))
+            return pa.table(
+                {"__key": uniq, "__block": pa.array([bid] * len(uniq), pa.string())}
+            )
+
+        per_block = ds.map_batches(
+            block_keys, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+        seen: dict = {}
+        for batch in per_block.iter_batches(batch_format="pyarrow", batch_size=None):
+            for k, b in zip(batch.column("__key").to_pylist(), batch.column("__block").to_pylist()):
+                if seen.setdefault(k, b) != b:
+                    raise ValueError(
+                        f"entity-locality violated: key {k!r} spans multiple blocks "
+                        f"(dynamic block splitting?) — use the shuffle path "
+                        f"(assume_partitioned=False) for this input"
+                    )
+    return ds
 
 
 def read_manifest(out_dir: str) -> list[dict]:
