@@ -1084,6 +1084,241 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) =
 """
 
 
+def q_interp_events(sf_dir: str):
+    """F4 recast: linear time-axis interpolation of interior gaps in the
+    per-user purchase-value timeline (the reference's CubicSpline F0 gap
+    fill, recast linear so a SQL oracle can replay it)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def project(t: pa.Table) -> pa.Table:
+        v = pc.if_else(pc.equal(t.column("event_type"), "purchase"),
+                       t.column("value"), pa.nulls(t.num_rows, pa.float64()))
+        return pa.table(
+            {"event_id": t.column("event_id"), "user_id": t.column("user_id"),
+             "ts": t.column("ts"), "v_purchase": v}
+        )
+
+    proj = ev.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    out = window_features(proj, key="user_id", ts="ts", value_cols=[], lags=(), leads=(),
+                          deltas=False, interp_cols=["v_purchase"], tiebreak="event_id")
+    return _round_cols(
+        out.select_columns(["event_id", "user_id", "ts", "v_purchase_interp"]),
+        ["v_purchase_interp"], digits=6,
+    )
+
+
+SQL_INTERP_EVENTS = """
+WITH b AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'purchase' THEN value END AS v
+  FROM events
+), d AS (
+  SELECT event_id, user_id, ts, v,
+         last_value(v IGNORE NULLS) OVER w AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS) OVER w AS pt,
+         first_value(v IGNORE NULLS) OVER w2 AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS) OVER w2 AS nt
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING),
+         w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, ts,
+       ROUND(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NULL OR nv IS NULL THEN NULL
+                  WHEN epoch_us(nt) = epoch_us(pt) THEN pv
+                  ELSE pv + (nv - pv) * ((epoch_us(ts) - epoch_us(pt)) * 1.0
+                                         / (epoch_us(nt) - epoch_us(pt)))
+             END, 6) AS v_purchase_interp
+FROM d
+"""
+
+
+def q_approx_percentiles_events(sf_dir: str):
+    """A4 sketch slot: t-digest approximate percentiles — no global sort
+    (rows-only gate; tolerance vs the exact path is pinned in pytest)."""
+    from ..stages.aggregates import approx_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+    p25, p50, p75 = approx_quantiles(ds, "value", [0.25, 0.5, 0.75])
+    return _one_row(
+        {"p25": _round6_scalar(p25), "p50": _round6_scalar(p50), "p75": _round6_scalar(p75)}
+    )
+
+
+def q_alignment_report_events(sf_dir: str):
+    """A7 grouped alignment report, SQL-replayable form: as-of pair every
+    click with its latest purchase per user, score per-user offset RMSE and
+    within-tolerance rates, roll up per user-cohort with %-meeting-standards
+    (the reference's per-group alignment deliverable,
+    05_dtw_alignment_experiment/dtw_alignment.py:1504-1567).
+
+    All cohort aggregates are derived from INTEGER partials (second-floored
+    offsets), so sums are order-independent and exact on both engines.
+    """
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'") \
+        .select_columns(["event_id", "user_id", "ts"])
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+        .select_columns(["user_id", "ts"]) \
+        .map_batches(lambda t: t.append_column("r_ts", t.column("ts")).drop_columns(["ts"]),
+                     batch_format="pyarrow")
+    paired = asof_join(clicks, purchases, on="user_id", left_ts="ts", right_ts="r_ts",
+                       value_cols=[], suffix="", matched_ts_col="matched_ts")
+
+    TOL_S = 7200  # pairs within 2 h meet the correspondence standard
+
+    def offsets(t: pa.Table) -> pa.Table:
+        lts = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        mts = t.column("matched_ts").cast(pa.timestamp("us")).cast(pa.int64())
+        off_s = pc.divide(pc.subtract(lts, mts), 1_000_000)  # floor for >=0 ints
+        matched = pc.is_valid(t.column("matched_ts"))
+        within = pc.and_(matched, pc.less_equal(off_s, TOL_S))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "matched": pc.cast(matched, pa.int64()),
+                "within": pc.cast(pc.fill_null(within, False), pa.int64()),
+                "sq_s": pc.cast(
+                    pc.if_else(matched, pc.multiply(off_s, off_s), pa.scalar(0, pa.int64())),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    per_user = grouped_agg_fast(
+        paired.map_batches(offsets, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id"],
+        specs=[("n_matched", "matched", "sum"), ("n_within", "within", "sum"),
+               ("sum_sq", "sq_s", "sum")],
+        count_alias="n_clicks",
+    )
+
+    def to_cohort(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        nc = t.column("n_clicks").to_numpy(zero_copy_only=False).astype(np.float64)
+        nw = t.column("n_within").to_numpy(zero_copy_only=False).astype(np.float64)
+        meets = (nw / np.maximum(nc, 1)) >= 0.95
+        return pa.table(
+            {
+                "cohort": pa.array(uid % 10, pa.int64()),
+                "n_clicks": t.column("n_clicks"),
+                "n_matched": t.column("n_matched"),
+                "sum_sq": t.column("sum_sq"),
+                "meets": pa.array(meets.astype(np.float64), pa.float64()),
+            }
+        )
+
+    cohorts = grouped_agg_fast(
+        per_user.map_batches(to_cohort, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["cohort"],
+        specs=[("n_pairs", "n_matched", "sum"), ("sum_sq", "sum_sq", "sum"),
+               ("pct_users_meeting", "meets", "mean")],
+        count_alias="n_users",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sq = t.column("sum_sq").to_numpy(zero_copy_only=False).astype(np.float64)
+        npairs = t.column("n_pairs").to_numpy(zero_copy_only=False).astype(np.float64)
+        rmse = np.sqrt(sq / np.maximum(npairs, 1))
+        return pa.table(
+            {
+                "cohort": t.column("cohort"),
+                "n_users": t.column("n_users"),
+                "n_pairs": t.column("n_pairs"),
+                "rmse_s": pa.array(_round6(rmse), pa.float64()),
+                "pct_users_meeting": t.column("pct_users_meeting"),
+            }
+        )
+
+    return _round_cols(
+        cohorts.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
+        ["pct_users_meeting"], digits=6,
+    )
+
+
+SQL_ALIGNMENT_REPORT_EVENTS = """
+WITH pairs AS (
+  SELECT c.user_id, c.ts,
+         (epoch_us(c.ts) - epoch_us(p.r_ts)) // 1000000 AS off_s
+  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ASOF LEFT JOIN (SELECT user_id, ts AS r_ts FROM events WHERE event_type = 'purchase') p
+    ON c.user_id = p.user_id AND c.ts >= p.r_ts
+), per_user AS (
+  SELECT user_id,
+         COUNT(*) AS n_clicks,
+         COUNT(off_s) AS n_matched,
+         CAST(SUM(CASE WHEN off_s IS NOT NULL AND off_s <= 7200 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_within,
+         CAST(COALESCE(SUM(off_s * off_s), 0) AS BIGINT) AS sum_sq
+  FROM pairs GROUP BY user_id
+)
+SELECT user_id % 10 AS cohort,
+       COUNT(*) AS n_users,
+       CAST(SUM(n_matched) AS BIGINT) AS n_pairs,
+       ROUND(SQRT(CAST(SUM(sum_sq) AS DOUBLE) / GREATEST(CAST(SUM(n_matched) AS DOUBLE), 1)), 6)
+         AS rmse_s,
+       ROUND(AVG(CASE WHEN n_within * 1.0 / GREATEST(n_clicks, 1) >= 0.95
+                      THEN 1.0 ELSE 0.0 END), 6) AS pct_users_meeting
+FROM per_user GROUP BY 1
+"""
+
+
+def q_align_report(sf_dir: str):
+    """A7 literal recast (rows-only): DTW-align teacher/student image pairs,
+    roll up per pair-cohort with %-meeting the reference's acceptance
+    standards (RMSE <= 200 ms, correspondence >= 95% within ±250 ms)."""
+    from ..sources.images import synth_images
+    from ..stages.align import align_pairs, alignment_report
+    from ..stages.features import feature_stage
+
+    n = max(20, int(600 * _sf_of(sf_dir)))
+    feats = feature_stage(synth_images(n), features=("embedding",)) \
+        .filter(expr="status == 'ok'")
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        eids = [int(i[3:]) for i in ids]
+        pair = pa.array([f"pair{e // 2:06d}" for e in eids], pa.string())
+        role = pa.array(["teacher" if e % 2 == 0 else "student" for e in eids], pa.string())
+        return t.append_column("pair", pair).append_column("role", role)
+
+    tagged = feats.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = align_pairs(tagged, pair_col="pair", role_col="role", ts_col="ts",
+                        emb_col="embedding")
+
+    def re_cohort(t: pa.Table) -> pa.Table:
+        ids = [int(p[4:]) for p in t.column("pair").to_pylist()]
+        return t.append_column("cohort", pa.array([i % 5 for i in ids], pa.int64()))
+
+    with_cohort = pairs.map_batches(re_cohort, batch_format="pyarrow", zero_copy_batch=True)
+    return alignment_report(with_cohort, group_col="cohort").sort("cohort")
+
+
+def q_pairwise_quality_images(sf_dir: str):
+    """Q6 pairwise quality after pairing (rows-only): PSNR between each
+    teacher/student pair's mean embeddings, bucketed into ratings — the
+    reference's PESQ/STOI pairwise assessment recast."""
+    from ..sources.images import synth_images
+    from ..stages.align import pairwise_quality
+    from ..stages.features import feature_stage
+
+    n = max(20, int(600 * _sf_of(sf_dir)))
+    feats = feature_stage(synth_images(n), features=("embedding",)) \
+        .filter(expr="status == 'ok'")
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        eids = [int(i[3:]) for i in ids]
+        pair = pa.array([f"pair{e // 2:06d}" for e in eids], pa.string())
+        role = pa.array(["teacher" if e % 2 == 0 else "student" for e in eids], pa.string())
+        return t.append_column("pair", pair).append_column("role", role)
+
+    tagged = feats.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    out = pairwise_quality(tagged, pair_col="pair", role_col="role", emb_col="embedding")
+    return _round_cols(out, ["psnr_db"], digits=4).sort("pair")
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1127,6 +1362,11 @@ QUERIES = {
     "argmax_events": (q_argmax_events, SQL_ARGMAX_EVENTS),
     "sample_lineitem": (q_sample_lineitem, SQL_SAMPLE_LINEITEM),
     "hash_split_documents": (q_hash_split_documents, SQL_HASH_SPLIT_DOCUMENTS),
+    "interp_events": (q_interp_events, SQL_INTERP_EVENTS),
+    "approx_percentiles_events": (q_approx_percentiles_events, None),
+    "alignment_report_events": (q_alignment_report_events, SQL_ALIGNMENT_REPORT_EVENTS),
+    "align_report": (q_align_report, None),
+    "pairwise_quality_images": (q_pairwise_quality_images, None),
     "preprocess_images": (q_preprocess_images, None),
     "evaluation_report": (q_evaluation_report, None),
     "neardup_embeddings": (q_neardup_embeddings, SQL_NEARDUP_EMBEDDINGS),

@@ -176,6 +176,81 @@ def grouped_agg_fast(
     return bucketed.groupby("__bucket").map_groups(phase2, batch_format="pyarrow")
 
 
+def _tdigest_compress(
+    means: np.ndarray, weights: np.ndarray, compression: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Compress weighted centroids to ≲``compression`` clusters with the
+    t-digest k1 scale (arcsin) — tails stay fine-grained, the middle merges.
+    Fully vectorized (sort + reduceat); never loops over samples."""
+    order = np.argsort(means, kind="stable")
+    m, w = means[order], weights[order]
+    total = float(w.sum())
+    if len(m) <= max(compression // 2, 8) or total <= 0:
+        return m, w
+    q = np.clip((np.cumsum(w) - w / 2) / total, 1e-12, 1 - 1e-12)
+    k = compression / (2 * np.pi) * np.arcsin(2 * q - 1)
+    bins = np.floor(k).astype(np.int64)
+    starts = np.flatnonzero(np.concatenate(([True], bins[1:] != bins[:-1])))
+    gw = np.add.reduceat(w, starts)
+    gm = np.add.reduceat(m * w, starts) / gw
+    return gm, gw
+
+
+def approx_quantiles(
+    ds: ray.data.Dataset, col: str, qs: list[float], compression: int = 300
+) -> list[float]:
+    """Approximate quantiles via a mergeable t-digest sketch (SURVEY §2.6 A4
+    sketch slot) — the 100 TB path where :func:`exact_quantiles`' global
+    value-sort is a scale-killer.
+
+    Map side: each block compresses its values to ≤``compression`` weighted
+    centroids (vectorized k1-scale binning). Only centroid rows — bounded by
+    #blocks × compression, never by row count — leave the workers; the
+    driver merges them with the same compressor and interpolates at the
+    target ranks (clamped to the exact global min/max, which the sketch
+    carries losslessly). Accuracy ~O(1/compression²) at the tails; see
+    tests for the tolerance pin vs the exact gate.
+    """
+
+    def sketch(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table({"m": pa.array([], pa.float64()), "w": pa.array([], pa.float64())})
+        m, w = _tdigest_compress(np.sort(v), np.ones(len(v)), compression)
+        return pa.table({"m": pa.array(m, pa.float64()), "w": pa.array(w, pa.float64())})
+
+    parts = list(
+        ds.select_columns([col])
+        .map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    if not parts:
+        return [float("nan")] * len(qs)
+    allc = pa.concat_tables(parts)
+    m = allc.column("m").to_numpy(zero_copy_only=False)
+    w = allc.column("w").to_numpy(zero_copy_only=False)
+    if len(m) == 0:
+        return [float("nan")] * len(qs)
+    vmin, vmax = float(m.min()), float(m.max())  # extreme centroids are exact sing,
+    # since the k1 scale always isolates the first/last sample at high weight totals
+    m, w = _tdigest_compress(m, w, compression)
+    total = float(w.sum())
+    mid = np.cumsum(w) - w / 2
+    out = []
+    for q in qs:
+        r = q * total
+        j = int(np.searchsorted(mid, r))
+        if j == 0:
+            out.append(float(max(m[0], vmin)) if q > 0 else vmin)
+        elif j >= len(m):
+            out.append(float(min(m[-1], vmax)) if q < 1 else vmax)
+        else:
+            frac = (r - mid[j - 1]) / max(mid[j] - mid[j - 1], 1e-12)
+            out.append(float(m[j - 1] + (m[j] - m[j - 1]) * frac))
+    return out
+
+
 def exact_quantiles(ds: ray.data.Dataset, col: str, qs: list[float]) -> list[float]:
     """Exact quantiles with linear interpolation (SQL ``quantile_cont``).
 

@@ -103,6 +103,87 @@ def evaluate_alignment(
     }
 
 
+def _project_band(
+    coarse_path: list[tuple[int, int]], t1: int, t2: int, factor: int, radius: int
+) -> np.ndarray:
+    """Project a coarse-resolution DTW path to fine resolution: per fine row i,
+    the [j_lo, j_hi] window the refined DP may visit (coarse cell ± radius,
+    reference's multi-scale projection, 05/dtw_alignment.py:669-701)."""
+    lo = np.full(t1, t2, dtype=np.int64)
+    hi = np.full(t1, -1, dtype=np.int64)
+    for ci, cj in coarse_path:
+        i0, i1 = ci * factor, min((ci + 1) * factor, t1)
+        j0 = max(0, (cj - radius) * factor)
+        j1 = min(t2 - 1, (cj + 1 + radius) * factor - 1)
+        lo[i0:i1] = np.minimum(lo[i0:i1], j0)
+        hi[i0:i1] = np.maximum(hi[i0:i1], j1)
+    # fill any rows the coarse path skipped (t1 not divisible by factor)
+    lo = np.minimum.accumulate(lo[::-1])[::-1]
+    hi = np.maximum.accumulate(hi)
+    lo = np.clip(lo, 0, t2 - 1)
+    hi = np.clip(hi, 0, t2 - 1)
+    return np.stack([lo, hi], axis=1)
+
+
+def dtw_align_multiscale(
+    a: np.ndarray,
+    b: np.ndarray,
+    factor: int = 4,
+    min_size: int = 64,
+    band_frac: float = 0.2,
+    radius: int = 2,
+) -> list[tuple[int, int]]:
+    """Coarse-to-fine banded DTW (the reference's multi-scale alignment,
+    05/dtw_alignment.py:669-701): recursively align ``factor``-downsampled
+    sequences, then refine inside a tube around the projected coarse path.
+    O(T·factor·radius) instead of O(T·band) per level — the long-sequence
+    path; falls back to :func:`dtw_align` below ``min_size``.
+    """
+    t1, t2 = len(a), len(b)
+    if t1 <= min_size or t2 <= min_size:
+        return dtw_align(a, b, band_frac)
+    coarse = dtw_align_multiscale(a[::factor], b[::factor], factor, min_size, band_frac, radius)
+    if not coarse:
+        return dtw_align(a, b, band_frac)
+    win = _project_band(coarse, t1, t2, factor, radius)
+    inf = np.inf
+    acc = np.full((t1 + 1, t2 + 1), inf)
+    acc[0, 0] = 0.0
+    for i in range(1, t1 + 1):
+        j_lo, j_hi = int(win[i - 1, 0]) + 1, int(win[i - 1, 1]) + 1
+        costs = np.linalg.norm(a[i - 1][None, :] - b[j_lo - 1 : j_hi], axis=1)
+        for idx, j in enumerate(range(j_lo, j_hi + 1)):
+            best_prev = min(acc[i - 1, j], acc[i, j - 1], acc[i - 1, j - 1])
+            acc[i, j] = costs[idx] + best_prev
+    path = []
+    i, j = t1, t2
+    if not np.isfinite(acc[i, j]):
+        j = int(np.argmin(acc[t1, 1:]) + 1)
+    while i > 0 and j > 0:
+        path.append((i - 1, j - 1))
+        moves = [(acc[i - 1, j - 1], i - 1, j - 1), (acc[i - 1, j], i - 1, j),
+                 (acc[i, j - 1], i, j - 1)]
+        _, i, j = min(moves, key=lambda m: m[0])
+    path.reverse()
+    return path
+
+
+def smooth_path(path: list[tuple[int, int]], width: int = 3) -> list[tuple[int, int]]:
+    """Median-smooth the path's j-axis then re-enforce monotonicity — the
+    reference's path post-processing (05/dtw_alignment.py:789-849, monotonic
+    enforcement :1087-1088). Keeps endpoints fixed."""
+    if len(path) <= width:
+        return path
+    js = np.array([j for _, j in path], dtype=np.int64)
+    half = width // 2
+    sm = js.copy()
+    for k in range(half, len(js) - half):
+        sm[k] = np.median(js[k - half : k + half + 1])
+    np.maximum.accumulate(sm, out=sm)  # monotone non-decreasing
+    sm[0], sm[-1] = js[0], js[-1]
+    return [(i, int(j)) for (i, _), j in zip(path, sm)]
+
+
 def align_pairs(
     ds: ray.data.Dataset,
     pair_col: str,
@@ -111,6 +192,8 @@ def align_pairs(
     emb_col: str,
     band_frac: float = 0.2,
     roles: tuple[str, str] = ("teacher", "student"),
+    multiscale: bool = False,
+    smooth: bool = False,
 ) -> ray.data.Dataset:
     """Distributed pairwise DTW: one row per pair with alignment scores.
 
@@ -167,7 +250,12 @@ def align_pairs(
                 },
                 schema=out_schema,
             )
-        path = dtw_align(a_mat, b_mat, band_frac)
+        if multiscale:
+            path = dtw_align_multiscale(a_mat, b_mat, band_frac=band_frac)
+        else:
+            path = dtw_align(a_mat, b_mat, band_frac)
+        if smooth:
+            path = smooth_path(path)
         ev = evaluate_alignment(path, a_ts, b_ts)
         return pa.table(
             {
@@ -176,6 +264,139 @@ def align_pairs(
                 "path_len": [ev["path_len"]], "meets_rmse": [ev["meets_rmse"]],
                 "meets_correspondence": [ev["meets_correspondence"]],
             },
+            schema=out_schema,
+        )
+
+    return ds.groupby(pair_col).map_groups(per_pair, batch_format="pyarrow")
+
+
+def alignment_report(
+    pairs: ray.data.Dataset,
+    group_col: str,
+    pair_col: str = "pair",
+) -> ray.data.Dataset:
+    """A7: grouped alignment report over :func:`align_pairs` output — per-group
+    pair counts, mean RMSE / correspondence, and %-meeting-standards (the
+    reference's per-group deliverable, 05/dtw_alignment.py:1504-1567).
+
+    Runs as a map-side combine + small groupby (``grouped_agg_fast``); only
+    per-group partials shuffle. Float means are rounded to 6 decimals for
+    run-to-run determinism.
+    """
+    import pyarrow.compute as pc
+
+    from .aggregates import grouped_agg_fast
+
+    def flags(t: pa.Table) -> pa.Table:
+        ok = pc.equal(t.column("status"), "ok")
+        okf = pc.cast(ok, pa.float64())
+        both = pc.and_kleene(
+            pc.fill_null(t.column("meets_rmse"), False),
+            pc.fill_null(t.column("meets_correspondence"), False),
+        )
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                "is_ok": okf,
+                "rmse_ms": pc.if_else(ok, t.column("rmse_ms"), pa.nulls(t.num_rows, pa.float64())),
+                "correspondence": pc.if_else(
+                    ok, t.column("correspondence"), pa.nulls(t.num_rows, pa.float64())
+                ),
+                "f_meets_rmse": pc.cast(pc.fill_null(t.column("meets_rmse"), False), pa.float64()),
+                "f_meets_corr": pc.cast(
+                    pc.fill_null(t.column("meets_correspondence"), False), pa.float64()
+                ),
+                "f_meets_both": pc.cast(both, pa.float64()),
+            }
+        )
+
+    agg = grouped_agg_fast(
+        pairs.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True),
+        keys=[group_col],
+        specs=[
+            ("n_ok", "is_ok", "sum"),
+            ("mean_rmse_ms", "rmse_ms", "mean"),
+            ("mean_correspondence", "correspondence", "mean"),
+            ("pct_meets_rmse", "f_meets_rmse", "mean"),
+            ("pct_meets_correspondence", "f_meets_corr", "mean"),
+            ("pct_meets_both", "f_meets_both", "mean"),
+        ],
+        count_alias="n_pairs",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        out = {n: t.column(n) for n in t.column_names}
+        out["n_ok"] = t.column("n_ok").cast(pa.int64())
+        for c in ("mean_rmse_ms", "mean_correspondence", "pct_meets_rmse",
+                  "pct_meets_correspondence", "pct_meets_both"):
+            arr = t.column(c).cast(pa.float64()).to_numpy(zero_copy_only=False)
+            scale = 1e6
+            r = _np.where(_np.isnan(arr), _np.nan,
+                          _np.where(arr >= 0, _np.floor(arr * scale + 0.5),
+                                    _np.ceil(arr * scale - 0.5)) / scale)
+            out[c] = pa.array(r, pa.float64(), from_pandas=True)
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pairwise_quality(
+    ds: ray.data.Dataset,
+    pair_col: str,
+    role_col: str,
+    emb_col: str,
+    roles: tuple[str, str] = ("teacher", "student"),
+    peak: float = 1.0,
+) -> ray.data.Dataset:
+    """Q6: pairwise quality scoring after pairing — PSNR between the two
+    roles' mean feature vectors per pair, bucketed into a rating (the
+    reference's PESQ/STOI pairwise assessment recast,
+    00_audio_data_collection_experiment/audio_quality_assessment.py:118-281;
+    rating thresholds follow its excellent/good/poor buckets).
+    """
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema(
+        [
+            pa.field(pair_col, pa.string()),
+            pa.field("status", pa.string()),
+            pa.field("psnr_db", pa.float64()),
+            pa.field("rating", pa.string()),
+        ]
+    )
+
+    def _mean_vec(group: pa.Table, role: str) -> np.ndarray | None:
+        part = group.filter(pc.equal(group.column(role_col), role))
+        if part.num_rows == 0:
+            return None
+        emb = part.column(emb_col)
+        emb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+        if pa.types.is_fixed_size_list(emb.type):
+            mat = emb.flatten().to_numpy(zero_copy_only=False).reshape(
+                -1, emb.type.list_size
+            ).astype(np.float64)
+        else:
+            mat = np.array(emb.to_pylist(), dtype=np.float64)
+        return mat.mean(axis=0)
+
+    def per_pair(group: pa.Table) -> pa.Table:
+        pid = group.column(pair_col)[0].as_py()
+        va = _mean_vec(group, roles[0])
+        vb = _mean_vec(group, roles[1])
+        if va is None or vb is None:
+            return pa.table(
+                {pair_col: [pid], "status": ["missing_counterpart"],
+                 "psnr_db": [None], "rating": [None]},
+                schema=out_schema,
+            )
+        mse = float(np.mean((va - vb) ** 2))
+        psnr = float("inf") if mse == 0 else 10.0 * np.log10(peak * peak / mse)
+        rating = "excellent" if psnr >= 40 else ("good" if psnr >= 30 else "poor")
+        return pa.table(
+            {pair_col: [pid], "status": ["ok"],
+             "psnr_db": [min(psnr, 99.0)], "rating": [rating]},
             schema=out_schema,
         )
 

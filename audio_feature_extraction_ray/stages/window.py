@@ -73,6 +73,42 @@ def _bfill(x: np.ndarray) -> np.ndarray:
     return _ffill(x[::-1])[::-1]
 
 
+def _interp_time(x: np.ndarray, tsv: np.ndarray) -> np.ndarray:
+    """Linear interpolation of interior null gaps over the TIME axis (the
+    reference's CubicSpline F0 gap fill recast linear, F4 —
+    04_feature_extraction_experiment/audio_feature_extraction 2/
+    audio_feature_extraction/feature_extractor.py:224-232). Non-null rows
+    keep their value; leading/trailing nulls (no bracketing sample) stay
+    null."""
+    valid = ~np.isnan(x)
+    out = x.copy()
+    if valid.sum() < 1:
+        return out
+    n = len(x)
+    idx = np.arange(n)
+    prev_i = np.where(valid, idx, 0)
+    np.maximum.accumulate(prev_i, out=prev_i)
+    has_prev = np.zeros(n, dtype=bool)
+    first = int(np.argmax(valid))
+    has_prev[first:] = True
+    next_i = np.where(valid[::-1], idx, 0)
+    np.maximum.accumulate(next_i, out=next_i)
+    next_i = (n - 1) - next_i[::-1]
+    has_next = np.zeros(n, dtype=bool)
+    last = n - 1 - int(np.argmax(valid[::-1]))
+    has_next[: last + 1] = True
+    gap = ~valid & has_prev & has_next
+    if gap.any():
+        pv, nv = x[prev_i[gap]], x[next_i[gap]]
+        pt = tsv[prev_i[gap]].astype(np.float64)
+        nt = tsv[next_i[gap]].astype(np.float64)
+        t = tsv[gap].astype(np.float64)
+        dt = nt - pt
+        frac = np.where(dt > 0, (t - pt) / np.maximum(dt, 1.0), 0.0)
+        out[gap] = pv + (nv - pv) * frac
+    return out
+
+
 def window_features(
     ds: ray.data.Dataset,
     key: str,
@@ -82,6 +118,7 @@ def window_features(
     leads: tuple[int, ...] = (1,),
     deltas: bool = True,
     fill_cols: list[str] | None = None,
+    interp_cols: list[str] | None = None,
     session_gap_us: int | None = None,
     tiebreak: str | None = None,
     assume_partitioned: bool = False,
@@ -106,6 +143,7 @@ def window_features(
     (SURVEY.md §7.5); the caller owns the partitioning guarantee.
     """
     fill_cols = fill_cols or []
+    interp_cols = interp_cols or []
     ds, schema = arrow_schema_of(ds)
     fields = list(zip(schema.names, schema.types))
     out_fields = [pa.field(n, t) for n, t in fields]
@@ -120,6 +158,8 @@ def window_features(
     for c in fill_cols:
         out_fields.append(pa.field(f"{c}_ffill", pa.float64()))
         out_fields.append(pa.field(f"{c}_bfill", pa.float64()))
+    for c in interp_cols:
+        out_fields.append(pa.field(f"{c}_interp", pa.float64()))
     for c, k in (rolling or {}).items():
         out_fields.append(pa.field(f"{c}_rollmean_{k}", pa.float64()))
     for c, w in (rolling_time_us or {}).items():
@@ -152,6 +192,9 @@ def window_features(
             x = _f64(group.column(c))
             cols[f"{c}_ffill"] = pa.array(_ffill(x.copy()), pa.float64())
             cols[f"{c}_bfill"] = pa.array(_bfill(x.copy()), pa.float64())
+        for c in interp_cols:
+            x = _f64(group.column(c))
+            cols[f"{c}_interp"] = pa.array(_interp_time(x, tsv), pa.float64())
         for c, k in (rolling or {}).items():
             # trailing k-row mean ignoring nulls (SQL AVG OVER ROWS k-1
             # PRECEDING AND CURRENT ROW), via prefix sums — O(n) per group

@@ -177,6 +177,67 @@ def write_partitioned_resumable(
     return manifest
 
 
+def write_value_partitioned_resumable(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    category_col: str,
+    sort_keys: list[str] | None = None,
+    fail_categories: tuple[str, ...] = (),
+) -> pa.Table:
+    """K3 per-group splits: one output file PER CATEGORY VALUE (the
+    reference's per-category CSV exports,
+    04_feature_extraction_experiment/feature_extractor.py:747-787), with the
+    same atomic-commit + skip-on-resume manifest protocol as the hash-
+    partitioned writer.
+
+    Partition id = stable hash of the category value; the manifest row also
+    records the category value itself, and the data file is named after it
+    (``cat-<value>.parquet``, sanitized). Unknown/unbounded category
+    cardinality is the caller's risk — each distinct value is one file, the
+    natural layout when a downstream consumer reads one category at a time.
+    """
+    sort_keys = sort_keys or [category_col]
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    fail = set(str(v) for v in fail_categories)
+
+    def write_group(group: pa.Table) -> pa.Table:
+        val = group.column(category_col)[0].as_py()
+        safe = "".join(ch if ch.isalnum() or ch in "-_." else "_" for ch in str(val))[:80]
+        pid = int(_partition_of(pa.array([str(val)]), 1 << 30)[0])
+        marker = os.path.join(out_dir, "_manifest", f"cat-{safe}.json")
+        t0 = time.time()
+        if os.path.exists(marker):
+            with open(marker) as f:
+                row = json.load(f)
+            row["skipped"] = True
+            return pa.Table.from_pylist([row])
+        if str(val) in fail:
+            raise RuntimeError(f"injected failure for category {val!r}")
+        path = os.path.join(out_dir, f"cat-{safe}.parquet")
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(group, tmp)
+        os.replace(tmp, path)
+        row = {
+            "partition_id": pid,
+            "category": str(val),
+            "rows": group.num_rows,
+            "content_hash": _content_hash(group, sort_keys),
+            "path": path,
+            "write_seconds": round(time.time() - t0, 4),
+            "rows_per_sec": round(group.num_rows / max(time.time() - t0, 1e-9), 1),
+            "skipped": False,
+        }
+        mtmp = f"{marker}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(mtmp, "w") as f:
+            json.dump(row, f)
+        os.replace(mtmp, marker)
+        return pa.Table.from_pylist([row])
+
+    manifest_ds = ds.groupby(category_col).map_groups(write_group, batch_format="pyarrow")
+    tables = list(manifest_ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(tables) if tables else None
+
+
 def read_partitioned(out_dir: str, validate_key: str | None = None) -> "ray.data.Dataset":
     """Read a resumable-partitioned output with ONE block per partition file,
     preserving the entity-partitioning contract (every entity's rows in one

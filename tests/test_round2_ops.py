@@ -1,0 +1,227 @@
+"""Round-2 operators: linear interp fill, t-digest quantiles, multi-scale DTW
++ path smoothing, grouped alignment report, pairwise quality, value-partitioned
+resumable sink, bucket hash join."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ interp
+
+def test_interp_time_kernel():
+    from audio_feature_extraction_ray.stages.window import _interp_time
+
+    ts = np.array([0, 10, 20, 30, 40, 50], dtype=np.int64)
+    x = np.array([np.nan, 1.0, np.nan, np.nan, 4.0, np.nan])
+    out = _interp_time(x, ts)
+    # leading/trailing stay null; interior gap linear over TIME
+    assert np.isnan(out[0]) and np.isnan(out[5])
+    np.testing.assert_allclose(out[1:5], [1.0, 2.0, 3.0, 4.0])
+    # uneven spacing
+    ts2 = np.array([0, 10, 15, 40], dtype=np.int64)
+    x2 = np.array([2.0, np.nan, np.nan, 10.0])
+    out2 = _interp_time(x2, ts2)
+    np.testing.assert_allclose(out2, [2.0, 4.0, 5.0, 10.0])
+    # all-null and single-point degenerate cases
+    assert np.isnan(_interp_time(np.array([np.nan, np.nan]), ts[:2])).all()
+    np.testing.assert_allclose(
+        _interp_time(np.array([np.nan, 7.0, np.nan]), ts[:3])[1], 7.0
+    )
+
+
+def test_window_interp_matches_pandas():
+    from audio_feature_extraction_ray.stages.window import window_features
+
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n),
+            "ts": pd.to_datetime(rng.integers(0, 10**9, n), unit="s").astype("datetime64[us]"),
+            "i": np.arange(n, dtype=np.int64),
+            "v": np.where(rng.random(n) < 0.6, np.nan, rng.random(n)),
+        }
+    )
+    out = window_features(
+        ray.data.from_pandas(df), key="k", ts="ts", value_cols=[], lags=(), leads=(),
+        deltas=False, interp_cols=["v"], tiebreak="i",
+    ).to_pandas().sort_values(["k", "ts", "i"]).reset_index(drop=True)
+    exp = df.sort_values(["k", "ts", "i"]).reset_index(drop=True)
+    for k, g in exp.groupby("k"):
+        s = pd.Series(g["v"].to_numpy(), index=g["ts"].astype("int64").to_numpy())
+        ref = s.interpolate(method="index", limit_area="inside").to_numpy()
+        got = out[out["k"] == k]["v_interp"].to_numpy()
+        np.testing.assert_allclose(got, ref, equal_nan=True)
+
+
+# ------------------------------------------------------------------ t-digest
+
+def test_approx_quantiles_within_rank_tolerance():
+    from audio_feature_extraction_ray.stages.aggregates import approx_quantiles, exact_quantiles
+
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "events.parquet")).select_columns(["value"])
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    approx = approx_quantiles(ds, "value", qs, compression=300)
+    for q, a in zip(qs, approx):
+        lo, hi = exact_quantiles(ds, "value", [max(q - 0.02, 0.0), min(q + 0.02, 1.0)])
+        assert lo - 1e-9 <= a <= hi + 1e-9, (q, a, lo, hi)
+
+
+def test_tdigest_compress_preserves_mass_and_bounds():
+    from audio_feature_extraction_ray.stages.aggregates import _tdigest_compress
+
+    rng = np.random.default_rng(3)
+    v = np.sort(rng.normal(size=20_000))
+    m, w = _tdigest_compress(v, np.ones(len(v)), 200)
+    assert len(m) < 400
+    np.testing.assert_allclose(w.sum(), 20_000)
+    assert m[0] >= v[0] and m[-1] <= v[-1]
+    # weighted mean preserved exactly
+    np.testing.assert_allclose((m * w).sum() / w.sum(), v.mean(), rtol=1e-12)
+
+
+# ------------------------------------------------------------------ DTW multi-scale
+
+def _two_walks(n, seed=0, jitter=0.02):
+    rng = np.random.default_rng(seed)
+    base = np.cumsum(rng.normal(size=(n, 3)), axis=0)
+    a = base
+    b = base + rng.normal(scale=jitter, size=(n, 3))
+    return a, b
+
+
+def _path_cost(a, b, path):
+    return sum(float(np.linalg.norm(a[i] - b[j])) for i, j in path)
+
+
+def test_multiscale_dtw_close_to_full():
+    from audio_feature_extraction_ray.stages.align import dtw_align, dtw_align_multiscale
+
+    a, b = _two_walks(300, seed=1)
+    full = dtw_align(a, b)
+    ms = dtw_align_multiscale(a, b, factor=4, min_size=32)
+    assert ms[0] == (0, 0) and ms[-1] == (len(a) - 1, len(b) - 1)
+    # monotone
+    js = np.array([j for _, j in ms])
+    assert (np.diff(js) >= 0).all()
+    assert _path_cost(a, b, ms) <= 1.2 * _path_cost(a, b, full) + 1e-9
+
+
+def test_smooth_path_monotone_and_endpoints():
+    from audio_feature_extraction_ray.stages.align import smooth_path
+
+    path = [(0, 0), (1, 3), (2, 1), (3, 4), (4, 4), (5, 9)]
+    sm = smooth_path(path)
+    js = [j for _, j in sm]
+    assert js == sorted(js)
+    assert sm[0] == (0, 0) and sm[-1] == (5, 9)
+    assert smooth_path([(0, 0)]) == [(0, 0)]
+
+
+# ------------------------------------------------------------------ alignment report / pairwise quality
+
+def test_alignment_report_rollup():
+    from audio_feature_extraction_ray.stages.align import alignment_report
+
+    pairs = pd.DataFrame(
+        {
+            "pair": ["p0", "p1", "p2", "p3"],
+            "cohort": [0, 0, 1, 1],
+            "status": ["ok", "ok", "ok", "missing_counterpart"],
+            "rmse_ms": [100.0, 300.0, 150.0, None],
+            "correspondence": [1.0, 0.5, 0.96, None],
+            "path_len": [10.0, 10.0, 10.0, None],
+            "meets_rmse": [True, False, True, None],
+            "meets_correspondence": [True, False, True, None],
+        }
+    )
+    rep = alignment_report(ray.data.from_pandas(pairs), group_col="cohort") \
+        .to_pandas().sort_values("cohort").reset_index(drop=True)
+    assert rep.loc[0, "n_pairs"] == 2 and rep.loc[0, "n_ok"] == 2
+    np.testing.assert_allclose(rep.loc[0, "mean_rmse_ms"], 200.0)
+    np.testing.assert_allclose(rep.loc[0, "pct_meets_both"], 0.5)
+    assert rep.loc[1, "n_pairs"] == 2 and rep.loc[1, "n_ok"] == 1
+    np.testing.assert_allclose(rep.loc[1, "mean_rmse_ms"], 150.0)  # null-skipping mean
+    np.testing.assert_allclose(rep.loc[1, "pct_meets_both"], 0.5)
+
+
+def test_pairwise_quality_identical_and_noisy():
+    from audio_feature_extraction_ray.stages.align import pairwise_quality
+
+    rng = np.random.default_rng(5)
+    emb = rng.random((4, 8))
+    rows = []
+    # p0: identical → capped PSNR; p1: noisy; p2: missing student
+    for t in range(3):
+        rows.append({"pair": "p0", "role": "teacher", "embedding": emb[0]})
+        rows.append({"pair": "p0", "role": "student", "embedding": emb[0]})
+        rows.append({"pair": "p1", "role": "teacher", "embedding": emb[1]})
+        rows.append({"pair": "p1", "role": "student", "embedding": emb[1] + 0.3})
+    rows.append({"pair": "p2", "role": "teacher", "embedding": emb[2]})
+    df = pd.DataFrame(rows)
+    out = pairwise_quality(
+        ray.data.from_pandas(df), pair_col="pair", role_col="role", emb_col="embedding"
+    ).to_pandas().set_index("pair")
+    assert out.loc["p0", "status"] == "ok" and out.loc["p0", "psnr_db"] == 99.0
+    assert out.loc["p0", "rating"] == "excellent"
+    assert out.loc["p1", "psnr_db"] < 40
+    assert out.loc["p2", "status"] == "missing_counterpart"
+
+
+# ------------------------------------------------------------------ value-partitioned sink
+
+def test_value_partitioned_write_and_resume(tmp_path):
+    from audio_feature_extraction_ray.state.checkpoint import (
+        write_value_partitioned_resumable,
+    )
+
+    out = str(tmp_path / "bycat")
+    ev = ray.data.read_parquet(os.path.join(SF_DIR, "events.parquet")) \
+        .select_columns(["event_id", "event_type", "value"])
+    with pytest.raises(Exception):
+        write_value_partitioned_resumable(
+            ev, out, category_col="event_type", fail_categories=("purchase",)
+        )
+    done = {os.path.basename(p) for p in os.listdir(out) if p.endswith(".parquet")}
+    assert "cat-purchase.parquet" not in done
+    manifest = write_value_partitioned_resumable(ev, out, category_col="event_type")
+    mdf = manifest.to_pandas().set_index("category")
+    assert "purchase" in mdf.index and not mdf.loc["purchase", "skipped"]
+    skipped = mdf[mdf["skipped"]]
+    assert len(skipped) >= 1  # previously committed categories were not rewritten
+    # layout: one file per category, content per file is pure
+    import pyarrow.parquet as pq
+
+    for cat in mdf.index:
+        t = pq.read_table(os.path.join(out, f"cat-{cat}.parquet"))
+        assert set(t.column("event_type").to_pylist()) == {cat}
+    total = sum(int(x) for x in mdf["rows"])
+    assert total == ev.count()
+
+
+# ------------------------------------------------------------------ bucket hash join
+
+def test_bucket_hash_join_matches_pandas():
+    from audio_feature_extraction_ray.stages.joins import bucket_hash_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 300), "a": rng.random(300)})
+    right = pd.DataFrame({"kk": np.arange(40, dtype=np.int64), "b": rng.random(40)})
+    got = bucket_hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        on="k", right_on="kk", join_type="inner", num_buckets=4,
+    ).to_pandas().sort_values(["k", "a"]).reset_index(drop=True)
+    exp = left.merge(right, left_on="k", right_on="kk").drop(columns=["kk"]) \
+        .sort_values(["k", "a"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got["a"], exp["a"])
+    np.testing.assert_allclose(got["b"], exp["b"])
