@@ -1319,6 +1319,64 @@ def q_pairwise_quality_images(sf_dir: str):
     return _round_cols(out, ["psnr_db"], digits=4).sort("pair")
 
 
+def q_image_phash_neardups(sf_dir: str):
+    """Image near-dup pairs by perceptual-hash hamming distance (rows-only):
+    band-bucketed phash LSH — the cheap image-dedup path next to the
+    embedding-cosine one (NOTES #7)."""
+    from ..sources.images import synth_images
+    from ..stages.dedup import hamming_dedup_pairs
+    from ..stages.features import feature_stage
+
+    n = max(30, int(1500 * _sf_of(sf_dir)))
+    feats = feature_stage(synth_images(n), features=("embedding",)) \
+        .filter(expr="status == 'ok'")
+
+    def project(t: pa.Table) -> pa.Table:
+        # unique per-row id from (image_id, ts): deterministic columnar hash
+        import polars as pl
+
+        h = pl.from_arrow(t.select(["image_id", "ts"])).hash_rows(seed=3).to_numpy()
+        return pa.table(
+            {
+                "img_id": pa.array((h >> np.uint64(1)).astype(np.int64), pa.int64()),
+                "phash": t.column("phash_calc").cast(pa.int64()),
+            }
+        )
+
+    sigs = feats.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = hamming_dedup_pairs(sigs, id_col="img_id", sig_col="phash", max_hamming=6)
+    return pairs.sort(["id_a", "id_b"])
+
+
+def q_registry_chain_events(sf_dir: str):
+    """§2.9 extension surface: an oracle-checked pipeline built entirely from
+    the stage REGISTRY via plain config (validated chain — the reference's
+    config-driven composition, recast declarative)."""
+    from ..stages.registry import build_pipeline
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = build_pipeline(
+        ev,
+        [
+            {"stage": "filter_expr", "expr": "event_type == 'click'"},
+            {"stage": "time_bucket", "ts": "ts", "width_us": HOUR_US},
+            {
+                "stage": "grouped_agg_fast",
+                "keys": ["bucket"],
+                "specs": [("sum_value", "value", "sum")],
+                "count_alias": "n",
+            },
+        ],
+    )
+    return _round_cols(out, ["sum_value"], digits=4)
+
+
+SQL_REGISTRY_CHAIN_EVENTS = """
+SELECT epoch_us(ts) // 3600000000 AS bucket, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events WHERE event_type = 'click' GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1362,6 +1420,8 @@ QUERIES = {
     "argmax_events": (q_argmax_events, SQL_ARGMAX_EVENTS),
     "sample_lineitem": (q_sample_lineitem, SQL_SAMPLE_LINEITEM),
     "hash_split_documents": (q_hash_split_documents, SQL_HASH_SPLIT_DOCUMENTS),
+    "image_phash_neardups": (q_image_phash_neardups, None),
+    "registry_chain_events": (q_registry_chain_events, SQL_REGISTRY_CHAIN_EVENTS),
     "interp_events": (q_interp_events, SQL_INTERP_EVENTS),
     "approx_percentiles_events": (q_approx_percentiles_events, None),
     "alignment_report_events": (q_alignment_report_events, SQL_ALIGNMENT_REPORT_EVENTS),

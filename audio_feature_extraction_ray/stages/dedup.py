@@ -183,6 +183,7 @@ def minhash_dedup_verified(
     est_threshold: float = 0.6,
     exact_threshold: float = 0.8,
     shingle_k: int = 5,
+    max_candidates: int = 100_000,
     **minhash_kwargs,
 ) -> ray.data.Dataset:
     """MinHash candidates verified with EXACT n-gram Jaccard.
@@ -192,13 +193,31 @@ def minhash_dedup_verified(
     documents' texts — a tiny fraction of the corpus — are fetched and
     broadcast for the exact verification pass. This is the standard
     sketch-then-verify near-dup shape for 100 TB corpora.
+
+    The per-band ``max_group`` cap bounds each task, and ``max_candidates``
+    is the GLOBAL cap on the driver touch-point: a pathological corpus
+    (everything near-dup) keeps only the ``max_candidates`` highest-estimate
+    pairs — ranked, deterministic, and LOGGED, never a silent overflow.
     """
+    import logging
+
     import ray as _ray
 
     pairs = minhash_dedup_pairs(
         ds, id_col, text_col, threshold=est_threshold, shingle_k=shingle_k, **minhash_kwargs
     )
-    pair_t = pairs.take_all()  # candidate pairs are small by construction
+    n_cand = pairs.count()
+    if n_cand > max_candidates:
+        logging.getLogger(__name__).warning(
+            "minhash_dedup_verified: %d candidate pairs exceed max_candidates=%d; "
+            "verifying only the top pairs by estimated Jaccard (deterministic "
+            "truncation — raise max_candidates or est_threshold for full recall)",
+            n_cand, max_candidates,
+        )
+        pairs = pairs.sort(
+            ["est_jaccard", "id_a", "id_b"], descending=[True, False, False]
+        ).limit(max_candidates)
+    pair_t = pairs.take_all()  # bounded by max_candidates
     if not pair_t:
         return pairs.filter(expr="est_jaccard > 2.0")  # empty, schema-stable
     from .joins import broadcast_semi_join
@@ -225,47 +244,30 @@ def minhash_dedup_verified(
     return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def simhash_dedup_pairs(
-    ds: ray.data.Dataset,
+def hamming_dedup_pairs(
+    sigs: ray.data.Dataset,
     id_col: str,
-    text_col: str = "text",
+    sig_col: str,
     max_hamming: int = 3,
     bands: int | None = None,
     max_group: int = 1000,
 ) -> ray.data.Dataset:
-    """Near-dup pairs by SimHash: band-bucket candidates, hamming-verified.
+    """Near-dup pairs over any 64-bit signature column (SimHash, perceptual
+    phash, ...): band-bucket candidates, hamming-verified — only (band, id,
+    sig) rows shuffle, never payloads.
 
-    ``bands`` defaults to ``max_hamming + 1`` (rounded to a divisor of 64) so
-    any pair within the hamming budget shares at least one exact band
-    (pigeonhole) — guaranteed recall, verification prunes the rest."""
+    ``bands`` defaults to the smallest power-of-two divisor of 64 above
+    ``max_hamming`` so any pair within the hamming budget shares at least one
+    exact band (pigeonhole) — guaranteed recall, verification prunes the
+    rest."""
     if bands is None:
         bands = next(b for b in (1, 2, 4, 8, 16, 32) if b > max_hamming)
-
-    class _SimHasher:
-        """Actor fn: per-actor token→md5 cache feeds the columnar kernel."""
-
-        def __init__(self):
-            self.cache: dict = {}
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    id_col: batch.column(id_col),
-                    "simhash": pa.array(
-                        simhash_batch(batch.column(text_col), self.cache), pa.int64()
-                    ),
-                }
-            )
-
-    sigs = ds.map_batches(
-        _SimHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
-    )
 
     def to_bands(batch: pa.Table) -> pa.Table:
         # vectorized over rows (matches functions.textfx.simhash_bands):
         # band key = (band_idx << 48) | the band's 64/bands-bit slice
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        hs = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = batch.column(sig_col).to_numpy(zero_copy_only=False).astype(np.int64)
         u = hs.view(np.uint64)
         n = len(ids)
         width = 64 // bands
@@ -277,7 +279,7 @@ def simhash_dedup_pairs(
             {
                 "band": pa.array(keys.ravel().view(np.int64), pa.int64()),
                 id_col: pa.array(np.repeat(ids, bands), pa.int64()),
-                "simhash": pa.array(np.repeat(hs, bands), pa.int64()),
+                sig_col: pa.array(np.repeat(hs, bands), pa.int64()),
             }
         )
 
@@ -286,7 +288,7 @@ def simhash_dedup_pairs(
     def candidates(group: pa.Table) -> pa.Table:
         # vectorized pairwise hamming: xor + byte-level popcount
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        hs = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = group.column(sig_col).to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ids, kind="stable")[:max_group]
         ids, u = ids[order], hs[order].view(np.uint64)
         g = len(ids)
@@ -312,6 +314,41 @@ def simhash_dedup_pairs(
 
     pairs = banded.groupby("band").map_groups(candidates, batch_format="pyarrow")
     return dedup_exact(pairs, ["id_a", "id_b"], order_col="hamming", keep="min")
+
+
+def simhash_dedup_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int | None = None,
+    max_group: int = 1000,
+) -> ray.data.Dataset:
+    """Near-dup pairs by SimHash: signatures (columnar kernel, actor-cached
+    token hashes) → :func:`hamming_dedup_pairs` banding."""
+
+    class _SimHasher:
+        """Actor fn: per-actor token→md5 cache feeds the columnar kernel."""
+
+        def __init__(self):
+            self.cache: dict = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "simhash": pa.array(
+                        simhash_batch(batch.column(text_col), self.cache), pa.int64()
+                    ),
+                }
+            )
+
+    sigs = ds.map_batches(
+        _SimHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+    return hamming_dedup_pairs(
+        sigs, id_col, "simhash", max_hamming=max_hamming, bands=bands, max_group=max_group
+    )
 
 
 def embedding_dedup_pairs(

@@ -261,6 +261,340 @@ def window_features(
     return ds.groupby(key).map_groups(per_group, batch_format="pyarrow")
 
 
+def window_features_bucketed(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    bucket_us: int,
+    lags: tuple[int, ...] = (1,),
+    leads: tuple[int, ...] = (1,),
+    deltas: bool = True,
+    fill_cols: list[str] | None = None,
+    interp_cols: list[str] | None = None,
+    session_gap_us: int | None = None,
+    rolling: dict[str, int] | None = None,
+) -> ray.data.Dataset:
+    """Bounded-memory :func:`window_features` for giant entities (SURVEY
+    §7.6) — the windowed mirror of ``asof_join_bucketed``.
+
+    ``window_features`` materializes one whole entity per ``map_groups``
+    call; a million-row hot ``image_id`` lands in one task. This variant
+    co-partitions by ``(entity, time-bucket)`` so no task ever holds more
+    than one bucket of one entity:
+
+    A. per ``(key, bucket)`` group, emit a SUMMARY row — the bucket's first/
+       last K boundary rows (K = the largest window reach), first/last
+       non-null per fill column, in-bucket session-start count. One row per
+       bucket, independent of bucket size.
+    B. per ``key``, scan the (tiny) summary rows in bucket order and derive
+       each bucket's carry-in state: the true previous/next K rows across
+       bucket gaps, the running last/first non-null for ffill/bfill/interp,
+       and the cumulative session-start count (monotone cursors over
+       summaries — the watermark analog at the bucket level).
+    C. per ``(key, bucket)`` group again, windows compute over the bucket
+       extended with its carried boundary rows, then the extension is sliced
+       off. Lag/lead/delta/rolling reach across buckets through the carried
+       rows; ffill/bfill/interp fall back to the carried non-null scalars;
+       ``session_id`` adds the carried start count.
+
+    Equivalent to :func:`window_features` (pinned by tests, including a
+    giant-hot-entity case); costs one extra shuffle of the data — the price
+    of the per-task memory bound. ``rolling_time_us`` is not supported here
+    (a time window can span arbitrarily many buckets); pick ``bucket_us``
+    at least as large as any time-window reach you need downstream.
+    """
+    import pyarrow.compute as pc
+
+    fill_cols = fill_cols or []
+    interp_cols = interp_cols or []
+    rolling = rolling or {}
+    ds, schema = arrow_schema_of(ds)
+    fields = list(zip(schema.names, schema.types))
+    # largest backward/forward reach in ROWS
+    K = max(
+        [0] + list(lags) + list(leads)
+        + ([2] if deltas else [])
+        + [k - 1 for k in rolling.values()]
+    )
+    carry_cols = sorted(set(value_cols) | set(rolling))
+    nn_cols = sorted(set(fill_cols) | set(interp_cols))
+
+    out_fields = [pa.field(n, t) for n, t in fields]
+    for c in value_cols:
+        for k in lags:
+            out_fields.append(pa.field(f"{c}_lag_{k}", pa.float64()))
+        for k in leads:
+            out_fields.append(pa.field(f"{c}_lead_{k}", pa.float64()))
+        if deltas:
+            out_fields.append(pa.field(f"{c}_delta", pa.float64()))
+            out_fields.append(pa.field(f"{c}_delta2", pa.float64()))
+    for c in fill_cols:
+        out_fields.append(pa.field(f"{c}_ffill", pa.float64()))
+        out_fields.append(pa.field(f"{c}_bfill", pa.float64()))
+    for c in interp_cols:
+        out_fields.append(pa.field(f"{c}_interp", pa.float64()))
+    for c, k in rolling.items():
+        out_fields.append(pa.field(f"{c}_rollmean_{k}", pa.float64()))
+    if session_gap_us is not None:
+        out_fields.append(pa.field("session_id", pa.int64()))
+    out_schema = pa.schema(out_fields)
+
+    def kb_of(t: pa.Table) -> pa.Table:
+        b = _ts_i64(t.column(ts)) // bucket_us
+        kb = pc.binary_join_element_wise(
+            pc.cast(t.column(key), pa.string()),
+            pc.cast(pa.array(b, pa.int64()), pa.string()),
+            "\x1f",
+        )
+        return t.append_column("__b", pa.array(b, pa.int64())).append_column("__kb", kb)
+
+    bucketed = ds.map_batches(kb_of, batch_format="pyarrow", zero_copy_batch=True)
+
+    # ---- phase A: one summary row per (key, bucket)
+    def summarize(group: pa.Table) -> pa.Table:
+        tsv = _ts_i64(group.column(ts))
+        order = np.argsort(tsv, kind="stable")
+        tsv = tsv[order]
+        n = len(tsv)
+        row: dict = {
+            key: [group.column(key)[0].as_py()],
+            "__b": [group.column("__b")[0].as_py()],
+            "__n": [n],
+            "__first_ts": [int(tsv[0])],
+            "__last_ts": [int(tsv[-1])],
+            "__tail_ts": [tsv[-K:].tolist() if K else []],
+            "__head_ts": [tsv[:K].tolist() if K else []],
+        }
+        for c in carry_cols:
+            x = _f64(group.column(c))[order]
+            row[f"__tail_{c}"] = [x[-K:].tolist() if K else []]
+            row[f"__head_{c}"] = [x[:K].tolist() if K else []]
+        for c in nn_cols:
+            x = _f64(group.column(c))[order]
+            nzi = np.flatnonzero(~np.isnan(x))
+            row[f"__lastnn_v_{c}"] = [float(x[nzi[-1]]) if len(nzi) else None]
+            row[f"__lastnn_t_{c}"] = [int(tsv[nzi[-1]]) if len(nzi) else None]
+            row[f"__firstnn_v_{c}"] = [float(x[nzi[0]]) if len(nzi) else None]
+            row[f"__firstnn_t_{c}"] = [int(tsv[nzi[0]]) if len(nzi) else None]
+        if session_gap_us is not None:
+            row["__starts"] = [int((np.diff(tsv) > session_gap_us).sum())]
+        return pa.Table.from_pydict(row)
+
+    summaries = bucketed.groupby("__kb").map_groups(summarize, batch_format="pyarrow")
+
+    # ---- phase B: per-key scan over bucket summaries → carry-in state rows
+    def scan_key(group: pa.Table) -> pa.Table:
+        order = np.argsort(group.column("__b").to_numpy(zero_copy_only=False), kind="stable")
+        g = group.take(pa.array(order, pa.int64()))
+        nb = g.num_rows
+        kv = g.column(key)[0].as_py()
+        tails_ts = g.column("__tail_ts").to_pylist()
+        heads_ts = g.column("__head_ts").to_pylist()
+        tails = {c: g.column(f"__tail_{c}").to_pylist() for c in carry_cols}
+        heads = {c: g.column(f"__head_{c}").to_pylist() for c in carry_cols}
+        out_rows = []
+        # forward pass: prev-K rows + running last-non-null + session carry
+        prev_ts: list[int] = []
+        prev_v: dict[str, list[float]] = {c: [] for c in carry_cols}
+        run_lastnn = {c: (None, None) for c in nn_cols}
+        sess_carry = 0
+        prev_last_ts = None
+        for i in range(nb):
+            row = {
+                key: kv,
+                "__b": g.column("__b")[i].as_py(),
+                "__prev_ts": list(prev_ts[-K:]) if K else [],
+                "__sess_carry": sess_carry,
+                "__prev_last_ts": prev_last_ts,
+            }
+            for c in carry_cols:
+                row[f"__prev_{c}"] = list(prev_v[c][-K:]) if K else []
+            for c in nn_cols:
+                row[f"__prevnn_v_{c}"], row[f"__prevnn_t_{c}"] = run_lastnn[c]
+            out_rows.append(row)
+            # fold this bucket into the running state
+            prev_ts = (prev_ts + list(tails_ts[i]))[-K:] if K else []
+            for c in carry_cols:
+                prev_v[c] = (prev_v[c] + list(tails[c][i]))[-K:] if K else []
+            for c in nn_cols:
+                v = g.column(f"__lastnn_v_{c}")[i].as_py()
+                t_ = g.column(f"__lastnn_t_{c}")[i].as_py()
+                if v is not None:
+                    run_lastnn[c] = (v, t_)
+            if session_gap_us is not None:
+                first_ts = g.column("__first_ts")[i].as_py()
+                boundary = (
+                    prev_last_ts is not None and (first_ts - prev_last_ts) > session_gap_us
+                )
+                sess_carry += int(boundary) + g.column("__starts")[i].as_py()
+            prev_last_ts = g.column("__last_ts")[i].as_py()
+        # backward pass: next-K rows + running first-non-null
+        next_ts: list[int] = []
+        next_v: dict[str, list[float]] = {c: [] for c in carry_cols}
+        run_firstnn = {c: (None, None) for c in nn_cols}
+        for i in range(nb - 1, -1, -1):
+            out_rows[i]["__next_ts"] = list(next_ts[:K]) if K else []
+            for c in carry_cols:
+                out_rows[i][f"__next_{c}"] = list(next_v[c][:K]) if K else []
+            for c in nn_cols:
+                out_rows[i][f"__nextnn_v_{c}"], out_rows[i][f"__nextnn_t_{c}"] = run_firstnn[c]
+            next_ts = (list(heads_ts[i]) + next_ts)[:K] if K else []
+            for c in carry_cols:
+                next_v[c] = (list(heads[c][i]) + next_v[c])[:K] if K else []
+            for c in nn_cols:
+                v = g.column(f"__firstnn_v_{c}")[i].as_py()
+                t_ = g.column(f"__firstnn_t_{c}")[i].as_py()
+                if v is not None:
+                    run_firstnn[c] = (v, t_)
+        t = pa.Table.from_pylist(out_rows)
+        kb = pc.binary_join_element_wise(
+            pc.cast(t.column(key), pa.string()),
+            pc.cast(t.column("__b"), pa.string()),
+            "\x1f",
+        )
+        return t.append_column("__kb", kb)
+
+    states = summaries.groupby(key).map_groups(scan_key, batch_format="pyarrow")
+
+    # ---- phase C: re-group data + state by (key, bucket); windows over the
+    # bucket extended with its carried boundary rows
+    state_names: list[str] = ["__prev_ts", "__next_ts", "__sess_carry", "__prev_last_ts"]
+    state_types: dict[str, pa.DataType] = {
+        "__prev_ts": pa.list_(pa.int64()),
+        "__next_ts": pa.list_(pa.int64()),
+        "__sess_carry": pa.int64(),
+        "__prev_last_ts": pa.int64(),
+    }
+    for c in carry_cols:
+        for side in ("prev", "next"):
+            state_names.append(f"__{side}_{c}")
+            state_types[f"__{side}_{c}"] = pa.list_(pa.float64())
+    for c in nn_cols:
+        for pref, typ in ((f"__prevnn_v_{c}", pa.float64()), (f"__prevnn_t_{c}", pa.int64()),
+                          (f"__nextnn_v_{c}", pa.float64()), (f"__nextnn_t_{c}", pa.int64())):
+            state_names.append(pref)
+            state_types[pref] = typ
+    union_names = [n for n, _ in fields] + ["__kb", "__side"] + state_names
+
+    def prep_data(t: pa.Table) -> pa.Table:
+        out = {n: t.column(n) for n, _ in fields}
+        out["__kb"] = t.column("__kb")
+        out["__side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        for n in state_names:
+            out[n] = pa.nulls(t.num_rows, state_types[n])
+        return pa.table({n: out[n] for n in union_names})
+
+    def prep_state(t: pa.Table) -> pa.Table:
+        out: dict = {}
+        for n, typ in fields:
+            if n == key:
+                out[n] = t.column(key).cast(typ)
+            else:
+                out[n] = pa.nulls(t.num_rows, typ)
+        out["__kb"] = t.column("__kb")
+        out["__side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        for n in state_names:
+            if n in t.column_names:
+                out[n] = t.column(n).cast(state_types[n])
+            else:
+                out[n] = pa.nulls(t.num_rows, state_types[n])
+        return pa.table({n: out[n] for n in union_names})
+
+    data_u = bucketed.drop_columns(["__b"]).map_batches(
+        prep_data, batch_format="pyarrow", zero_copy_batch=True
+    )
+    state_u = states.map_batches(prep_state, batch_format="pyarrow", zero_copy_batch=True)
+    unioned = data_u.union(state_u)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        data = group.filter(pa.array(side == 1))
+        st = group.filter(pa.array(side == 0))
+        n = data.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        sr = {nm: st.column(nm)[0].as_py() for nm in state_names} if st.num_rows else {
+            nm: ([] if str(state_types[nm]).startswith("list") else None) for nm in state_names
+        }
+        tsv_all = _ts_i64(data.column(ts))
+        order = np.argsort(tsv_all, kind="stable")
+        data = data.take(pa.array(order, pa.int64()))
+        tsv = tsv_all[order]
+        p_ts = np.array(sr["__prev_ts"] or [], dtype=np.int64)
+        nx_ts = np.array(sr["__next_ts"] or [], dtype=np.int64)
+        P, S = len(p_ts), len(nx_ts)
+        cols: dict[str, object] = {nm: data.column(nm) for nm, _ in fields}
+
+        def ext(c: str) -> np.ndarray:
+            x = _f64(data.column(c))
+            pre = np.array(sr.get(f"__prev_{c}") or [], dtype=np.float64)
+            post = np.array(sr.get(f"__next_{c}") or [], dtype=np.float64)
+            return np.concatenate([pre, x, post])
+
+        for c in value_cols:
+            xe = ext(c)
+            for k in lags:
+                cols[f"{c}_lag_{k}"] = pa.array(_shift(xe, k)[P : P + n], pa.float64())
+            for k in leads:
+                cols[f"{c}_lead_{k}"] = pa.array(_shift(xe, -k)[P : P + n], pa.float64())
+            if deltas:
+                d = xe - _shift(xe, 1)
+                cols[f"{c}_delta"] = pa.array(d[P : P + n], pa.float64())
+                cols[f"{c}_delta2"] = pa.array((d - _shift(d, 1))[P : P + n], pa.float64())
+        for c in fill_cols:
+            x = _f64(data.column(c)).copy()
+            f = _ffill(x.copy())
+            pv = sr.get(f"__prevnn_v_{c}")
+            if pv is not None:
+                f[np.isnan(f)] = pv
+            cols[f"{c}_ffill"] = pa.array(f, pa.float64())
+            b = _bfill(x.copy())
+            nv = sr.get(f"__nextnn_v_{c}")
+            if nv is not None:
+                b[np.isnan(b)] = nv
+            cols[f"{c}_bfill"] = pa.array(b, pa.float64())
+        for c in interp_cols:
+            x = _f64(data.column(c))
+            pv, pt = sr.get(f"__prevnn_v_{c}"), sr.get(f"__prevnn_t_{c}")
+            nv, nt = sr.get(f"__nextnn_v_{c}"), sr.get(f"__nextnn_t_{c}")
+            xe = np.concatenate([[pv if pv is not None else np.nan], x,
+                                 [nv if nv is not None else np.nan]])
+            te = np.concatenate([[pt if pt is not None else 0], tsv,
+                                 [nt if nt is not None else 0]]).astype(np.int64)
+            cols[f"{c}_interp"] = pa.array(_interp_time(xe, te)[1 : 1 + n], pa.float64())
+        for c, k in rolling.items():
+            xe = ext(c)
+            valid = ~np.isnan(xe)
+            cs = np.concatenate(([0.0], np.cumsum(np.where(valid, xe, 0.0))))
+            cc = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+            i = np.arange(len(xe))
+            lo = np.maximum(0, i - k + 1)
+            sums = cs[i + 1] - cs[lo]
+            cnts = cc[i + 1] - cc[lo]
+            full = np.where(cnts > 0, sums / np.maximum(cnts, 1), np.nan)
+            # rows whose window would reach before the carried prefix exist
+            # only in the first bucket, where lo==0 is the true start
+            cols[f"{c}_rollmean_{k}"] = pa.array(full[P : P + n], pa.float64())
+        if session_gap_us is not None:
+            carry = sr.get("__sess_carry") or 0
+            plt = sr.get("__prev_last_ts")
+            gaps = np.diff(tsv, prepend=tsv[0] if plt is None else plt)
+            new_start = gaps > session_gap_us
+            if plt is None:
+                new_start[0] = False
+            cols["session_id"] = pa.array(
+                carry + np.cumsum(new_start).astype(np.int64), pa.int64()
+            )
+        for name in list(cols):
+            if isinstance(cols[name], pa.Array) and pa.types.is_float64(cols[name].type):
+                arr = cols[name].to_numpy(zero_copy_only=False)
+                cols[name] = pa.array(arr, pa.float64(), from_pandas=True)
+        return pa.table(cols, schema=out_schema)
+
+    return unioned.groupby("__kb").map_groups(per_bucket, batch_format="pyarrow")
+
+
 def sessionize(
     ds: ray.data.Dataset,
     key: str,

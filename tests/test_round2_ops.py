@@ -208,6 +208,160 @@ def test_value_partitioned_write_and_resume(tmp_path):
     assert total == ev.count()
 
 
+# ------------------------------------------------------------------ bucketed windows
+
+def _window_corpus(seed=0, hot_rows=4000):
+    rng = np.random.default_rng(seed)
+    ks, tss, vs, fs = [], [], [], []
+    for k, n in [("hot", hot_rows), ("a", 37), ("b", 3), ("c", 1), ("d", 120)]:
+        t = np.sort(rng.choice(np.arange(0, 10**7, 7, dtype=np.int64), size=n, replace=False))
+        ks += [k] * n
+        tss += t.tolist()
+        vs += rng.random(n).tolist()
+        f = np.where(rng.random(n) < 0.7, np.nan, rng.random(n))
+        fs += f.tolist()
+    ts = pd.to_datetime(np.array(tss), unit="us").astype("datetime64[us]")
+    return pd.DataFrame({"k": ks, "ts": ts, "v": vs, "f": fs})
+
+
+def test_window_features_bucketed_equivalence():
+    from audio_feature_extraction_ray.stages.window import (
+        window_features,
+        window_features_bucketed,
+    )
+
+    df = _window_corpus(seed=2, hot_rows=2000)
+    ds = ray.data.from_pandas(df)
+    kwargs = dict(
+        key="k", ts="ts", value_cols=["v"], lags=(1, 3), leads=(1, 2), deltas=True,
+        fill_cols=["f"], interp_cols=["f"], session_gap_us=50_000,
+        rolling={"v": 5},
+    )
+    plain = window_features(ds, **kwargs).to_pandas() \
+        .sort_values(["k", "ts"]).reset_index(drop=True)
+    buck = window_features_bucketed(ds, bucket_us=200_000, **kwargs).to_pandas() \
+        .sort_values(["k", "ts"]).reset_index(drop=True)
+    assert len(plain) == len(buck) == len(df)
+    assert list(plain.columns) == list(buck.columns)
+    for c in plain.columns:
+        if plain[c].dtype == object or str(plain[c].dtype).startswith("datetime"):
+            assert (plain[c] == buck[c]).all(), c
+        else:
+            np.testing.assert_allclose(
+                plain[c].to_numpy(np.float64), buck[c].to_numpy(np.float64),
+                equal_nan=True, err_msg=c,
+            )
+
+
+def test_window_features_bucketed_bounds_group_unit():
+    """The unit of work fed to each phase-C ``map_groups`` call is ONE
+    (entity, bucket) group — for a giant hot entity that is bucket-sized,
+    never entity-sized (``window_features``'s per-call unit). Also checks
+    the hot entity's output is still complete and correct at the seams."""
+    from audio_feature_extraction_ray.stages.window import (
+        window_features,
+        window_features_bucketed,
+    )
+
+    df = _window_corpus(seed=4, hot_rows=3000)
+    bucket_us = 100_000
+    # group sizes phase C receives = rows per (entity, time bucket)
+    sizes = (
+        df.assign(b=df["ts"].astype("int64") // bucket_us)
+        .groupby(["k", "b"]).size()
+    )
+    hot_total = (df["k"] == "hot").sum()
+    assert sizes.max() < hot_total / 10  # bucket-sized, not entity-sized
+    ds = ray.data.from_pandas(df)
+    kwargs = dict(key="k", ts="ts", value_cols=["v"], lags=(1,), leads=(1,), deltas=True)
+    plain = window_features(ds, **kwargs).to_pandas() \
+        .sort_values(["k", "ts"]).reset_index(drop=True)
+    buck = window_features_bucketed(ds, bucket_us=bucket_us, **kwargs).to_pandas() \
+        .sort_values(["k", "ts"]).reset_index(drop=True)
+    assert len(buck) == len(df)
+    for c in ("v_lag_1", "v_lead_1", "v_delta", "v_delta2"):
+        np.testing.assert_allclose(
+            plain[c].to_numpy(np.float64), buck[c].to_numpy(np.float64),
+            equal_nan=True, err_msg=c,
+        )
+
+
+# ------------------------------------------------------------------ stage registry
+
+def test_registry_chain_matches_direct_composition():
+    from audio_feature_extraction_ray.stages.registry import build_pipeline, list_stages
+
+    assert "window_features" in list_stages()
+    ev = ray.data.read_parquet(os.path.join(SF_DIR, "events.parquet")) \
+        .select_columns(["event_id", "user_id", "ts", "value"])
+    chain = [
+        {"stage": "filter_expr", "expr": "value > 0"},
+        {"stage": "window_features", "key": "user_id", "ts": "ts",
+         "value_cols": ["value"], "lags": (1,), "leads": (), "deltas": False,
+         "tiebreak": "event_id"},
+        {"stage": "select", "columns": ["event_id", "value_lag_1"]},
+    ]
+    got = build_pipeline(ev, chain).to_pandas().sort_values("event_id").reset_index(drop=True)
+    from audio_feature_extraction_ray.stages.window import window_features
+
+    exp = window_features(
+        ev.filter(expr="value > 0"), key="user_id", ts="ts", value_cols=["value"],
+        lags=(1,), leads=(), deltas=False, tiebreak="event_id",
+    ).select_columns(["event_id", "value_lag_1"]).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    np.testing.assert_allclose(got["value_lag_1"], exp["value_lag_1"], equal_nan=True)
+
+
+def test_registry_validation_and_custom_stage():
+    from audio_feature_extraction_ray.stages.registry import (
+        build_pipeline,
+        register_stage,
+    )
+
+    ev = ray.data.range(10)
+    with pytest.raises(KeyError, match="unknown stage"):
+        build_pipeline(ev, [{"stage": "nope"}])
+    with pytest.raises(ValueError, match="unknown params"):
+        build_pipeline(ev, [{"stage": "limit", "wrong": 1}])
+    with pytest.raises(ValueError, match="already registered"):
+        register_stage("limit", lambda ds: ds)
+
+    def double(ds, *, col: str):
+        return ds.map_batches(
+            lambda t: t.set_column(
+                t.column_names.index(col), col,
+                pa.compute.multiply(t.column(col), 2),
+            ),
+            batch_format="pyarrow",
+        )
+
+    register_stage("double_test_only", double, replace=True)
+    out = build_pipeline(ev, [{"stage": "double_test_only", "col": "id"}]).to_pandas()
+    assert sorted(out["id"]) == [2 * i for i in range(10)]
+
+
+def test_phash_hamming_neardups():
+    from audio_feature_extraction_ray.stages.dedup import hamming_dedup_pairs
+
+    # planted near-dups: ids 0/1 identical sigs, 2/3 within hamming 2, 4 far
+    sigs = pd.DataFrame(
+        {
+            "img_id": np.arange(5, dtype=np.int64),
+            "phash": np.array(
+                [0x1234ABCD5678EF00, 0x1234ABCD5678EF00,
+                 0x0F0F0F0F0F0F0F0F, 0x0F0F0F0F0F0F0F0C,
+                 -0x123456789ABCDEF], dtype=np.int64,
+            ),
+        }
+    )
+    pairs = hamming_dedup_pairs(
+        ray.data.from_pandas(sigs), id_col="img_id", sig_col="phash", max_hamming=2
+    ).to_pandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (0, 1) in got and (2, 3) in got
+    assert all(a in (0, 2) for a, _ in got)
+
+
 # ------------------------------------------------------------------ bucket hash join
 
 def test_bucket_hash_join_matches_pandas():
