@@ -345,6 +345,72 @@ def simhash_batch(texts, token_hash_cache: dict | None = None) -> np.ndarray:
     return v.view(np.int64)
 
 
+def minhash_signatures_batch(
+    texts, a: np.ndarray, b: np.ndarray, k: int = 5
+) -> np.ndarray:
+    """Vectorized :func:`minhash_signature` over a whole string column:
+    (n_docs, num_perm) uint64, bit-identical to the per-doc kernel.
+
+    One flat lowered-byte buffer for the batch (short docs space-padded to
+    ``k``, like the serial kernel), one ``sliding_window_view`` rolling hash
+    over it, then per-permutation segment minima via ``np.minimum.reduceat``
+    — no loop over documents; the only Python loop is over the ``num_perm``
+    permutations (each a full-batch vector op).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = texts.fill_null("")
+    n = len(texts)
+    num_perm = len(a)
+    if n == 0:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    lb = pc.cast(pc.utf8_lower(texts), pa.large_binary())
+    if isinstance(lb, pa.ChunkedArray):
+        lb = lb.combine_chunks()
+    off = np.frombuffer(lb.buffers()[1], dtype=np.int64)[lb.offset : lb.offset + n + 1] \
+        if lb.buffers()[1] is not None else np.zeros(n + 1, np.int64)
+    raw = (
+        np.frombuffer(lb.buffers()[2], dtype=np.uint8)
+        if lb.buffers()[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    lens = np.diff(off)
+    new_lens = np.maximum(lens, k)  # space-pad short docs (serial-kernel parity)
+    new_off = np.concatenate(([0], np.cumsum(new_lens)))
+    total = int(new_off[-1])
+    flat = np.full(total, 32, dtype=np.uint8)
+    raw_seg = raw[off[0] : off[-1]]
+    if len(raw_seg):
+        off0 = off - off[0]
+        shift = np.repeat(new_off[:-1] - off0[:-1], lens)
+        flat[np.arange(len(raw_seg)) + shift] = raw_seg
+    win = np.lib.stride_tricks.sliding_window_view(flat, k).astype(np.uint64)
+    powers = np.array(
+        [pow(int(_SHINGLE_BASE), k - 1 - j, int(_MOD_P)) for j in range(k)], dtype=np.uint64
+    )
+    hashes = (win * powers[None, :]).sum(axis=1) % _MOD_P
+    # valid (non-boundary-crossing) windows of doc d: [new_off[d], new_off[d] + seg_len[d])
+    seg_start = new_off[:-1]
+    seg_len = new_lens - k + 1
+    seg_end = seg_start + seg_len
+    idx = np.empty(2 * n, dtype=np.int64)
+    idx[0::2] = seg_start
+    idx[1::2] = seg_end
+    # reduceat indices must be < len(hashes); the final seg_end == len(hashes)
+    trailing = idx[-1] >= len(hashes)
+    if trailing:
+        idx = idx[:-1]
+    out = np.empty((n, num_perm), dtype=np.uint64)
+    for j in range(num_perm):
+        v = (a[j] * hashes + b[j]) % _MOD_P
+        red = np.minimum.reduceat(v, idx)
+        out[:, j] = red[0::2]
+    return out
+
+
 def band_keys_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
     """Vectorized LSH band keys for a signature MATRIX (n, num_perm) uint64 →
     (n, bands) int64.

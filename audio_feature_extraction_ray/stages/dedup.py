@@ -27,10 +27,7 @@ import pyarrow.compute as pc
 
 from ..functions.textfx import (
     band_keys_matrix,
-    char_shingle_hashes,
-    est_jaccard,
     make_minhash_params,
-    minhash_signature,
     ngram_jaccard,
     simhash_batch,
 )
@@ -52,6 +49,31 @@ def dedup_exact(
     )
 
 
+def _mat_to_binary(m: np.ndarray) -> pa.LargeBinaryArray:
+    """(n, num_perm) int64 signature matrix → large_binary column (one
+    512-byte row each for num_perm=64) — zero-copy both ways, and a type
+    Acero hash joins accept as payload (fixed_size_list is not)."""
+    n, width = m.shape
+    data = np.ascontiguousarray(m.astype(np.int64, copy=False)).tobytes()
+    offs = (np.arange(n + 1, dtype=np.int64) * (width * 8)).tobytes()
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n, [None, pa.py_buffer(offs), pa.py_buffer(data)]
+    )
+
+
+def _binary_to_mat(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """large_binary signature column (uniform row width) → (n, num_perm)
+    int64 matrix, zero-copy from the Arrow buffers."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.int64)
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    width = int(off[1] - off[0])
+    return data[off[0] : off[-1]].view(np.int64).reshape(n, width // 8)
+
+
 class _MinHasher:
     """Actor: text → minhash signature (permutation params built once)."""
 
@@ -62,19 +84,14 @@ class _MinHasher:
         self.a, self.b = make_minhash_params(num_perm, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        n = len(texts)
-        num_perm = len(self.a)
-        sigs = np.empty((n, num_perm), dtype=np.int64)
-        for i, t in enumerate(texts):
-            sigs[i] = minhash_signature(
-                char_shingle_hashes(t or "", self.shingle_k), self.a, self.b
-            ).view(np.int64)
-        # fixed_size_list: zero-copy flatten on the consumer side
-        sig_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(sigs.ravel(), pa.int64()), num_perm
+        from ..functions.textfx import minhash_signatures_batch
+
+        sigs = minhash_signatures_batch(
+            batch.column(self.text_col), self.a, self.b, self.shingle_k
+        ).view(np.int64)
+        return pa.table(
+            {self.id_col: batch.column(self.id_col), "sig": _mat_to_binary(sigs)}
         )
-        return pa.table({self.id_col: batch.column(self.id_col), "sig": sig_col})
 
 
 def minhash_signatures(
@@ -111,24 +128,28 @@ def minhash_dedup_pairs(
 
     LSH banding: b=16, r=4 over 64 perms → the S-curve crosses ~0.5 around
     J≈(1/b)^(1/r)≈0.5, so J>=0.8 pairs are caught with high probability.
+
+    Band rows carry the (binary-packed) signature so each band group prunes
+    its candidates AGAINST THE THRESHOLD IN-BAND — only surviving pairs ever
+    leave the group. The ×bands signature duplication through the shuffle is
+    the deliberate price: the alternative (id-only band rows + a distributed
+    re-join of signatures onto candidate pairs) emits ALL C(g,2) in-band id
+    pairs unpruned, which explodes on corpora with big near-dup clusters —
+    measured, not theorized. Only (band, id, 512-byte sig) rows shuffle,
+    never documents.
     """
     sigs = minhash_signatures(ds, id_col, text_col, num_perm, shingle_k, seed)
 
     def to_bands(batch: pa.Table):
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        sig_arr = batch.column("sig").combine_chunks()
-        num_perm = sig_arr.type.list_size
-        sigs = sig_arr.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm)
-        bkeys = band_keys_matrix(sigs.view(np.uint64), bands)
-        rep_ids = np.repeat(ids, bands)
-        rep_sigs = np.repeat(sigs, bands, axis=0)
+        sg = _binary_to_mat(batch.column("sig"))
+        bkeys = band_keys_matrix(sg.view(np.uint64), bands)
+        rep = np.repeat(np.arange(len(ids)), bands)
         return pa.table(
             {
                 "band": pa.array(bkeys.ravel(), pa.int64()),
-                id_col: pa.array(rep_ids, pa.int64()),
-                "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(rep_sigs.ravel(), pa.int64()), num_perm
-                ),
+                id_col: pa.array(np.repeat(ids, bands), pa.int64()),
+                "sig": _mat_to_binary(sg[rep]),
             }
         )
 
@@ -137,16 +158,14 @@ def minhash_dedup_pairs(
     def candidates(group: pa.Table) -> pa.Table:
         n = group.num_rows
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        sig_arr = group.column("sig").combine_chunks()
-        num_perm = sig_arr.type.list_size
-        sigs = sig_arr.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm)
+        sg = _binary_to_mat(group.column("sig"))
         order = np.argsort(ids, kind="stable")
         truncated = n > max_group
         order = order[:max_group]
-        ids, sigs = ids[order], sigs[order]
+        ids, sg = ids[order], sg[order]
         # dedupe identical doc ids within the band group
         keep = np.concatenate(([True], ids[1:] != ids[:-1]))
-        ids, sigs = ids[keep], sigs[keep]
+        ids, sg = ids[keep], sg[keep]
         g = len(ids)
         if g < 2:
             return pa.table(
@@ -157,8 +176,8 @@ def minhash_dedup_pairs(
                     "truncated": pa.array([], pa.bool_()),
                 }
             )
-        # vectorized pairwise signature agreement
-        eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+        # vectorized pairwise signature agreement, thresholded IN-BAND
+        eq = (sg[:, None, :] == sg[None, :, :]).mean(axis=2)
         iu, ju = np.triu_indices(g, k=1)
         jac = eq[iu, ju]
         m = jac >= threshold

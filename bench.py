@@ -43,6 +43,12 @@ HEADLINE = [
     "explode_embedding_stats",
     "rolling_mean_events",
     "token_frequencies",
+    # round 2 additions
+    "revenue_by_nation",
+    "interp_events",
+    "alignment_report_events",
+    "approx_percentiles_events",
+    "simhash_documents",
 ]
 
 

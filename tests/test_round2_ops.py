@@ -286,6 +286,27 @@ def test_window_features_bucketed_bounds_group_unit():
         )
 
 
+# ------------------------------------------------------------------ batch minhash parity
+
+def test_minhash_signatures_batch_matches_serial():
+    from audio_feature_extraction_ray.functions.textfx import (
+        char_shingle_hashes,
+        make_minhash_params,
+        minhash_signature,
+        minhash_signatures_batch,
+    )
+
+    texts = ["hello world this is a test", "", "ab", "ÜBER große Straße",
+             "x" * 5, "the quick brown fox " * 40, "    ", "a b c d e f"]
+    a, b = make_minhash_params(32, 42)
+    batch = minhash_signatures_batch(
+        pa.chunked_array([pa.array(texts[:3]), pa.array(texts[3:])]), a, b, 5
+    )
+    for i, t in enumerate(texts):
+        serial = minhash_signature(char_shingle_hashes(t, 5), a, b)
+        np.testing.assert_array_equal(batch[i], serial, err_msg=f"doc {i}: {t!r}")
+
+
 # ------------------------------------------------------------------ stage registry
 
 def test_registry_chain_matches_direct_composition():
