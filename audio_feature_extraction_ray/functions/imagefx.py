@@ -160,6 +160,56 @@ def batch_phash_embedding(stack: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return ph_i64, emb
 
 
+_UV = np.add.outer(np.arange(32), np.arange(32))  # coefficient "frequency" u+v
+_AC = np.ones((32, 32), dtype=bool)
+_AC[0, 0] = False  # DC excluded from energy ratios
+_LOW_M = (_UV < 8) & _AC
+_MID_M = (_UV >= 8) & (_UV < 20)
+_HIGH_M = _UV >= 20
+
+
+def spectral_profile(px: np.ndarray) -> dict[str, float]:
+    """F7–F10 spectral-family analog: radial band-energy ratios + spectral
+    centroid of the 32×32 DCT spectrum (the image recast of spectral
+    centroid / bandwidth / rolloff / harmonic-energy features,
+    04_feature_extraction_experiment/feature_extractor.py:369-447).
+
+    Ratios are AC-energy fractions in three u+v-radius bands; centroid is
+    the energy-weighted mean frequency (0 = all energy at DC-adjacent
+    coefficients, rises with texture/detail — the 'brightness' analog).
+    """
+    g = _pool_axis(_pool_axis(to_gray(px)[None, :, :], 32, 1), 32, 2)
+    full = (_D32 @ g @ _D32.T)[0]
+    e = full * full
+    tot = float(e[_AC].sum())
+    if tot <= 0:
+        return {"spec_low_ratio": 0.0, "spec_mid_ratio": 0.0,
+                "spec_high_ratio": 0.0, "spec_centroid": 0.0}
+    return {
+        "spec_low_ratio": float(e[_LOW_M].sum() / tot),
+        "spec_mid_ratio": float(e[_MID_M].sum() / tot),
+        "spec_high_ratio": float(e[_HIGH_M].sum() / tot),
+        "spec_centroid": float((e * _UV)[_AC].sum() / tot),
+    }
+
+
+def batch_spectral_profile(stack: np.ndarray) -> dict[str, np.ndarray]:
+    """Vectorized :func:`spectral_profile` for N same-shape images."""
+    g = _pool_axis(_pool_axis(batch_gray(stack), 32, 1), 32, 2)
+    full = _D32 @ g @ _D32.T  # (N, 32, 32)
+    e = full * full
+    tot = e[:, _AC].sum(axis=1)
+    safe = np.maximum(tot, 1e-300)
+    out = {
+        "spec_low_ratio": np.where(tot > 0, e[:, _LOW_M].sum(axis=1) / safe, 0.0),
+        "spec_mid_ratio": np.where(tot > 0, e[:, _MID_M].sum(axis=1) / safe, 0.0),
+        "spec_high_ratio": np.where(tot > 0, e[:, _HIGH_M].sum(axis=1) / safe, 0.0),
+        "spec_centroid": np.where(tot > 0, (e * _UV[None]).reshape(len(stack), -1)[
+            :, _AC.ravel()].sum(axis=1) / safe, 0.0),
+    }
+    return out
+
+
 def batch_channel_stats(stack: np.ndarray) -> dict[str, np.ndarray]:
     """Vectorized per-channel stats for N same-shape images (float64)."""
     x = stack.astype(np.float64) / 255.0

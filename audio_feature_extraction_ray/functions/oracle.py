@@ -20,6 +20,7 @@ from .imagefx import (
     phash64,
     phash_embedding,
     quality_from_stats,
+    spectral_profile,
     tokenize_caption,
 )
 
@@ -46,6 +47,7 @@ def oracle_features(images: pa.Table) -> pd.DataFrame:
         rec["phash_calc"] = phash64(px)
         rec.update(channel_stats(px))
         rec.update(quality_from_stats(channel_stats(px), px.shape[0], px.shape[1]))
+        rec.update(spectral_profile(px))
         toks = tokenize_caption(rec["caption"])
         rec["caption_tokens"] = toks
         rec["token_count"] = len(toks)

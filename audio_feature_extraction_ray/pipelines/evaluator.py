@@ -82,3 +82,46 @@ def generate_evaluation_report(
             json.dump(report, f, indent=2, default=float)
         os.replace(tmp, out_path)
     return report
+
+
+def compare_reports(baseline: dict, improved: dict) -> dict:
+    """J5: explicit baseline-vs-improved comparison — per-metric delta and
+    relative change between two evaluation reports (the reference's
+    original-vs-improved experiment comparison,
+    02_prosody_analysis_experiment/prosody_analysis.py improved-vs-original
+    sections and 05/dtw_alignment.py:1504-1567 summary diffs).
+
+    Input: two dicts as returned by :func:`generate_evaluation_report`
+    (section → {metric: value}). Output: {section.metric: {baseline,
+    improved, delta, rel_change}} for every metric present in BOTH, plus
+    ``only_in_baseline`` / ``only_in_improved`` name lists — a schema drift
+    between runs is surfaced, never silently dropped.
+    """
+
+    def flat(rep: dict) -> dict[str, float]:
+        out = {}
+        for section, vals in rep.items():
+            if isinstance(vals, dict):
+                for k, v in vals.items():
+                    try:
+                        out[f"{section}.{k}"] = float(v)
+                    except (TypeError, ValueError):
+                        continue
+        return out
+
+    fb, fi = flat(baseline), flat(improved)
+    common = sorted(fb.keys() & fi.keys())
+    cmp = {}
+    for k in common:
+        b, i = fb[k], fi[k]
+        cmp[k] = {
+            "baseline": b,
+            "improved": i,
+            "delta": i - b,
+            "rel_change": (i - b) / abs(b) if b != 0 else (0.0 if i == 0 else float("inf")),
+        }
+    return {
+        "metrics": cmp,
+        "only_in_baseline": sorted(fb.keys() - fi.keys()),
+        "only_in_improved": sorted(fi.keys() - fb.keys()),
+    }

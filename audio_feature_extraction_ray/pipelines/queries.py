@@ -1377,6 +1377,72 @@ FROM events WHERE event_type = 'click' GROUP BY 1
 """
 
 
+def q_compare_preprocess_reports(sf_dir: str):
+    """J5 baseline-vs-improved comparison (rows-only): evaluation report of
+    raw image features vs features after a denoise+gain 'improvement' chain
+    (median3 → spectral_subtract → rms_normalize), diffed metric-by-metric
+    with compare_reports — the reference's original-vs-improved experiment
+    deliverable."""
+    from ..functions import codecs
+    from ..sources.images import synth_images
+    from ..stages.features import feature_stage
+    from ..stages.preprocess import preprocess_stage
+    from .evaluator import compare_reports, generate_evaluation_report
+
+    n = max(20, int(600 * _sf_of(sf_dir)))
+    images = synth_images(n)
+    base_feats = feature_stage(images).drop_columns(["caption_tokens", "embedding"])
+    report_a = generate_evaluation_report(
+        base_feats, stat_cols=["gray_mean"], flag_cols=["contrast_ok", "exposure_ok"],
+        quantile_col="quality_score",
+    )
+
+    processed = preprocess_stage(
+        images, chain=("median3", "spectral_subtract", "rms_normalize")
+    )
+
+    def reencode(t: pa.Table) -> pa.Table:
+        # binary payloads are inherently per-image; same per-row shape as the
+        # decode stages
+        keep = t.filter(pc.equal(t.column("status"), "ok"))
+        h = keep.column("proc_h").to_numpy(zero_copy_only=False)
+        w = keep.column("proc_w").to_numpy(zero_copy_only=False)
+        px_raw = keep.column("pixels").to_pylist()
+        enc = [
+            codecs.encode_image(
+                np.frombuffer(p, dtype=np.uint8).reshape(int(hh), int(ww), 3), "raw"
+            )
+            for p, hh, ww in zip(px_raw, h, w)
+        ]
+        return pa.table(
+            {
+                "image_id": keep.column("image_id"),
+                "ts": keep.column("ts"),
+                "bytes": pa.array(enc, pa.binary()),
+                "w": pa.array(w.astype(np.int32), pa.int32()),
+                "h": pa.array(h.astype(np.int32), pa.int32()),
+                "fmt": pa.array(["raw"] * keep.num_rows, pa.string()),
+                "caption": keep.column("caption"),
+                "phash": keep.column("phash"),
+            }
+        )
+
+    improved_images = processed.map_batches(reencode, batch_format="pyarrow",
+                                            zero_copy_batch=True)
+    imp_feats = feature_stage(improved_images).drop_columns(["caption_tokens", "embedding"])
+    report_b = generate_evaluation_report(
+        imp_feats, stat_cols=["gray_mean"], flag_cols=["contrast_ok", "exposure_ok"],
+        quantile_col="quality_score",
+    )
+    cmp = compare_reports(report_a, report_b)
+    flat: dict = {}
+    for metric, vals in sorted(cmp["metrics"].items()):
+        flat[f"{metric}.delta"] = _round6_scalar(vals["delta"])
+    flat["n_metrics"] = len(cmp["metrics"])
+    flat["n_only_baseline"] = len(cmp["only_in_baseline"])
+    return _one_row(flat)
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1421,6 +1487,7 @@ QUERIES = {
     "sample_lineitem": (q_sample_lineitem, SQL_SAMPLE_LINEITEM),
     "hash_split_documents": (q_hash_split_documents, SQL_HASH_SPLIT_DOCUMENTS),
     "image_phash_neardups": (q_image_phash_neardups, None),
+    "compare_preprocess_reports": (q_compare_preprocess_reports, None),
     "registry_chain_events": (q_registry_chain_events, SQL_REGISTRY_CHAIN_EVENTS),
     "interp_events": (q_interp_events, SQL_INTERP_EVENTS),
     "approx_percentiles_events": (q_approx_percentiles_events, None),

@@ -32,6 +32,7 @@ from ..functions.imagefx import (
     batch_channel_stats,
     batch_phash_embedding,
     batch_quality,
+    batch_spectral_profile,
     tokenize_caption,
 )
 
@@ -39,10 +40,11 @@ STAT_NAMES = [
     f"{s}_{c}" for c in ("r", "g", "b") for s in ("mean", "std", "cv", "min", "max")
 ] + ["gray_mean"]
 FLAG_NAMES = ["size_ok", "contrast_ok", "exposure_ok", "range_ok"]
+SPECTRAL_NAMES = ["spec_low_ratio", "spec_mid_ratio", "spec_high_ratio", "spec_centroid"]
 
 # Default feature selection — the reference's `features_to_extract` surface
 # (F13, README.md:141-147).
-ALL_FEATURES = ("embedding", "stats", "quality", "caption_tokens")
+ALL_FEATURES = ("embedding", "stats", "quality", "spectral", "caption_tokens")
 
 
 def _compute_feature_columns(
@@ -60,6 +62,9 @@ def _compute_feature_columns(
         for f in FLAG_NAMES:
             cols[f] = np.zeros(n, dtype=bool)
         cols["quality_score"] = np.full(n, np.nan)
+    if "spectral" in features:
+        for s in SPECTRAL_NAMES:
+            cols[s] = np.full(n, np.nan)
 
     by_shape: dict[tuple[int, int], list[int]] = {}
     for i, px in enumerate(pixels):
@@ -83,6 +88,10 @@ def _compute_feature_columns(
             for f in FLAG_NAMES:
                 cols[f][ii] = q[f]
             cols["quality_score"][ii] = q["quality_score"]
+        if "spectral" in features:
+            sp = batch_spectral_profile(stack)
+            for s in SPECTRAL_NAMES:
+                cols[s][ii] = sp[s]
     return cols
 
 
@@ -110,6 +119,9 @@ def _finish_table(
         for f in FLAG_NAMES:
             out[f] = pa.array(cols[f], pa.bool_())
         out["quality_score"] = pa.array(cols["quality_score"], pa.float64(), from_pandas=True)
+    if "spectral" in features:
+        for s in SPECTRAL_NAMES:
+            out[s] = pa.array(cols[s], pa.float64(), from_pandas=True)
     if "caption_tokens" in features and "caption" in batch.column_names:
         caps = batch.column("caption").to_pylist()
         toks = [tokenize_caption(c) if c is not None else [] for c in caps]

@@ -121,6 +121,27 @@ def content_region(x: np.ndarray, threshold: float = 0.01) -> np.ndarray:
     ]
 
 
+def spectral_subtract(x: np.ndarray, strength: float = 1.0) -> np.ndarray:
+    """Noise-floor subtraction (M11–M13 spectral-subtraction / Wiener
+    denoise analog, 04_feature_extraction_experiment/process_audio.py:75-98):
+    estimate the smooth background with a box blur and subtract it from the
+    signal, keeping the positive residual plus the background mean — removes
+    slowly-varying 'noise floor' while preserving detail energy."""
+    background = _conv3(x, _BOX_K)
+    residual = x - strength * background
+    return np.clip(residual + background.mean(), 0.0, 1.0)
+
+
+def rms_normalize(x: np.ndarray, target_rms: float = 0.25) -> np.ndarray:
+    """Gain normalization to a target RMS level (M14/M15 loudness / RMS gain
+    analog, 04/feature_extractor.py:137-141): scale pixel energy so the
+    root-mean-square equals ``target_rms``, clipped back into [0, 1]."""
+    rms = float(np.sqrt(np.mean(x**2)))
+    if rms == 0:
+        return x
+    return np.clip(x * (target_rms / rms), 0.0, 1.0)
+
+
 OPS = {
     "peak_normalize": peak_normalize,
     "sharpen": sharpen,
@@ -130,6 +151,8 @@ OPS = {
     "robust_iqr": robust_iqr,
     "border_crop": border_crop,
     "content_region": content_region,
+    "spectral_subtract": spectral_subtract,
+    "rms_normalize": rms_normalize,
 }
 
 

@@ -37,7 +37,9 @@ def test_pipeline_matches_oracle():
     ok = (eng["status"] == "ok").to_numpy()
     assert ok.sum() > 0 and (~ok).sum() > 0  # corrupt rows present, as data
     # scalar feature allclose at every entity×timestamp
-    for col in STAT_NAMES + ["quality_score"]:
+    from audio_feature_extraction_ray.stages.features import SPECTRAL_NAMES
+
+    for col in STAT_NAMES + SPECTRAL_NAMES + ["quality_score"]:
         a = eng.loc[ok, col].to_numpy(dtype=np.float64)
         b = orc.loc[ok, col].to_numpy(dtype=np.float64)
         np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12, err_msg=col)

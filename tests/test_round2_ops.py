@@ -177,6 +177,59 @@ def test_pairwise_quality_identical_and_noisy():
     assert out.loc["p2", "status"] == "missing_counterpart"
 
 
+# ------------------------------------------------------------------ preprocess additions / report comparison
+
+def test_new_preprocess_ops_shapes_and_ranges():
+    from audio_feature_extraction_ray.stages.preprocess import (
+        rms_normalize,
+        spectral_subtract,
+    )
+
+    rng = np.random.default_rng(9)
+    x = rng.random((16, 12, 3))
+    for fn in (spectral_subtract, rms_normalize):
+        y = fn(x)
+        assert y.shape == x.shape
+        assert y.min() >= 0.0 and y.max() <= 1.0
+    # rms_normalize actually hits the target RMS (when no clipping binds)
+    y = rms_normalize(x * 0.1, target_rms=0.25)
+    np.testing.assert_allclose(np.sqrt(np.mean(y**2)), 0.25, rtol=1e-9)
+    # flat image passes through unchanged paths without NaN
+    flat = np.full((8, 8, 3), 0.5)
+    assert np.isfinite(spectral_subtract(flat)).all()
+    assert np.isfinite(rms_normalize(np.zeros((8, 8, 3)))).all()
+
+
+def test_compare_reports_deltas_and_drift():
+    from audio_feature_extraction_ray.pipelines.evaluator import compare_reports
+
+    a = {"stats": {"m": 2.0, "x": 1.0}, "rates": {"ok": 0.5}}
+    b = {"stats": {"m": 3.0}, "rates": {"ok": 0.75, "new": 1.0}}
+    cmp = compare_reports(a, b)
+    assert cmp["metrics"]["stats.m"]["delta"] == 1.0
+    assert cmp["metrics"]["stats.m"]["rel_change"] == 0.5
+    assert cmp["metrics"]["rates.ok"]["improved"] == 0.75
+    assert cmp["only_in_baseline"] == ["stats.x"]
+    assert cmp["only_in_improved"] == ["rates.new"]
+
+
+def test_spectral_profile_serial_batch_parity():
+    from audio_feature_extraction_ray.functions.imagefx import (
+        batch_spectral_profile,
+        spectral_profile,
+    )
+
+    rng = np.random.default_rng(12)
+    stack = rng.integers(0, 256, size=(6, 40, 56, 3), dtype=np.uint8)
+    batch = batch_spectral_profile(stack)
+    for i in range(6):
+        serial = spectral_profile(stack[i])
+        for k, v in serial.items():
+            np.testing.assert_allclose(batch[k][i], v, rtol=1e-12, err_msg=k)
+    ratios = batch["spec_low_ratio"] + batch["spec_mid_ratio"] + batch["spec_high_ratio"]
+    np.testing.assert_allclose(ratios, 1.0, rtol=1e-9)
+
+
 # ------------------------------------------------------------------ value-partitioned sink
 
 def test_value_partitioned_write_and_resume(tmp_path):
