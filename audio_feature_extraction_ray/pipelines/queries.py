@@ -127,6 +127,7 @@ def q_pricing_summary(sf_dir: str):
             ("avg_price", "l_extendedprice", "mean"),
         ],
         count_alias="count_order",
+        num_final_partitions=1,  # 6 final groups — no phase-2 shuffle
     )
     agg = _round_cols(agg, ["sum_base_price"], digits=2)
     return _round_cols(agg, ["sum_qty", "sum_disc_price", "avg_qty", "avg_price"], digits=4)
@@ -294,6 +295,7 @@ def q_join_customer_orders(sf_dir: str):
     agg = grouped_agg_fast(
         joined, keys=["c_mktsegment"],
         specs=[("sum_totalprice", "o_totalprice", "sum")], count_alias="n_orders",
+        num_final_partitions=1,  # 5 market segments
     )
     return _round_cols(agg, ["sum_totalprice"], digits=2)
 
@@ -381,6 +383,7 @@ def q_revenue_by_nation(sf_dir: str):
     agg = grouped_agg_fast(
         with_nation, keys=["n_name"],
         specs=[("sum_totalprice", "sum_price", "sum"), ("n_orders", "n_ord", "sum")],
+        num_final_partitions=1,  # 25 nations
     )
     return _round_cols(agg, ["sum_totalprice"], digits=2)
 
@@ -538,6 +541,7 @@ def q_time_bucket_stats(sf_dir: str):
     agg = grouped_agg_fast(
         time_bucket(ev, "ts", width_us=HOUR_US), keys=["bucket"],
         specs=[("sum_value", "value", "sum")], count_alias="n",
+        num_final_partitions=1,  # ~720 hourly buckets — partials stay tiny
     )
     return _round_cols(agg, ["sum_value"], digits=4)
 
@@ -740,6 +744,7 @@ def q_native_hash_join(sf_dir: str):
     agg = grouped_agg_fast(
         joined, keys=["o_orderpriority"],
         specs=[("sum_qty", "l_quantity", "sum")], count_alias="n_items",
+        num_final_partitions=1,  # 5 priorities
     )
     return _round_cols(agg, ["sum_qty"], digits=4)
 
@@ -867,7 +872,8 @@ def q_hash_split_documents(sf_dir: str):
 
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
     split = hash_split(docs, ["doc_id"], {"train": 0.8, "val": 0.1})
-    return grouped_agg_fast(split, keys=["split"], specs=[], count_alias="n")
+    return grouped_agg_fast(split, keys=["split"], specs=[], count_alias="n",
+                            num_final_partitions=1)
 
 
 SQL_HASH_SPLIT_DOCUMENTS = """
@@ -1055,7 +1061,8 @@ def q_price_histogram(sf_dir: str):
         return pa.table({"bin": pa.array((v // 50_000.0).astype(np.int64), pa.int64())})
 
     binned = orders.map_batches(bin_, batch_format="pyarrow", zero_copy_batch=True)
-    return grouped_agg_fast(binned, keys=["bin"], specs=[], count_alias="n")
+    return grouped_agg_fast(binned, keys=["bin"], specs=[], count_alias="n",
+                            num_final_partitions=1)
 
 
 SQL_PRICE_HISTOGRAM = """
@@ -1215,6 +1222,7 @@ def q_alignment_report_events(sf_dir: str):
         specs=[("n_pairs", "n_matched", "sum"), ("sum_sq", "sum_sq", "sum"),
                ("pct_users_meeting", "meets", "mean")],
         count_alias="n_users",
+        num_final_partitions=1,  # 10 cohorts
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -1365,6 +1373,7 @@ def q_registry_chain_events(sf_dir: str):
                 "keys": ["bucket"],
                 "specs": [("sum_value", "value", "sum")],
                 "count_alias": "n",
+                "num_final_partitions": 1,
             },
         ],
     )

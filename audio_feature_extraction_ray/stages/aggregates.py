@@ -143,8 +143,6 @@ def grouped_agg_fast(
         b = (h % np.uint64(num_final_partitions)).astype(np.int32)
         return t.append_column("__bucket", pa.array(b))
 
-    bucketed = partial.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-
     def phase2(group: pa.Table) -> pa.Table:
         group = group.drop_columns(["__bucket"])
         gb = group.group_by(keys)
@@ -173,6 +171,21 @@ def grouped_agg_fast(
                 out[out_name] = res.column(f"__{fn}_{col}_{suffix}")
         return pa.table(out)
 
+    # single-final-partition fast path: when the caller knows the final key
+    # cardinality is SMALL (a handful of groups — flags, nations, cohorts,
+    # histogram bins), phase 2 needs no hash shuffle at all: coalesce the
+    # tiny partials (bounded by #blocks × #keys, never row count) into one
+    # block and combine there — saves one sort-based all-to-all per query.
+    if num_final_partitions == 1:
+
+        def phase2_single(t: pa.Table) -> pa.Table:
+            return phase2(t.append_column("__bucket", pa.nulls(t.num_rows, pa.int32())))
+
+        return partial.repartition(1).map_batches(
+            phase2_single, batch_format="pyarrow", batch_size=None
+        )
+
+    bucketed = partial.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
     return bucketed.groupby("__bucket").map_groups(phase2, batch_format="pyarrow")
 
 

@@ -322,6 +322,7 @@ def alignment_report(
             ("pct_meets_both", "f_meets_both", "mean"),
         ],
         count_alias="n_pairs",
+        num_final_partitions=1,  # report groups are few by construction
     )
 
     def finish(t: pa.Table) -> pa.Table:
