@@ -631,10 +631,48 @@ def q_simhash_documents(sf_dir: str):
 
 
 def q_langid_documents(sf_dir: str):
-    """n-gram/stopword language ID vs the labeled lang column (rows-only)."""
+    """Stopword-overlap language ID vs the labeled lang column — now
+    DuckDB-replayable: the prediction is the argmax (first-wins ties, lang
+    order en→de→fr→es) of per-language stopword hit counts, which SQL list
+    ops reproduce exactly (counts are integers; no float comparison)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     out = text_features(ds, quality=False, lang=True, fingerprints=False)
     return out.select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def _langid_sql() -> str:
+    from ..functions.textfx import _LANG_STOPWORDS
+
+    sets = {
+        lang: ", ".join(f"'{w}'" for w in sorted(ws))
+        for lang, ws in _LANG_STOPWORDS.items()
+    }
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_transform(
+           string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'),
+           x -> trim(lower(x), '.,!?;:()"' || chr(39))) AS t
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(t, x -> x IN ({sets['en']}))) AS s_en,
+         len(list_filter(t, x -> x IN ({sets['de']}))) AS s_de,
+         len(list_filter(t, x -> x IN ({sets['fr']}))) AS s_fr,
+         len(list_filter(t, x -> x IN ({sets['es']}))) AS s_es
+  FROM toks
+)
+SELECT doc_id, lang,
+       CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM scored
+"""
+
+
+SQL_LANGID_DOCUMENTS = _langid_sql()
 
 
 def q_fingerprint_documents(sf_dir: str):
@@ -1386,6 +1424,46 @@ FROM events WHERE event_type = 'click' GROUP BY 1
 """
 
 
+def q_sessionize_events_bucketed(sf_dir: str):
+    """Gap sessionization through the BOUNDED-MEMORY bucketed window path —
+    same oracle SQL as ``sessionize_events``, so the cross-bucket session
+    carry (window_features_bucketed phase B) is hash-exact-pinned against
+    DuckDB, not just pytest-pinned. Session ids are tie-order-independent
+    (equal timestamps have gap 0), so no tiebreak column is needed."""
+    from ..stages.window import window_features_bucketed
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = window_features_bucketed(
+        ev, key="user_id", ts="ts", value_cols=[], bucket_us=6 * HOUR_US,
+        lags=(), leads=(), deltas=False, session_gap_us=HOUR_US,
+    )
+    return out.select_columns(["event_id", "user_id", "session_id"])
+
+
+def q_knn_ivf_embeddings(sf_dir: str):
+    """ANN scale path (rows-only): IVF coarse-quantizer top-k — sampled
+    k-means centroids trained once, probes search n_probe cells. Recall vs
+    the exact path is pinned in pytest; the gate pins determinism."""
+    from ..stages.similarity import knn_ivf
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    probes = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    qm = np.stack(probes["embedding"].to_list()).astype(np.float64)
+    out = knn_ivf(emb, probes["vec_id"].to_numpy(), qm, k=10)
+    return out.select_columns(["query_id", "vec_id", "rank"]).sort(["query_id", "rank"])
+
+
+def q_knn_lsh_embeddings(sf_dir: str):
+    """ANN scale path (rows-only): hyperplane-LSH bucketed top-k."""
+    from ..stages.similarity import knn_lsh
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    probes = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    qm = np.stack(probes["embedding"].to_list()).astype(np.float64)
+    out = knn_lsh(emb, probes["vec_id"].to_numpy(), qm, k=10)
+    return out.select_columns(["query_id", "vec_id", "rank"]).sort(["query_id", "rank"])
+
+
 def q_compare_preprocess_reports(sf_dir: str):
     """J5 baseline-vs-improved comparison (rows-only): evaluation report of
     raw image features vs features after a denoise+gain 'improvement' chain
@@ -1480,7 +1558,7 @@ QUERIES = {
     "dedup_exact_documents": (q_dedup_exact_documents, SQL_DEDUP_EXACT_DOCUMENTS),
     "minhash_pairs_documents": (q_minhash_pairs_documents, None),
     "simhash_documents": (q_simhash_documents, None),
-    "langid_documents": (q_langid_documents, None),
+    "langid_documents": (q_langid_documents, SQL_LANGID_DOCUMENTS),
     "fingerprint_documents": (q_fingerprint_documents, None),
     "knn_embeddings": (q_knn_embeddings, SQL_KNN_EMBEDDINGS),
     "native_hash_join": (q_native_hash_join, SQL_NATIVE_HASH_JOIN),
@@ -1497,6 +1575,9 @@ QUERIES = {
     "hash_split_documents": (q_hash_split_documents, SQL_HASH_SPLIT_DOCUMENTS),
     "image_phash_neardups": (q_image_phash_neardups, None),
     "compare_preprocess_reports": (q_compare_preprocess_reports, None),
+    "sessionize_events_bucketed": (q_sessionize_events_bucketed, SQL_SESSIONIZE_EVENTS),
+    "knn_ivf_embeddings": (q_knn_ivf_embeddings, None),
+    "knn_lsh_embeddings": (q_knn_lsh_embeddings, None),
     "registry_chain_events": (q_registry_chain_events, SQL_REGISTRY_CHAIN_EVENTS),
     "interp_events": (q_interp_events, SQL_INTERP_EVENTS),
     "approx_percentiles_events": (q_approx_percentiles_events, None),
