@@ -1464,6 +1464,41 @@ def q_knn_lsh_embeddings(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"]).sort(["query_id", "rank"])
 
 
+def q_dedup_clusters_documents(sf_dir: str):
+    """Fuzzy-dedup endgame (rows-only): MinHash near-dup pairs → connected
+    components (distributed min-label propagation) → per-cluster sizes.
+    The full pair graph collapses to (cluster representative, member count)."""
+    from ..stages.dedup import connected_components
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, id_col="doc_id", threshold=0.7)
+    comps = connected_components(pairs)
+    sizes = grouped_agg_fast(comps, keys=["cluster"], specs=[], count_alias="n_members",
+                             num_final_partitions=1)
+    return sizes.sort("cluster")
+
+
+def q_checkpoint_manifest_events(sf_dir: str):
+    """K6 lineage evidence (rows-only, deterministic): hash-partition the
+    events table into a resumable checkpointed parquet layout and return the
+    lineage manifest — (partition_id, rows, content_hash) — sorted. The
+    content hashes are canonical (order-insensitive IPC sha256), so the
+    manifest is identical across cluster sizes and reruns; resume semantics
+    themselves are pinned by test_resume / test_kill_resume_e2e."""
+    import tempfile
+
+    from ..state.checkpoint import write_partitioned_resumable
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out_dir = tempfile.mkdtemp(prefix="ckpt_gate_")
+    manifest = write_partitioned_resumable(
+        ev, out_dir, key="user_id", n_partitions=16, sort_keys=["event_id"]
+    )
+    t = manifest.select(["partition_id", "rows", "content_hash"])
+    order = pc.sort_indices(t, sort_keys=[("partition_id", "ascending")])
+    return t.take(order)
+
+
 def q_compare_preprocess_reports(sf_dir: str):
     """J5 baseline-vs-improved comparison (rows-only): evaluation report of
     raw image features vs features after a denoise+gain 'improvement' chain
@@ -1576,6 +1611,8 @@ QUERIES = {
     "image_phash_neardups": (q_image_phash_neardups, None),
     "compare_preprocess_reports": (q_compare_preprocess_reports, None),
     "sessionize_events_bucketed": (q_sessionize_events_bucketed, SQL_SESSIONIZE_EVENTS),
+    "checkpoint_manifest_events": (q_checkpoint_manifest_events, None),
+    "dedup_clusters_documents": (q_dedup_clusters_documents, None),
     "knn_ivf_embeddings": (q_knn_ivf_embeddings, None),
     "knn_lsh_embeddings": (q_knn_lsh_embeddings, None),
     "registry_chain_events": (q_registry_chain_events, SQL_REGISTRY_CHAIN_EVENTS),

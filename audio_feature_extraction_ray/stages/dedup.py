@@ -370,6 +370,112 @@ def simhash_dedup_pairs(
     )
 
 
+def connected_components(
+    pairs: ray.data.Dataset,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> ray.data.Dataset:
+    """Near-dup pair list → cluster assignment (id, cluster) by distributed
+    min-label propagation — the standard fuzzy-dedup endgame (candidate
+    pairs → connected components → keep one representative per component).
+
+    Each iteration: every node sends its current label to its neighbors
+    (one ``bucket_hash_join`` of the edge list against the label table),
+    then every node takes the min of its own and received labels (one
+    grouped min). Labels only decrease, so the global label SUM is a
+    monotone convergence witness: when it stops changing, the fixpoint is
+    reached — no expensive change-detection join. Diameter-bounded
+    iterations (near-dup components are shallow; ``max_iter`` is a
+    backstop, logged if hit).
+    """
+    import logging
+
+    from ray.data.aggregate import Sum
+
+    from .aggregates import grouped_agg_fast
+    from .joins import bucket_hash_join
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column(id_a).to_numpy(zero_copy_only=False)
+        b = t.column(id_b).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()  # reused every iteration; edge list is pair-sized
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("src"), "label": t.column("src")})
+
+    labels = grouped_agg_fast(
+        edges.map_batches(init_labels, batch_format="pyarrow"),
+        keys=["node"], specs=[("label", "label", "min")],
+    ).materialize()
+    prev_sum = None
+    for it in range(max_iter):
+        # neighbor messages: (dst, neighbor's current label)
+        lab_src = labels.map_batches(
+            lambda t: pa.table({"src": t.column("node"), "nlabel": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        msgs = bucket_hash_join(edges, lab_src, on="src", num_buckets=8).map_batches(
+            lambda t: pa.table({"node": t.column("dst"), "label": t.column("nlabel")}),
+            batch_format="pyarrow",
+        )
+        combined = msgs.union(
+            labels.map_batches(lambda t: t.select(["node", "label"]), batch_format="pyarrow")
+        )
+        labels = grouped_agg_fast(
+            combined, keys=["node"], specs=[("label", "label", "min")]
+        ).materialize()
+        total = labels.aggregate(Sum(on="label"))["sum(label)"]
+        if total == prev_sum:
+            break
+        prev_sum = total
+    else:
+        logging.getLogger(__name__).warning(
+            "connected_components: label propagation hit max_iter=%d before the "
+            "convergence witness settled — component diameter exceeds the budget",
+            max_iter,
+        )
+    return labels.map_batches(
+        lambda t: pa.table({"id": t.column("node"), "cluster": t.column("label")}),
+        batch_format="pyarrow",
+    )
+
+
+def dedup_keep_representatives(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> ray.data.Dataset:
+    """Fuzzy-dedup KEEP step: drop every row that belongs to a near-dup
+    component but is not its min-id representative. Rows in no component
+    pass through untouched (they never enter the label table, so only
+    component membership — pair-bounded, never corpus-bounded — shuffles).
+    """
+    comps = connected_components(pairs, id_a, id_b)
+
+    def drop_ids(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("id"), t.column("cluster"))
+        return pa.table({"drop_id": t.column("id").filter(keep)})
+
+    to_drop = comps.map_batches(drop_ids, batch_format="pyarrow", zero_copy_batch=True)
+    drop_t = pa.table(
+        {id_col: pa.array(sorted(to_drop.unique("drop_id")), pa.int64())}
+    )
+    from .joins import broadcast_semi_join
+
+    return broadcast_semi_join(ds, drop_t, key=id_col, anti=True)
+
+
 def embedding_dedup_pairs(
     ds: ray.data.Dataset,
     id_col: str = "vec_id",

@@ -436,6 +436,35 @@ def test_phash_hamming_neardups():
     assert all(a in (0, 2) for a, _ in got)
 
 
+# ------------------------------------------------------------------ connected components
+
+def test_connected_components_chain_and_singletons():
+    from audio_feature_extraction_ray.stages.dedup import connected_components
+
+    # components: {1,2,3,4} via a chain, {10,11}, and 20-20 self-pair noise
+    pairs = pd.DataFrame(
+        {"id_a": [1, 2, 3, 10, 7], "id_b": [2, 3, 4, 11, 7]}
+    )
+    comps = connected_components(ray.data.from_pandas(pairs)).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    lab = dict(zip(comps["id"], comps["cluster"]))
+    assert lab[1] == lab[2] == lab[3] == lab[4] == 1
+    assert lab[10] == lab[11] == 10
+    assert lab[7] == 7
+
+
+def test_dedup_keep_representatives():
+    from audio_feature_extraction_ray.stages.dedup import dedup_keep_representatives
+
+    docs = pd.DataFrame({"doc_id": np.arange(8, dtype=np.int64), "text": list("abcdefgh")})
+    pairs = pd.DataFrame({"id_a": [0, 1, 5], "id_b": [1, 2, 6]})
+    kept = dedup_keep_representatives(
+        ray.data.from_pandas(docs), ray.data.from_pandas(pairs), id_col="doc_id"
+    ).to_pandas()
+    # component {0,1,2} keeps 0; {5,6} keeps 5; untouched: 3,4,7
+    assert sorted(kept["doc_id"]) == [0, 3, 4, 5, 7]
+
+
 # ------------------------------------------------------------------ bucket hash join
 
 def test_bucket_hash_join_matches_pandas():
