@@ -417,6 +417,37 @@ ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+def q_asof_events_forward(sf_dir: str):
+    """J4 forward direction + lookahead tolerance: for each click, the
+    EARLIEST purchase at-or-after it within 6 h — the other half of the
+    as-of operator surface, oracle-checked (DuckDB ASOF with ``<=`` plus a
+    post-join tolerance null-out, matching the engine's semantics)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    clicks = ev.filter(expr="event_type == 'click'") \
+        .select_columns(["event_id", "user_id", "ts"])
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+        .select_columns(["user_id", "ts", "value"]) \
+        .map_batches(lambda t: t.rename_columns(["user_id", "r_ts", "value"]),
+                     batch_format="pyarrow")
+    return asof_join(clicks, purchases, on="user_id", left_ts="ts", right_ts="r_ts",
+                     value_cols=["value"], suffix="_next", direction="forward",
+                     tolerance_us=6 * HOUR_US)
+
+
+SQL_ASOF_EVENTS_FORWARD = """
+SELECT c.event_id, c.user_id, c.ts,
+       CASE WHEN p.r_ts IS NOT NULL
+                 AND epoch_us(p.r_ts) - epoch_us(c.ts) <= 21600000000
+            THEN p.value END AS value_next,
+       CASE WHEN p.r_ts IS NOT NULL
+                 AND epoch_us(p.r_ts) - epoch_us(c.ts) <= 21600000000
+            THEN p.r_ts END AS matched_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts AS r_ts, value FROM events WHERE event_type = 'purchase') p
+ON c.user_id = p.user_id AND c.ts <= p.r_ts
+"""
+
+
 def q_lag_lead_events(sf_dir: str):
     """Lag/lead/Δ/Δ² window features per user."""
     ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
@@ -1582,6 +1613,7 @@ QUERIES = {
     "top10_order_revenue": (q_top10_order_revenue, SQL_TOP10_ORDER_REVENUE),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "asof_events": (q_asof_events, SQL_ASOF_EVENTS),
+    "asof_events_forward": (q_asof_events_forward, SQL_ASOF_EVENTS_FORWARD),
     "lag_lead_events": (q_lag_lead_events, SQL_LAG_LEAD_EVENTS),
     "ffill_events": (q_ffill_events, SQL_FFILL_EVENTS),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
