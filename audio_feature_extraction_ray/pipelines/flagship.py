@@ -13,7 +13,7 @@ from __future__ import annotations
 import ray.data
 
 from ..sources.images import synth_asof_queries, synth_images
-from ..stages.asof import asof_join
+from ..stages.asof import asof_join, asof_join_broadcast
 from ..stages.features import feature_stage
 from ..stages.window import window_features
 
@@ -49,21 +49,33 @@ def feature_table(
     )
 
 
+BROADCAST_PROBE_LIMIT = 200_000  # above this, probes shuffle like any fact side
+
+
 def pit_join(
     features: ray.data.Dataset,
     n_entities: int,
     n_queries: int,
     seed: int = 43,
 ) -> ray.data.Dataset:
-    """Point-in-time join of probe queries against the feature timeline."""
+    """Point-in-time join of probe queries against the feature timeline.
+
+    Small probe batches take the ZERO-SHUFFLE broadcast as-of (the feature
+    table is entity-partitioned by construction, so each probe entity is
+    owned by exactly one block); large probe sets fall back to the
+    shuffle-based as-of. Both paths are pinned to the same serial PIT
+    oracle in tests.
+    """
     queries = synth_asof_queries(n_entities, n_queries, seed=seed)
-    return asof_join(
+    value_cols = ["quality_score", "gray_mean", "phash_calc", "session_id"]
+    join = asof_join_broadcast if n_queries <= BROADCAST_PROBE_LIMIT else asof_join
+    return join(
         queries,
         features,
         on="image_id",
         left_ts="query_ts",
         right_ts="ts",
-        value_cols=["quality_score", "gray_mean", "phash_calc", "session_id"],
+        value_cols=value_cols,
     )
 
 

@@ -166,6 +166,128 @@ def asof_join(
     return unioned.groupby(on).map_groups(merge, batch_format="pyarrow")
 
 
+def asof_join_broadcast(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    matched_ts_col: str = "matched_ts",
+) -> ray.data.Dataset:
+    """Zero-shuffle as-of join for a SMALL probe side over an ENTITY-LOCAL
+    build side.
+
+    When probes are small (an online feature-lookup batch: thousands against
+    billions of build rows) the shuffle-based :func:`asof_join` moves the
+    whole build side through a sort for nothing. Here the probe table is
+    broadcast (``ray.put`` once), every build block merges the probes whose
+    entities it owns locally, and probes whose entity exists in NO build
+    block get their null rows from one distributed ``unique(on)`` — the
+    anti-join coverage without a shuffle.
+
+    REQUIRES every entity's build rows to live in one block (the
+    ``assume_partitioned`` contract — entity-partitioned sources or
+    ``read_partitioned`` checkpoints); each probe entity is then handled by
+    exactly one task, the build side is consumed exactly ONCE (no second
+    pass for anti coverage — handled probes are tracked by a carried probe
+    index and the difference yields the null rows), and the output — probe-
+    sized by the operator's own contract — is assembled on the driver.
+    Equivalence with :func:`asof_join` is pinned in tests.
+    """
+    import ray as _ray
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    left, lschema = arrow_schema_of(left)
+    right, rschema = arrow_schema_of(right)
+    rtypes = {n: t for n, t in zip(rschema.names, rschema.types)}
+    rts_type = rtypes[right_ts]
+    left_cols = list(zip(lschema.names, lschema.types))
+    out_schema = pa.schema(
+        [pa.field(n, t) for n, t in left_cols]
+        + [pa.field(c + suffix, rtypes[c]) for c in value_cols]
+        + [pa.field(matched_ts_col, rts_type)]
+    )
+    mid_schema = pa.schema(list(out_schema) + [pa.field("__pidx", pa.int64())])
+    probes_t = pa.concat_tables(
+        list(left.iter_batches(batch_format="pyarrow", batch_size=None))
+    ).combine_chunks()
+    probes_t = probes_t.append_column(
+        "__pidx", pa.array(np.arange(probes_t.num_rows, dtype=np.int64))
+    )
+    ref = _ray.put(probes_t)
+    fwd = direction == "forward"
+
+    def merge_block(block: pa.Table) -> pa.Table:
+        probes: pa.Table = _ray.get(ref)
+        ents = pc.unique(block.column(on))
+        local = probes.filter(pc.is_in(probes.column(on), value_set=ents))
+        n = local.num_rows
+        if n == 0:
+            return mid_schema.empty_table()
+        # per-entity vectorized sorted merges; the loop is over the probe
+        # side's DISTINCT LOCAL ENTITIES (small by contract), never rows
+        bts = _ts_i64(block.column(right_ts))
+        bent = block.column(on)
+        out_parts = []
+        for ent in pc.unique(local.column(on)).to_pylist():
+            lt = local.filter(pc.equal(local.column(on), ent))
+            bmask = pc.equal(bent, ent)
+            rt = block.filter(bmask)
+            rts = bts[bmask.to_numpy(zero_copy_only=False)]
+            order = np.argsort(rts, kind="stable")
+            rts_sorted = rts[order]
+            lts = _ts_i64(lt.column(left_ts))
+            cols = {name: lt.column(name) for name, _ in left_cols}
+            if fwd:
+                idx = np.searchsorted(rts_sorted, lts, side="left")
+                valid = idx < len(rts_sorted)
+                idx_c = np.minimum(idx, len(rts_sorted) - 1)
+                if tolerance_us is not None:
+                    valid &= (rts_sorted[idx_c] - lts) <= tolerance_us
+            else:
+                idx = np.searchsorted(rts_sorted, lts, side="right") - 1
+                valid = idx >= 0
+                idx_c = np.maximum(idx, 0)
+                if tolerance_us is not None:
+                    valid &= (lts - rts_sorted[idx_c]) <= tolerance_us
+            safe_idx = pa.array(np.where(valid, order[idx_c], 0).astype(np.int64), pa.int64())
+            validity = pa.array(valid)
+            for c in value_cols:
+                taken = pc.take(rt.column(c).combine_chunks(), safe_idx)
+                cols[c + suffix] = pc.if_else(validity, taken, pa.nulls(len(lts), rtypes[c]))
+            taken_ts = pc.take(rt.column(right_ts).combine_chunks(), safe_idx)
+            cols[matched_ts_col] = pc.if_else(validity, taken_ts, pa.nulls(len(lts), rts_type))
+            cols["__pidx"] = lt.column("__pidx")
+            out_parts.append(pa.table(cols, schema=mid_schema))
+        return pa.concat_tables(out_parts)
+
+    matched_t = pa.concat_tables(
+        list(
+            right.map_batches(
+                merge_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    handled = matched_t.column("__pidx").to_numpy(zero_copy_only=False)
+    miss_mask = np.ones(probes_t.num_rows, dtype=bool)
+    miss_mask[handled] = False
+    miss = probes_t.filter(pa.array(miss_mask))
+    cols = {name: miss.column(name) for name, _ in left_cols}
+    for c in value_cols:
+        cols[c + suffix] = pa.nulls(miss.num_rows, rtypes[c])
+    cols[matched_ts_col] = pa.nulls(miss.num_rows, rts_type)
+    null_t = pa.table(cols, schema=out_schema)
+    import ray.data as _rd
+
+    out = pa.concat_tables([matched_t.drop_columns(["__pidx"]).cast(out_schema), null_t])
+    return _rd.from_arrow(out)
+
+
 def asof_join_bucketed(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

@@ -436,6 +436,43 @@ def test_phash_hamming_neardups():
     assert all(a in (0, 2) for a, _ in got)
 
 
+# ------------------------------------------------------------------ broadcast as-of
+
+def test_asof_join_broadcast_equivalence():
+    from audio_feature_extraction_ray.stages.asof import asof_join, asof_join_broadcast
+
+    rng = np.random.default_rng(21)
+    # entity-partitioned build side: one pandas block per entity group
+    blocks = []
+    for ents in (["a", "b"], ["c"], ["d", "e"]):
+        rows = []
+        for k in ents:
+            for t in np.sort(rng.choice(10**6, size=rng.integers(2, 9), replace=False)):
+                rows.append({"k": k, "ts": int(t), "v": float(rng.random())})
+        blocks.append(pd.DataFrame(rows))
+    build = ray.data.from_pandas(blocks)
+    probes = pd.DataFrame(
+        {
+            "q": np.arange(40, dtype=np.int64),
+            "k": rng.choice(list("abcdefgh"), size=40),  # f/g/h = missing entities
+            "qts": rng.integers(0, 1_200_000, size=40),
+        }
+    )
+    probe_ds = ray.data.from_pandas(probes)
+    kwargs = dict(on="k", left_ts="qts", right_ts="ts", value_cols=["v"])
+    for direction, tol in (("backward", None), ("backward", 50_000), ("forward", 100_000)):
+        a = asof_join(probe_ds, build, direction=direction, tolerance_us=tol, **kwargs) \
+            .to_pandas().sort_values("q").reset_index(drop=True)
+        b = asof_join_broadcast(probe_ds, build, direction=direction, tolerance_us=tol,
+                                **kwargs).to_pandas().sort_values("q").reset_index(drop=True)
+        assert len(a) == len(b) == 40, (direction, tol)
+        np.testing.assert_allclose(
+            a["v_asof"].to_numpy(np.float64), b["v_asof"].to_numpy(np.float64),
+            equal_nan=True, err_msg=f"{direction}/{tol}",
+        )
+        pd.testing.assert_series_equal(a["matched_ts"], b["matched_ts"])
+
+
 # ------------------------------------------------------------------ connected components
 
 def test_connected_components_chain_and_singletons():
