@@ -1014,6 +1014,45 @@ SELECT o_orderkey, 'big' AS segment FROM orders WHERE o_totalprice > 450000
 
 
 
+def q_intersect_order_keys(sf_dir: str):
+    """Set op INTERSECT: order keys that are both urgent AND big-ticket —
+    distributed distinct on one side, broadcast membership on the other
+    (semi-join recast of INTERSECT; §2.7)."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    urgent = orders.filter(expr="o_orderpriority == '1-URGENT'").select_columns(["o_orderkey"])
+    big_keys = orders.filter(expr="o_totalprice > 300000.0")
+    keys = pa.table(
+        {"o_orderkey": pa.array(sorted(big_keys.unique("o_orderkey")), pa.int64())}
+    )
+    return broadcast_semi_join(urgent, keys, key="o_orderkey")
+
+
+SQL_INTERSECT_ORDER_KEYS = """
+SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_orderkey FROM orders WHERE o_totalprice > 300000
+"""
+
+
+def q_except_order_keys(sf_dir: str):
+    """Set op EXCEPT: urgent order keys that are NOT big-ticket (anti
+    membership; §2.7)."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    urgent = orders.filter(expr="o_orderpriority == '1-URGENT'").select_columns(["o_orderkey"])
+    big_keys = orders.filter(expr="o_totalprice > 300000.0")
+    keys = pa.table(
+        {"o_orderkey": pa.array(sorted(big_keys.unique("o_orderkey")), pa.int64())}
+    )
+    return broadcast_semi_join(urgent, keys, key="o_orderkey", anti=True)
+
+
+SQL_EXCEPT_ORDER_KEYS = """
+SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_orderkey FROM orders WHERE o_totalprice > 300000
+"""
+
+
 def q_rolling_time_mean_events(sf_dir: str):
     """Time-range trailing window (RANGE INTERVAL frame): 1-hour trailing
     mean of value per user."""
@@ -1636,6 +1675,8 @@ QUERIES = {
     "image_phash_dupes": (q_image_phash_dupes, None),
     "align_image_pairs": (q_align_image_pairs, None),
     "union_order_segments": (q_union_order_segments, SQL_UNION_ORDER_SEGMENTS),
+    "intersect_order_keys": (q_intersect_order_keys, SQL_INTERSECT_ORDER_KEYS),
+    "except_order_keys": (q_except_order_keys, SQL_EXCEPT_ORDER_KEYS),
     "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
     "argmax_events": (q_argmax_events, SQL_ARGMAX_EVENTS),
     "sample_lineitem": (q_sample_lineitem, SQL_SAMPLE_LINEITEM),
