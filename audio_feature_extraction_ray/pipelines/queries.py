@@ -1510,6 +1510,32 @@ def q_sessionize_events_bucketed(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "session_id"])
 
 
+def q_rolling_time_mean_bucketed(sf_dir: str):
+    """Time-range trailing mean through the BOUNDED-MEMORY bucketed window
+    path (context-row duplication reaches exactly one bucket back) — same
+    oracle SQL as ``rolling_time_mean_events``, so the cross-bucket time
+    window is hash-exact-pinned against DuckDB. RANGE frames include all
+    equal-ts peers, so the result is tie-order-independent."""
+    from ..stages.window import window_features_bucketed
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = window_features_bucketed(
+        ev, key="user_id", ts="ts", value_cols=[], bucket_us=2 * HOUR_US,
+        lags=(), leads=(), deltas=False, rolling_time_us={"value": HOUR_US},
+    )
+    out = out.map_batches(
+        lambda t: t.rename_columns(
+            [n if n != f"value_rollmean_t{HOUR_US}" else "value_mean_1h"
+             for n in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    return _round_cols(
+        out.select_columns(["event_id", "user_id", "ts", "value", "value_mean_1h"]),
+        ["value_mean_1h"], digits=6,
+    )
+
+
 def q_knn_ivf_embeddings(sf_dir: str):
     """ANN scale path (rows-only): IVF coarse-quantizer top-k — sampled
     k-means centroids trained once, probes search n_probe cells. Recall vs
@@ -1686,6 +1712,7 @@ QUERIES = {
     "sessionize_events_bucketed": (q_sessionize_events_bucketed, SQL_SESSIONIZE_EVENTS),
     "checkpoint_manifest_events": (q_checkpoint_manifest_events, None),
     "dedup_clusters_documents": (q_dedup_clusters_documents, None),
+    "rolling_time_mean_bucketed": (q_rolling_time_mean_bucketed, SQL_ROLLING_TIME_MEAN_EVENTS),
     "knn_ivf_embeddings": (q_knn_ivf_embeddings, None),
     "knn_lsh_embeddings": (q_knn_lsh_embeddings, None),
     "registry_chain_events": (q_registry_chain_events, SQL_REGISTRY_CHAIN_EVENTS),

@@ -274,6 +274,8 @@ def window_features_bucketed(
     interp_cols: list[str] | None = None,
     session_gap_us: int | None = None,
     rolling: dict[str, int] | None = None,
+    rolling_time_us: dict[str, int] | None = None,
+    tiebreak: str | None = None,
 ) -> ray.data.Dataset:
     """Bounded-memory :func:`window_features` for giant entities (SURVEY
     §7.6) — the windowed mirror of ``asof_join_bucketed``.
@@ -300,15 +302,25 @@ def window_features_bucketed(
 
     Equivalent to :func:`window_features` (pinned by tests, including a
     giant-hot-entity case); costs one extra shuffle of the data — the price
-    of the per-task memory bound. ``rolling_time_us`` is not supported here
-    (a time window can span arbitrarily many buckets); pick ``bucket_us``
-    at least as large as any time-window reach you need downstream.
+    of the per-task memory bound. ``rolling_time_us`` is supported for
+    window reaches ``w <= bucket_us`` via bounded CONTEXT-ROW duplication:
+    rows within ``w`` of a bucket's end are co-shipped to the next bucket
+    (tagged, used for the time-window sums, never re-emitted) — at most one
+    extra bucket of rows per task, so the memory bound holds. Larger time
+    reaches need a larger ``bucket_us`` (asserted).
     """
     import pyarrow.compute as pc
 
     fill_cols = fill_cols or []
     interp_cols = interp_cols or []
     rolling = rolling or {}
+    rolling_time_us = rolling_time_us or {}
+    max_w = max(rolling_time_us.values(), default=0)
+    if max_w > bucket_us:
+        raise ValueError(
+            f"rolling_time_us window {max_w} exceeds bucket_us {bucket_us}; "
+            "context-row duplication only reaches one bucket back"
+        )
     ds, schema = arrow_schema_of(ds)
     fields = list(zip(schema.names, schema.types))
     # largest backward/forward reach in ROWS
@@ -336,27 +348,76 @@ def window_features_bucketed(
         out_fields.append(pa.field(f"{c}_interp", pa.float64()))
     for c, k in rolling.items():
         out_fields.append(pa.field(f"{c}_rollmean_{k}", pa.float64()))
+    for c, w in rolling_time_us.items():
+        out_fields.append(pa.field(f"{c}_rollmean_t{w}", pa.float64()))
     if session_gap_us is not None:
         out_fields.append(pa.field("session_id", pa.int64()))
     out_schema = pa.schema(out_fields)
 
     def kb_of(t: pa.Table) -> pa.Table:
-        b = _ts_i64(t.column(ts)) // bucket_us
+        tsv = _ts_i64(t.column(ts))
+        b = tsv // bucket_us
+        t = t.append_column("__b", pa.array(b, pa.int64())) \
+            .append_column("__ctx", pa.array(np.zeros(len(tsv), np.int8)))
+        if max_w > 0:
+            # context duplication: rows within max_w of their bucket's end
+            # also serve the NEXT bucket's trailing time windows
+            near_end = tsv >= (b + 1) * bucket_us - max_w
+            if near_end.any():
+                dup = t.filter(pa.array(near_end))
+                dup = dup.set_column(
+                    dup.column_names.index("__b"), "__b",
+                    pc.add(dup.column("__b"), 1),
+                ).set_column(
+                    dup.column_names.index("__ctx"), "__ctx",
+                    pa.array(np.ones(dup.num_rows, np.int8)),
+                )
+                t = pa.concat_tables([t, dup])
         kb = pc.binary_join_element_wise(
             pc.cast(t.column(key), pa.string()),
-            pc.cast(pa.array(b, pa.int64()), pa.string()),
+            pc.cast(t.column("__b"), pa.string()),
             "\x1f",
         )
-        return t.append_column("__b", pa.array(b, pa.int64())).append_column("__kb", kb)
+        return t.append_column("__kb", kb)
 
     bucketed = ds.map_batches(kb_of, batch_format="pyarrow", zero_copy_batch=True)
 
+    def _sort_order(group: pa.Table, tsv: np.ndarray) -> np.ndarray:
+        if tiebreak is not None:
+            return np.lexsort((_f64(group.column(tiebreak)), tsv))
+        return np.argsort(tsv, kind="stable")
+
     # ---- phase A: one summary row per (key, bucket)
+    key_type = schema.types[schema.names.index(key)]
+    summary_fields = [
+        pa.field(key, key_type), pa.field("__b", pa.int64()), pa.field("__n", pa.int64()),
+        pa.field("__first_ts", pa.int64()), pa.field("__last_ts", pa.int64()),
+        pa.field("__tail_ts", pa.list_(pa.int64())), pa.field("__head_ts", pa.list_(pa.int64())),
+    ]
+    for c in carry_cols:
+        summary_fields.append(pa.field(f"__tail_{c}", pa.list_(pa.float64())))
+        summary_fields.append(pa.field(f"__head_{c}", pa.list_(pa.float64())))
+    for c in nn_cols:
+        summary_fields += [
+            pa.field(f"__lastnn_v_{c}", pa.float64()), pa.field(f"__lastnn_t_{c}", pa.int64()),
+            pa.field(f"__firstnn_v_{c}", pa.float64()), pa.field(f"__firstnn_t_{c}", pa.int64()),
+        ]
+    if session_gap_us is not None:
+        summary_fields.append(pa.field("__starts", pa.int64()))
+    summary_schema = pa.schema(summary_fields)
+
     def summarize(group: pa.Table) -> pa.Table:
+        if max_w > 0:
+            own = pc.equal(group.column("__ctx"), 0)
+            group = group.filter(own)
         tsv = _ts_i64(group.column(ts))
-        order = np.argsort(tsv, kind="stable")
+        order = _sort_order(group, tsv)
         tsv = tsv[order]
         n = len(tsv)
+        if n == 0:
+            # a bucket seeded only by CONTEXT duplicates (the bucket after an
+            # entity's last own row) — contributes nothing
+            return summary_schema.empty_table()
         row: dict = {
             key: [group.column(key)[0].as_py()],
             "__b": [group.column("__b")[0].as_py()],
@@ -379,7 +440,7 @@ def window_features_bucketed(
             row[f"__firstnn_t_{c}"] = [int(tsv[nzi[0]]) if len(nzi) else None]
         if session_gap_us is not None:
             row["__starts"] = [int((np.diff(tsv) > session_gap_us).sum())]
-        return pa.Table.from_pydict(row)
+        return pa.Table.from_pydict(row).select(summary_schema.names).cast(summary_schema)
 
     summaries = bucketed.groupby("__kb").map_groups(summarize, batch_format="pyarrow")
 
@@ -475,12 +536,13 @@ def window_features_bucketed(
                           (f"__nextnn_v_{c}", pa.float64()), (f"__nextnn_t_{c}", pa.int64())):
             state_names.append(pref)
             state_types[pref] = typ
-    union_names = [n for n, _ in fields] + ["__kb", "__side"] + state_names
+    union_names = [n for n, _ in fields] + ["__kb", "__side", "__ctx"] + state_names
 
     def prep_data(t: pa.Table) -> pa.Table:
         out = {n: t.column(n) for n, _ in fields}
         out["__kb"] = t.column("__kb")
         out["__side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        out["__ctx"] = t.column("__ctx")
         for n in state_names:
             out[n] = pa.nulls(t.num_rows, state_types[n])
         return pa.table({n: out[n] for n in union_names})
@@ -494,6 +556,7 @@ def window_features_bucketed(
                 out[n] = pa.nulls(t.num_rows, typ)
         out["__kb"] = t.column("__kb")
         out["__side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        out["__ctx"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
         for n in state_names:
             if n in t.column_names:
                 out[n] = t.column(n).cast(state_types[n])
@@ -509,7 +572,9 @@ def window_features_bucketed(
 
     def per_bucket(group: pa.Table) -> pa.Table:
         side = group.column("__side").to_numpy(zero_copy_only=False)
-        data = group.filter(pa.array(side == 1))
+        ctx_flag = group.column("__ctx").to_numpy(zero_copy_only=False)
+        data = group.filter(pa.array((side == 1) & (ctx_flag == 0)))
+        ctx = group.filter(pa.array((side == 1) & (ctx_flag == 1)))
         st = group.filter(pa.array(side == 0))
         n = data.num_rows
         if n == 0:
@@ -518,9 +583,16 @@ def window_features_bucketed(
             nm: ([] if str(state_types[nm]).startswith("list") else None) for nm in state_names
         }
         tsv_all = _ts_i64(data.column(ts))
-        order = np.argsort(tsv_all, kind="stable")
+        order = _sort_order(data, tsv_all)
         data = data.take(pa.array(order, pa.int64()))
         tsv = tsv_all[order]
+        if ctx.num_rows:
+            ctx_ts_all = _ts_i64(ctx.column(ts))
+            ctx_order = _sort_order(ctx, ctx_ts_all)
+            ctx = ctx.take(pa.array(ctx_order, pa.int64()))
+            ctx_ts = ctx_ts_all[ctx_order]
+        else:
+            ctx_ts = np.empty(0, dtype=np.int64)
         p_ts = np.array(sr["__prev_ts"] or [], dtype=np.int64)
         nx_ts = np.array(sr["__next_ts"] or [], dtype=np.int64)
         P, S = len(p_ts), len(nx_ts)
@@ -576,6 +648,25 @@ def window_features_bucketed(
             # rows whose window would reach before the carried prefix exist
             # only in the first bucket, where lo==0 is the true start
             cols[f"{c}_rollmean_{k}"] = pa.array(full[P : P + n], pa.float64())
+        for c, w in rolling_time_us.items():
+            # trailing time window over (context rows ++ own rows): context
+            # rows are exactly the previous-bucket rows within max_w of the
+            # boundary, so every own row's [t-w, t] frame is fully present
+            xc = _f64(ctx.column(c)) if ctx.num_rows else np.empty(0)
+            xo = _f64(data.column(c))
+            xe = np.concatenate([xc, xo])
+            te = np.concatenate([ctx_ts, tsv])
+            valid = ~np.isnan(xe)
+            cs = np.concatenate(([0.0], np.cumsum(np.where(valid, xe, 0.0))))
+            cc = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+            C = len(xc)
+            lo = np.searchsorted(te, tsv - w, side="left")
+            hi = np.searchsorted(te, tsv, side="right")
+            sums = cs[hi] - cs[lo]
+            cnts = cc[hi] - cc[lo]
+            cols[f"{c}_rollmean_t{w}"] = pa.array(
+                np.where(cnts > 0, sums / np.maximum(cnts, 1), np.nan), pa.float64()
+            )
         if session_gap_us is not None:
             carry = sr.get("__sess_carry") or 0
             plt = sr.get("__prev_last_ts")
