@@ -1261,6 +1261,16 @@ def q_approx_percentiles_events(sf_dir: str):
     )
 
 
+def q_approx_percentiles_by_type(sf_dir: str):
+    """A4 grouped sketch: per-event-type t-digest p50/p90 (rows-only;
+    tolerance vs the exact grouped path pinned in pytest)."""
+    from ..stages.aggregates import approx_quantiles_grouped
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    out = approx_quantiles_grouped(ev, key="event_type", col="value", qs=[0.5, 0.9])
+    return _round_cols(out, ["p50", "p90"], digits=6).sort("event_type")
+
+
 def q_alignment_report_events(sf_dir: str):
     """A7 grouped alignment report, SQL-replayable form: as-of pair every
     click with its latest purchase per user, score per-user offset RMSE and
@@ -1718,6 +1728,7 @@ QUERIES = {
     "registry_chain_events": (q_registry_chain_events, SQL_REGISTRY_CHAIN_EVENTS),
     "interp_events": (q_interp_events, SQL_INTERP_EVENTS),
     "approx_percentiles_events": (q_approx_percentiles_events, None),
+    "approx_percentiles_by_type": (q_approx_percentiles_by_type, None),
     "alignment_report_events": (q_alignment_report_events, SQL_ALIGNMENT_REPORT_EVENTS),
     "align_report": (q_align_report, None),
     "pairwise_quality_images": (q_pairwise_quality_images, None),

@@ -233,21 +233,35 @@ def approx_quantiles(
         m, w = _tdigest_compress(np.sort(v), np.ones(len(v)), compression)
         return pa.table({"m": pa.array(m, pa.float64()), "w": pa.array(w, pa.float64())})
 
-    parts = list(
+    def combine(t: pa.Table) -> pa.Table:
+        m = t.column("m").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        if len(m) == 0:
+            return t
+        gm, gw = _tdigest_compress(m, w, compression)
+        return pa.table({"m": pa.array(gm, pa.float64()), "w": pa.array(gw, pa.float64())})
+
+    # tree combine: per-block sketches coalesce into ONE merge task; only the
+    # final ≤compression centroid rows reach the driver (never blocks × comp)
+    final = (
         ds.select_columns([col])
         .map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
     )
-    if not parts:
-        return [float("nan")] * len(qs)
-    allc = pa.concat_tables(parts)
+    allc = pa.concat_tables(list(final.iter_batches(batch_format="pyarrow", batch_size=None)))
     m = allc.column("m").to_numpy(zero_copy_only=False)
     w = allc.column("w").to_numpy(zero_copy_only=False)
+    return _tdigest_quantiles(m, w, qs)
+
+
+def _tdigest_quantiles(m: np.ndarray, w: np.ndarray, qs: list[float]) -> list[float]:
+    """Interpolate target ranks over sorted weighted centroids."""
     if len(m) == 0:
         return [float("nan")] * len(qs)
-    vmin, vmax = float(m.min()), float(m.max())  # extreme centroids are exact sing,
-    # since the k1 scale always isolates the first/last sample at high weight totals
-    m, w = _tdigest_compress(m, w, compression)
+    order = np.argsort(m, kind="stable")
+    m, w = m[order], w[order]
+    vmin, vmax = float(m[0]), float(m[-1])
     total = float(w.sum())
     mid = np.cumsum(w) - w / 2
     out = []
@@ -262,6 +276,64 @@ def approx_quantiles(
             frac = (r - mid[j - 1]) / max(mid[j] - mid[j - 1], 1e-12)
             out.append(float(m[j - 1] + (m[j] - m[j - 1]) * frac))
     return out
+
+
+def approx_quantiles_grouped(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    qs: list[float],
+    compression: int = 300,
+) -> ray.data.Dataset:
+    """Per-group t-digest percentiles: mergeable sketches compose with the
+    partial+final grouped shape — per (batch, key) sketch rows shuffle
+    (bounded by keys × compression per block), per-key merge + interpolation
+    in ``map_groups``. The grouped counterpart of :func:`approx_quantiles`;
+    no per-group value sort, no whole-group value materialization.
+    """
+
+    def sketch(t: pa.Table) -> pa.Table:
+        import polars as _pl
+
+        out_k, out_m, out_w = [], [], []
+        # per-batch per-key sketches via a local sort by (key, value)
+        df = _pl.from_arrow(t.select([key, col])).drop_nulls()
+        if df.height == 0:
+            return pa.table(
+                {key: pa.array([], t.schema.field(key).type),
+                 "m": pa.array([], pa.float64()), "w": pa.array([], pa.float64())}
+            )
+        df = df.sort([key, col])
+        karr = df[key].to_numpy()
+        v = df[col].to_numpy().astype(np.float64)
+        starts = np.flatnonzero(np.concatenate(([True], karr[1:] != karr[:-1])))
+        bounds = np.append(starts, len(karr))
+        for i in range(len(starts)):
+            seg = v[bounds[i] : bounds[i + 1]]
+            m, w = _tdigest_compress(seg, np.ones(len(seg)), compression)
+            out_k.extend([karr[starts[i]]] * len(m))
+            out_m.extend(m.tolist())
+            out_w.extend(w.tolist())
+        return pa.table(
+            {key: pa.array(out_k, t.schema.field(key).type),
+             "m": pa.array(out_m, pa.float64()), "w": pa.array(out_w, pa.float64())}
+        )
+
+    sketches = ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_fields = [("p%g" % (q * 100)).replace(".", "_") for q in qs]
+
+    def per_key(group: pa.Table) -> pa.Table:
+        m = group.column("m").to_numpy(zero_copy_only=False)
+        w = group.column("w").to_numpy(zero_copy_only=False)
+        gm, gw = _tdigest_compress(m, w, compression)
+        vals = _tdigest_quantiles(gm, gw, qs)
+        cols = {key: [group.column(key)[0].as_py()]}
+        for name, v in zip(out_fields, vals):
+            cols[name] = [v]
+        return pa.Table.from_pydict(cols)
+
+    return sketches.groupby(key).map_groups(per_key, batch_format="pyarrow")
 
 
 def exact_quantiles(ds: ray.data.Dataset, col: str, qs: list[float]) -> list[float]:

@@ -76,6 +76,23 @@ def test_approx_quantiles_within_rank_tolerance():
         assert lo - 1e-9 <= a <= hi + 1e-9, (q, a, lo, hi)
 
 
+def test_approx_quantiles_grouped_within_rank_tolerance():
+    from audio_feature_extraction_ray.stages.aggregates import approx_quantiles_grouped
+
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "events.parquet")) \
+        .select_columns(["event_type", "value"])
+    got = approx_quantiles_grouped(ds, key="event_type", col="value", qs=[0.5, 0.9]) \
+        .to_pandas().set_index("event_type")
+    pdf = ds.to_pandas()
+    for et, g in pdf.groupby("event_type"):
+        v = g["value"].to_numpy()
+        for name, q in (("p50", 0.5), ("p90", 0.9)):
+            lo = np.quantile(v, max(q - 0.03, 0))
+            hi = np.quantile(v, min(q + 0.03, 1))
+            a = got.loc[et, name]
+            assert lo - 1e-9 <= a <= hi + 1e-9, (et, name, a, lo, hi)
+
+
 def test_tdigest_compress_preserves_mass_and_bounds():
     from audio_feature_extraction_ray.stages.aggregates import _tdigest_compress
 
