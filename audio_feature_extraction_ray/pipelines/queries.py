@@ -363,10 +363,13 @@ def q_revenue_by_nation(sf_dir: str):
     driver-side materialization of customer- or fact-derived data.
 
     Shape: (1) pre-aggregate orders per custkey (map-side combine + small
-    shuffle), (2) bucket-hash-join the per-custkey aggregate against the
-    streaming customer dim (both sides distributed), (3) broadcast the 25-row
-    nation table, (4) final 25-group rollup. Customer never leaves the
-    cluster; only nation (constant-size) is broadcast.
+    shuffle — bounds the join input to KEY cardinality, which at fact scale
+    is strictly smaller than the sum of per-block distincts a partials-only
+    fusion would ship), (2) bucket-hash-join the per-custkey aggregate
+    against the streaming customer dim (both sides distributed), (3)
+    broadcast the 25-row nation table, (4) final 25-group rollup on the
+    no-shuffle coalesce path. Customer never leaves the cluster; only
+    nation (constant-size) is broadcast.
     """
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     per_cust = grouped_agg_fast(
@@ -1317,6 +1320,9 @@ def q_alignment_report_events(sf_dir: str):
         specs=[("n_matched", "matched", "sum"), ("n_within", "within", "sum"),
                ("sum_sq", "sq_s", "sum")],
         count_alias="n_clicks",
+        # user cardinality is dim-sized and the as-of already grouped by
+        # user, so partials are one-row-per-user-per-block — coalesce
+        num_final_partitions=1,
     )
 
     def to_cohort(t: pa.Table) -> pa.Table:
