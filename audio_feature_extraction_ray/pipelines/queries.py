@@ -268,9 +268,12 @@ SQL_UNIQUE_EVENT_TYPES = "SELECT DISTINCT event_type FROM events"
 
 
 def q_topk_orders(sf_dir: str):
-    """Sort + limit with deterministic tie-break."""
+    """Global top-k with deterministic tie-break — map-side partial top-k,
+    no all-to-all sort (stages/util.topk)."""
+    from ..stages.util import topk
+
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return topk(ds, ["o_totalprice", "o_orderkey"], k=10, descending=[True, False])
 
 
 SQL_TOPK_ORDERS = """
@@ -340,8 +343,10 @@ def q_top10_order_revenue(sf_dir: str):
         li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
         keys=["l_orderkey"], specs=[("revenue", "revenue", "sum")],
     )
-    top = _round_cols(per_order, ["revenue"], digits=4) \
-        .sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    from ..stages.util import topk
+
+    top = topk(_round_cols(per_order, ["revenue"], digits=4),
+               ["revenue", "l_orderkey"], k=10, descending=[True, False])
     top_t = pa.concat_tables(list(top.iter_batches(batch_format="pyarrow", batch_size=None)))
     # stream the big orders table against the broadcast 10-row top table
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).map_batches(
@@ -1120,9 +1125,11 @@ def q_token_frequencies(sf_dir: str):
         flat = flat.filter(pc.not_equal(pc.utf8_length(flat), 0))
         return pa.table({"token": flat})
 
+    from ..stages.util import topk
+
     tokens = docs.map_batches(to_tokens, batch_format="pyarrow", zero_copy_batch=True)
     counts = grouped_agg_fast(tokens, keys=["token"], specs=[], count_alias="n")
-    return counts.sort(["n", "token"], descending=[True, False]).limit(50)
+    return topk(counts, ["n", "token"], k=50, descending=[True, False])
 
 
 SQL_TOKEN_FREQUENCIES = r"""

@@ -7,6 +7,37 @@ import pyarrow as pa
 import ray.data
 
 
+def topk(
+    ds: ray.data.Dataset,
+    sort_keys: list[str],
+    k: int,
+    descending: bool | list[bool] = False,
+) -> ray.data.Dataset:
+    """Global top-k WITHOUT a global sort: per-block partial top-k (each block
+    keeps only its k best rows), coalesce the ≤ blocks×k survivors into one
+    block, final top-k there. Equivalent to ``ds.sort(...).limit(k)`` whenever
+    ``sort_keys`` is a total order (add a tiebreak column, as the SQL oracles
+    do) — pinned by the gate queries that use it. At 100 TB the all-to-all
+    sort this replaces moves every row for a k-row answer.
+    """
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_keys)
+    order = [(c, "descending" if d else "ascending") for c, d in zip(sort_keys, descending)]
+
+    def local(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            # still sort so the final pass sees ordered runs (cheap: ≤ k rows)
+            return t.take(pa.compute.sort_indices(t, sort_keys=order))
+        idx = pa.compute.sort_indices(t, sort_keys=order)
+        return t.take(idx.slice(0, k))
+
+    parts = ds.map_batches(local, batch_format="pyarrow", batch_size=None,
+                           zero_copy_batch=True)
+    return parts.repartition(1).map_batches(
+        local, batch_format="pyarrow", batch_size=None
+    )
+
+
 def arrow_schema_of(ds: ray.data.Dataset) -> tuple[ray.data.Dataset, pa.Schema]:
     """Return ``(ds, arrow schema)``, normalizing pandas-backed blocks.
 
