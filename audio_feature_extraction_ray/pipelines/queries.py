@@ -879,7 +879,14 @@ def q_explode_embedding_stats(sf_dir: str):
         flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
         lens = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
         rep = np.repeat(ids, lens)
-        idx = np.concatenate([np.arange(l) for l in lens]) if len(lens) else np.array([], np.int64)
+        # within-list indices without a per-row loop: global arange minus
+        # each row's start offset repeated
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1])) if len(lens) else np.array([], np.int64)
+        idx = (
+            np.arange(int(lens.sum())) - np.repeat(starts, lens)
+            if len(lens)
+            else np.array([], np.int64)
+        )
         return pa.table(
             {
                 "vec_id": pa.array(rep, pa.int64()),

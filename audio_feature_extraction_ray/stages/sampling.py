@@ -11,6 +11,7 @@ from __future__ import annotations
 import hashlib
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -18,6 +19,15 @@ import ray.data
 def _hex_threshold(rate: float, digits: int = 4) -> str:
     k = max(0, min(16**digits, int(rate * (16**digits))))
     return format(k, f"0{digits}x")
+
+
+def _row_keys(t: pa.Table, cols: list[str], sep: str) -> list[str]:
+    """Concatenated per-row key strings, built columnar (Arrow cast + join —
+    matches SQL ``CAST(c AS VARCHAR) || sep || ...`` exactly); only the md5
+    itself remains per-row (the oracle contract pins the hash function)."""
+    arrs = [pc.cast(t.column(c), pa.string()) for c in cols]
+    joined = arrs[0] if len(arrs) == 1 else pc.binary_join_element_wise(*arrs, sep)
+    return joined.to_pylist()
 
 
 def deterministic_sample(
@@ -35,11 +45,8 @@ def deterministic_sample(
     thr = _hex_threshold(rate, digits)
 
     def fn(t: pa.Table) -> pa.Table:
-        cols = [t.column(c).to_pylist() for c in key_fn_cols]
-        keep = [
-            hashlib.md5(sep.join(str(v) for v in row).encode()).hexdigest()[:digits] < thr
-            for row in zip(*cols)
-        ]
+        keys = _row_keys(t, key_fn_cols, sep)
+        keep = [hashlib.md5(k.encode()).hexdigest()[:digits] < thr for k in keys]
         return t.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -65,10 +72,10 @@ def hash_split(
         bounds.append((name, _hex_threshold(acc, digits)))
 
     def fn(t: pa.Table) -> pa.Table:
-        cols = [t.column(c).to_pylist() for c in key_fn_cols]
+        keys = _row_keys(t, key_fn_cols, sep)
         out = []
-        for row in zip(*cols):
-            h = hashlib.md5(sep.join(str(v) for v in row).encode()).hexdigest()[:digits]
+        for k in keys:
+            h = hashlib.md5(k.encode()).hexdigest()[:digits]
             for name, b in bounds:
                 if h < b:
                     out.append(name)
