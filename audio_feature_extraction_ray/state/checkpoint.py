@@ -74,14 +74,28 @@ def _partition_of(col: pa.ChunkedArray | pa.Array, n_partitions: int) -> np.ndar
     return (h % np.uint64(n_partitions)).astype(np.int32)
 
 
+def _canonical_order(table: pa.Table, sort_keys: list[str]) -> pa.Array:
+    """Total-order sort indices: the caller's sort_keys first, then every
+    remaining column as tiebreak — the same row multiset always yields the
+    same row sequence, however blocks arrived (upstream operators do not
+    guarantee arrival order; byte-identical output must not depend on it)."""
+    keys = [k for k in sort_keys if k in table.column_names]
+    keys += [c for c in sorted(table.column_names) if c not in keys]
+    sortable = [
+        k for k in keys
+        if not pa.types.is_nested(table.schema.field(k).type)
+        and not pa.types.is_binary(table.schema.field(k).type)
+        and not pa.types.is_large_binary(table.schema.field(k).type)
+    ]
+    return pa.compute.sort_indices(table, sort_keys=[(k, "ascending") for k in sortable])
+
+
 def _content_hash(table: pa.Table, sort_keys: list[str]) -> str:
     """Order-insensitive content digest: canonical sort, then sha256 of the
     Arrow IPC stream bytes (columnar — no python value materialization)."""
     if table.num_rows == 0:
         return "empty"
-    idx = pa.compute.sort_indices(
-        table, sort_keys=[(k, "ascending") for k in sort_keys if k in table.column_names]
-    )
+    idx = _canonical_order(table, sort_keys)
     t = table.take(idx).select(sorted(table.column_names)).combine_chunks()
     import io
 
@@ -113,6 +127,10 @@ class _PartitionWriter:
         if pid in self.fail_partitions:
             raise RuntimeError(f"injected failure for partition {pid}")
         data = group.drop_columns(["__part"])
+        # canonical row order INSIDE the file: upstream arrival order is
+        # scheduling-dependent; byte-identical resume/rerun requires the
+        # file bytes to be a pure function of the row multiset
+        data = data.take(_canonical_order(data, self.sort_keys)).combine_chunks()
         path = os.path.join(self.out_dir, f"part-{pid:05d}.parquet")
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         pq.write_table(data, tmp)

@@ -8,11 +8,98 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 import ray
 import ray.data
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ property tests
+
+@settings(max_examples=25, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=0, max_size=200),
+    k=st.integers(min_value=1, max_value=20),
+)
+def test_topk_kernel_property(vals, k):
+    """Per-block top-k then final top-k == global sort+limit (pure-Arrow
+    check of the kernel the distributed topk composes)."""
+    import pyarrow.compute as pc
+
+    t = pa.table({"v": pa.array(vals, pa.int64()), "i": pa.array(range(len(vals)), pa.int64())})
+    order = [("v", "descending"), ("i", "ascending")]
+    # split into arbitrary blocks, local top-k, concat, final top-k
+    mid = len(vals) // 2
+    parts = []
+    for lo, hi in ((0, mid), (mid, len(vals))):
+        blk = t.slice(lo, hi - lo)
+        idx = pc.sort_indices(blk, sort_keys=order)
+        parts.append(blk.take(idx.slice(0, k)))
+    merged = pa.concat_tables(parts)
+    final = merged.take(pc.sort_indices(merged, sort_keys=order).slice(0, k))
+    exact = t.take(pc.sort_indices(t, sort_keys=order).slice(0, k))
+    assert final.to_pydict() == exact.to_pydict()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+                  min_size=1, max_size=500),
+    q=st.floats(min_value=0.05, max_value=0.95),
+)
+def test_tdigest_rank_error_property(data, q):
+    """Sketch quantile sits within ±0.06 rank of the true quantile for any
+    input distribution (duplicates, constants, outliers included)."""
+    from audio_feature_extraction_ray.stages.aggregates import (
+        _tdigest_compress,
+        _tdigest_quantiles,
+    )
+
+    v = np.sort(np.array(data))
+    m, w = _tdigest_compress(v, np.ones(len(v)), 150)
+    (a,) = _tdigest_quantiles(m, w, [q])
+    # rank tolerance: sketch error budget + the midpoint-vs-linear rank
+    # convention gap, which is up to 1/(2n) for tiny inputs
+    tol = 0.06 + 1.0 / len(v)
+    lo = np.quantile(v, max(q - tol, 0.0))
+    hi = np.quantile(v, min(q + tol, 1.0))
+    assert lo - 1e-9 <= a <= hi + 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)),
+        min_size=1, max_size=25,
+    )
+)
+def test_connected_components_property(pairs):
+    """Label propagation agrees with a serial union-find on arbitrary graphs."""
+    from audio_feature_extraction_ray.stages.dedup import connected_components
+
+    parent = list(range(31))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    df = pd.DataFrame({"id_a": [a for a, _ in pairs], "id_b": [b for _, b in pairs]})
+    got = connected_components(ray.data.from_pandas(df)).to_pandas()
+    lab = dict(zip(got["id"], got["cluster"]))
+    nodes = {a for a, _ in pairs} | {b for _, b in pairs}
+    # min-label propagation converges to the component's min id == union-find
+    # root under min-merge
+    for n in nodes:
+        assert lab[n] == find(n), (n, lab[n], find(n))
 
 
 # ------------------------------------------------------------------ interp
