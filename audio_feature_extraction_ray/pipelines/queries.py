@@ -425,6 +425,33 @@ ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+def q_asof_events_bucketed(sf_dir: str):
+    """The BOUNDED-MEMORY bucketed as-of (per-(entity, time-bucket)
+    co-partitioning + bucket-summary fallback) against the same oracle SQL
+    as ``asof_events`` — the hot-entity-safe variant is DuckDB-pinned, not
+    just equivalence-pinned."""
+    from ..stages.asof import asof_join_bucketed
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    clicks = ev.filter(expr="event_type == 'click'") \
+        .select_columns(["event_id", "user_id", "ts"])
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+        .select_columns(["user_id", "ts", "value"]) \
+        .map_batches(lambda t: t.rename_columns(["user_id", "r_ts", "value"]),
+                     batch_format="pyarrow")
+    return asof_join_bucketed(clicks, purchases, on="user_id", left_ts="ts",
+                              right_ts="r_ts", value_cols=["value"],
+                              bucket_us=6 * HOUR_US, suffix="_purchase")
+
+
+SQL_ASOF_EVENTS_BUCKETED = """
+SELECT c.event_id, c.user_id, c.ts, p.value AS value_purchase, p.r_ts AS matched_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts AS r_ts, value FROM events WHERE event_type = 'purchase') p
+ON c.user_id = p.user_id AND c.ts >= p.r_ts
+"""
+
+
 def q_asof_events_forward(sf_dir: str):
     """J4 forward direction + lookahead tolerance: for each click, the
     EARLIEST purchase at-or-after it within 6 h — the other half of the
@@ -1709,6 +1736,7 @@ QUERIES = {
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "asof_events": (q_asof_events, SQL_ASOF_EVENTS),
     "asof_events_forward": (q_asof_events_forward, SQL_ASOF_EVENTS_FORWARD),
+    "asof_events_bucketed": (q_asof_events_bucketed, SQL_ASOF_EVENTS_BUCKETED),
     "lag_lead_events": (q_lag_lead_events, SQL_LAG_LEAD_EVENTS),
     "ffill_events": (q_ffill_events, SQL_FFILL_EVENTS),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
