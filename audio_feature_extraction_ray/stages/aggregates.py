@@ -249,7 +249,10 @@ def approx_quantiles(
         .repartition(1)
         .map_batches(combine, batch_format="pyarrow", batch_size=None)
     )
-    allc = pa.concat_tables(list(final.iter_batches(batch_format="pyarrow", batch_size=None)))
+    parts = list(final.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return [float("nan")] * len(qs)
+    allc = pa.concat_tables(parts)
     m = allc.column("m").to_numpy(zero_copy_only=False)
     w = allc.column("w").to_numpy(zero_copy_only=False)
     return _tdigest_quantiles(m, w, qs)

@@ -213,9 +213,12 @@ def asof_join_broadcast(
         + [pa.field(matched_ts_col, rts_type)]
     )
     mid_schema = pa.schema(list(out_schema) + [pa.field("__pidx", pa.int64())])
-    probes_t = pa.concat_tables(
-        list(left.iter_batches(batch_format="pyarrow", batch_size=None))
-    ).combine_chunks()
+    _lbatches = list(left.iter_batches(batch_format="pyarrow", batch_size=None))
+    probes_t = (
+        pa.concat_tables(_lbatches).combine_chunks()
+        if _lbatches
+        else pa.schema([pa.field(n, t) for n, t in left_cols]).empty_table()
+    )
     probes_t = probes_t.append_column(
         "__pidx", pa.array(np.arange(probes_t.num_rows, dtype=np.int64))
     )
@@ -266,13 +269,12 @@ def asof_join_broadcast(
             out_parts.append(pa.table(cols, schema=mid_schema))
         return pa.concat_tables(out_parts)
 
-    matched_t = pa.concat_tables(
-        list(
-            right.map_batches(
-                merge_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-            ).iter_batches(batch_format="pyarrow", batch_size=None)
-        )
+    _mbatches = list(
+        right.map_batches(
+            merge_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
     )
+    matched_t = pa.concat_tables(_mbatches) if _mbatches else mid_schema.empty_table()
     handled = matched_t.column("__pidx").to_numpy(zero_copy_only=False)
     miss_mask = np.ones(probes_t.num_rows, dtype=bool)
     miss_mask[handled] = False

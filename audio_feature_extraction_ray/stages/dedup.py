@@ -408,6 +408,12 @@ def connected_components(
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow", zero_copy_batch=True) \
         .materialize()  # reused every iteration; edge list is pair-sized
+    if edges.count() == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table({"id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())})
+        )
 
     def init_labels(t: pa.Table) -> pa.Table:
         return pa.table({"node": t.column("src"), "label": t.column("src")})

@@ -47,6 +47,15 @@ def arrow_schema_of(ds: ray.data.Dataset) -> tuple[ray.data.Dataset, pa.Schema]:
     schema).
     """
     s = ds.schema()
+    if s is None:
+        # a fully-empty dataset whose schema was erased by a schema-less
+        # transform (e.g. map_batches over zero blocks) — no output schema
+        # can be inferred. Empty datasets with KNOWN schemas (filtered reads,
+        # from_arrow) pass through fine.
+        raise ValueError(
+            "dataset is empty with no known schema; schema-dependent operators "
+            "cannot infer their output — materialize a typed empty input instead"
+        )
     try:
         return ds, pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
     except TypeError:
