@@ -210,8 +210,14 @@ def batch_spectral_profile(stack: np.ndarray) -> dict[str, np.ndarray]:
     return out
 
 
-def batch_channel_stats(stack: np.ndarray) -> dict[str, np.ndarray]:
-    """Vectorized per-channel stats for N same-shape images (float64)."""
+def batch_channel_stats(
+    stack: np.ndarray, gray: np.ndarray | None = None
+) -> dict[str, np.ndarray]:
+    """Vectorized per-channel stats for N same-shape images (float64).
+
+    ``gray`` accepts a precomputed :func:`batch_gray` result so fused
+    pipelines compute luminance once per stack (bitwise-identical either
+    way)."""
     x = stack.astype(np.float64) / 255.0
     out: dict[str, np.ndarray] = {}
     for ci, name in enumerate(("r", "g", "b")):
@@ -223,7 +229,52 @@ def batch_channel_stats(stack: np.ndarray) -> dict[str, np.ndarray]:
         out[f"cv_{name}"] = s / (np.abs(m) + 1e-12)
         out[f"min_{name}"] = ch.min(axis=(1, 2))
         out[f"max_{name}"] = ch.max(axis=(1, 2))
-    out["gray_mean"] = batch_gray(stack).mean(axis=(1, 2)) / 255.0
+    if gray is None:
+        gray = batch_gray(stack)
+    out["gray_mean"] = gray.mean(axis=(1, 2)) / 255.0
+    return out
+
+
+def batch_visual_features(
+    stack: np.ndarray,
+    want_embedding: bool = True,
+    want_spectral: bool = True,
+) -> dict[str, object]:
+    """Fused per-stack visual features: luminance, the pooled 32×32 DCT and
+    its products computed ONCE and shared — phash/embedding consume the
+    low-frequency 8×8 corner, the spectral profile the full spectrum, and
+    ``gray`` feeds channel stats. Bitwise-identical to calling the
+    individual batch kernels (full-matrix matmul then slice is exactly what
+    :func:`batch_low_freq_dct` computes)."""
+    out: dict[str, object] = {}
+    g = batch_gray(stack)
+    out["gray"] = g
+    if not (want_embedding or want_spectral):
+        return out
+    g32 = _pool_axis(_pool_axis(g, 32, 1), 32, 2)
+    full = _D32 @ g32 @ _D32.T  # (N, 32, 32)
+    if want_embedding:
+        blocks = full[:, :8, :8].reshape(len(stack), 64)
+        med = np.median(blocks, axis=1, keepdims=True)
+        bits = (blocks > med).astype(np.uint8)
+        ph = np.packbits(bits, axis=1).view(">u8").ravel().astype(np.uint64)
+        out["phash"] = ph.view(np.int64)
+        emb = blocks.copy()
+        emb[:, 0] = 0.0
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        out["embedding"] = (emb / (norms + 1e-12)).astype(np.float32)
+    if want_spectral:
+        e = full * full
+        tot = e[:, _AC].sum(axis=1)
+        safe = np.maximum(tot, 1e-300)
+        out["spec_low_ratio"] = np.where(tot > 0, e[:, _LOW_M].sum(axis=1) / safe, 0.0)
+        out["spec_mid_ratio"] = np.where(tot > 0, e[:, _MID_M].sum(axis=1) / safe, 0.0)
+        out["spec_high_ratio"] = np.where(tot > 0, e[:, _HIGH_M].sum(axis=1) / safe, 0.0)
+        out["spec_centroid"] = np.where(
+            tot > 0,
+            (e * _UV[None]).reshape(len(stack), -1)[:, _AC.ravel()].sum(axis=1) / safe,
+            0.0,
+        )
     return out
 
 

@@ -30,9 +30,8 @@ from ..functions import codecs
 from ..functions.imagefx import (
     EMBED_DIM,
     batch_channel_stats,
-    batch_phash_embedding,
     batch_quality,
-    batch_spectral_profile,
+    batch_visual_features,
     tokenize_caption,
 )
 
@@ -74,12 +73,18 @@ def _compute_feature_columns(
     for (h, w), idxs in by_shape.items():
         ii = np.asarray(idxs, dtype=np.int64)
         stack = np.stack([pixels[i] for i in idxs])
+        # fused visual kernel: luminance + pooled DCT computed once per
+        # stack, shared by phash/embedding, spectral profile and gray_mean
+        vf = batch_visual_features(
+            stack,
+            want_embedding="embedding" in features,
+            want_spectral="spectral" in features,
+        )
         if "embedding" in features:
-            ph, emb = batch_phash_embedding(stack)
-            cols["phash_calc"][ii] = ph
-            cols["embedding"][ii] = emb
+            cols["phash_calc"][ii] = vf["phash"]
+            cols["embedding"][ii] = vf["embedding"]
         if "stats" in features or "quality" in features:
-            stats = batch_channel_stats(stack)
+            stats = batch_channel_stats(stack, gray=vf["gray"])
         if "stats" in features:
             for s in STAT_NAMES:
                 cols[s][ii] = stats[s]
@@ -89,9 +94,8 @@ def _compute_feature_columns(
                 cols[f][ii] = q[f]
             cols["quality_score"][ii] = q["quality_score"]
         if "spectral" in features:
-            sp = batch_spectral_profile(stack)
             for s in SPECTRAL_NAMES:
-                cols[s][ii] = sp[s]
+                cols[s][ii] = vf[s]
     return cols
 
 
