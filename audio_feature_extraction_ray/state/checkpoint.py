@@ -36,9 +36,21 @@ import uuid
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.csv as pacsv
 import pyarrow.parquet as pq
 
 import ray.data
+
+
+def _write_table(table: pa.Table, path: str, file_format: str) -> None:
+    if file_format == "parquet":
+        pq.write_table(table, path)
+    elif file_format == "csv":
+        # K1–K3 CSV sink parity (the reference exports per-category CSVs,
+        # 04_feature_extraction_experiment/feature_extractor.py:747-787)
+        pacsv.write_csv(table, path)
+    else:
+        raise ValueError(f"unsupported file_format {file_format!r}")
 
 
 def _partition_of(col: pa.ChunkedArray | pa.Array, n_partitions: int) -> np.ndarray:
@@ -109,10 +121,12 @@ class _PartitionWriter:
     """Per-group writer actor fn: writes one partition atomically, emits its
     manifest row. ``fail_partitions`` injects crashes for resume testing."""
 
-    def __init__(self, out_dir: str, sort_keys: list[str], fail_partitions=()):
+    def __init__(self, out_dir: str, sort_keys: list[str], fail_partitions=(),
+                 file_format: str = "parquet"):
         self.out_dir = out_dir
         self.sort_keys = sort_keys
         self.fail_partitions = set(fail_partitions)
+        self.file_format = file_format
         os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -131,9 +145,10 @@ class _PartitionWriter:
         # scheduling-dependent; byte-identical resume/rerun requires the
         # file bytes to be a pure function of the row multiset
         data = data.take(_canonical_order(data, self.sort_keys)).combine_chunks()
-        path = os.path.join(self.out_dir, f"part-{pid:05d}.parquet")
+        ext = "parquet" if self.file_format == "parquet" else self.file_format
+        path = os.path.join(self.out_dir, f"part-{pid:05d}.{ext}")
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        pq.write_table(data, tmp)
+        _write_table(data, tmp, self.file_format)
         os.replace(tmp, path)  # atomic on same filesystem
         row = {
             "partition_id": pid,
@@ -158,6 +173,7 @@ def write_partitioned_resumable(
     n_partitions: int = 32,
     sort_keys: list[str] | None = None,
     fail_partitions: tuple[int, ...] = (),
+    file_format: str = "parquet",
 ) -> pa.Table:
     """Write ``ds`` as ``n_partitions`` hash-partitioned parquet files with a
     lineage manifest; re-running after a failure skips committed partitions.
@@ -173,7 +189,7 @@ def write_partitioned_resumable(
         return t.append_column("__part", pa.array(_partition_of(t.column(key), n_partitions)))
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-    writer = _PartitionWriter(out_dir, sort_keys, fail_partitions)
+    writer = _PartitionWriter(out_dir, sort_keys, fail_partitions, file_format)
 
     def write_group(group: pa.Table) -> pa.Table:
         return writer(group)
@@ -201,6 +217,7 @@ def write_value_partitioned_resumable(
     category_col: str,
     sort_keys: list[str] | None = None,
     fail_categories: tuple[str, ...] = (),
+    file_format: str = "parquet",
 ) -> pa.Table:
     """K3 per-group splits: one output file PER CATEGORY VALUE (the
     reference's per-category CSV exports,
@@ -231,9 +248,10 @@ def write_value_partitioned_resumable(
             return pa.Table.from_pylist([row])
         if str(val) in fail:
             raise RuntimeError(f"injected failure for category {val!r}")
-        path = os.path.join(out_dir, f"cat-{safe}.parquet")
+        ext = "parquet" if file_format == "parquet" else file_format
+        path = os.path.join(out_dir, f"cat-{safe}.{ext}")
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        pq.write_table(group, tmp)
+        _write_table(group, tmp, file_format)
         os.replace(tmp, path)
         row = {
             "partition_id": pid,

@@ -365,6 +365,25 @@ def test_value_partitioned_write_and_resume(tmp_path):
     assert total == ev.count()
 
 
+def test_value_partitioned_csv_format(tmp_path):
+    from audio_feature_extraction_ray.state.checkpoint import (
+        write_value_partitioned_resumable,
+    )
+    import pyarrow.csv as pacsv
+
+    out = str(tmp_path / "bycat_csv")
+    ev = ray.data.read_parquet(os.path.join(SF_DIR, "events.parquet")) \
+        .select_columns(["event_id", "event_type", "value"])
+    manifest = write_value_partitioned_resumable(
+        ev, out, category_col="event_type", file_format="csv"
+    )
+    mdf = manifest.to_pandas().set_index("category")
+    for cat in mdf.index:
+        t = pacsv.read_csv(os.path.join(out, f"cat-{cat}.csv"))
+        assert set(t.column("event_type").to_pylist()) == {cat}
+        assert t.num_rows == int(mdf.loc[cat, "rows"])
+
+
 # ------------------------------------------------------------------ bucketed windows
 
 def _window_corpus(seed=0, hot_rows=4000):
