@@ -748,6 +748,57 @@ def q_fingerprint_documents(sf_dir: str):
         .select_columns(["doc_id", "fingerprint_md5", "fingerprint_rolling"])
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact character-5-gram Jaccard for all pairs within a bounded probe
+    subset (doc_id < 30) — the verification kernel of sketch-then-verify
+    dedup, oracle-checked: DuckDB list comprehensions build the same string
+    5-gram sets. Pair enumeration and scoring run distributed over a pair
+    dataset; only the 30 probe texts are broadcast."""
+    import ray as _ray
+
+    N = 30
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .filter(expr=f"doc_id < {N}")
+    small = pa.concat_tables(list(docs.iter_batches(batch_format="pyarrow", batch_size=None)))
+    grams: dict[int, frozenset] = {}
+    for did, txt in zip(small.column("doc_id").to_pylist(), small.column("text").to_pylist()):
+        t = (txt or "").strip(" \t\n\r").lower()
+        grams[did] = frozenset(t[i : i + 5] for i in range(max(len(t) - 4, 1)))
+    ref = _ray.put(grams)
+    ids = sorted(grams)
+    ia, ib = zip(*[(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]])
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64())})
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        g = _ray.get(ref)
+        a = t.column("id_a").to_pylist()
+        b = t.column("id_b").to_pylist()
+        jac = [
+            len(g[x] & g[y]) * 1.0 / max(len(g[x] | g[y]), 1) for x, y in zip(a, b)
+        ]
+        return t.append_column("jaccard", pa.array(_round6(np.array(jac)), pa.float64()))
+
+    return pairs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH d AS (
+  SELECT doc_id, lower(trim(text, ' ' || chr(9) || chr(10) || chr(13))) AS t
+  FROM documents WHERE doc_id < 30
+), g AS (
+  SELECT doc_id,
+         list_distinct([t[i:i+4] for i in generate_series(1, greatest(len(t) - 4, 1))]) AS gs
+  FROM d
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.gs, b.gs)) * 1.0
+             / GREATEST(len(list_distinct(list_concat(a.gs, b.gs))), 1), 6) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+"""
+
+
 # ------------------------------------------------------------------ similarity
 
 def q_knn_embeddings(sf_dir: str):
@@ -1747,6 +1798,7 @@ QUERIES = {
     "text_quality_documents": (q_text_quality_documents, SQL_TEXT_QUALITY_DOCUMENTS),
     "dedup_exact_documents": (q_dedup_exact_documents, SQL_DEDUP_EXACT_DOCUMENTS),
     "minhash_pairs_documents": (q_minhash_pairs_documents, None),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "simhash_documents": (q_simhash_documents, None),
     "langid_documents": (q_langid_documents, SQL_LANGID_DOCUMENTS),
     "fingerprint_documents": (q_fingerprint_documents, None),

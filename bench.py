@@ -66,6 +66,9 @@ def _init_ray(num_cpus: int):
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     logging.getLogger("ray").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
     return ray
 
 
