@@ -533,6 +533,45 @@ FROM events
 """
 
 
+def q_cumulative_events(sf_dir: str):
+    """Expanding (cumulative) aggregates per user: running sum/mean/max/count
+    of value — SQL ROWS UNBOUNDED PRECEDING semantics, bitwise-exact since
+    both engines accumulate in the same frame order."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = window_features(ev, key="user_id", ts="ts", value_cols=[], lags=(), leads=(),
+                          deltas=False, tiebreak="event_id", cumulative=["value"])
+    out = out.select_columns(
+        ["event_id", "user_id", "ts", "value",
+         "value_cumsum", "value_cummax", "value_cumcount"]
+    )
+    # DuckDB's windowed SUM uses tree accumulation, not sequential adds —
+    # running sums agree only to float noise; round per the parity policy.
+    # The mean derives from the ROUNDED sum on BOTH sides so the final
+    # rounding sees identical inputs (a raw quotient is not grid-aligned
+    # and can straddle a rounding boundary).
+    out = _round_cols(out, ["value_cumsum"], digits=6)
+
+    def mean_from_rounded(t: pa.Table) -> pa.Table:
+        cs = t.column("value_cumsum").to_numpy(zero_copy_only=False)
+        cnt = t.column("value_cumcount").to_numpy(zero_copy_only=False)
+        mean = _round_half_away(cs / np.maximum(cnt, 1), 6)
+        mean = np.where(cnt > 0, mean, np.nan)
+        return t.append_column("value_cummean", pa.array(mean, pa.float64(), from_pandas=True))
+
+    return out.map_batches(mean_from_rounded, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CUMULATIVE_EVENTS = """
+SELECT event_id, user_id, ts, value,
+       ROUND(SUM(value) OVER w, 6) AS value_cumsum,
+       MAX(value) OVER w AS value_cummax,
+       COUNT(value) OVER w AS value_cumcount,
+       ROUND(ROUND(SUM(value) OVER w, 6) / COUNT(value) OVER w, 6) AS value_cummean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
 def q_sessionize_events(sf_dir: str):
     """Gap-based sessionization (gap > 1 h starts a new session)."""
     ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
@@ -1790,6 +1829,7 @@ QUERIES = {
     "asof_events_bucketed": (q_asof_events_bucketed, SQL_ASOF_EVENTS_BUCKETED),
     "lag_lead_events": (q_lag_lead_events, SQL_LAG_LEAD_EVENTS),
     "ffill_events": (q_ffill_events, SQL_FFILL_EVENTS),
+    "cumulative_events": (q_cumulative_events, SQL_CUMULATIVE_EVENTS),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
     "time_bucket_stats": (q_time_bucket_stats, SQL_TIME_BUCKET_STATS),

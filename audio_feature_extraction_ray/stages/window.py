@@ -124,6 +124,7 @@ def window_features(
     assume_partitioned: bool = False,
     rolling: dict[str, int] | None = None,
     rolling_time_us: dict[str, int] | None = None,
+    cumulative: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Add per-entity window columns in one shuffle.
 
@@ -144,6 +145,7 @@ def window_features(
     """
     fill_cols = fill_cols or []
     interp_cols = interp_cols or []
+    cumulative = cumulative or []
     ds, schema = arrow_schema_of(ds)
     fields = list(zip(schema.names, schema.types))
     out_fields = [pa.field(n, t) for n, t in fields]
@@ -160,6 +162,11 @@ def window_features(
         out_fields.append(pa.field(f"{c}_bfill", pa.float64()))
     for c in interp_cols:
         out_fields.append(pa.field(f"{c}_interp", pa.float64()))
+    for c in cumulative:
+        out_fields.append(pa.field(f"{c}_cumsum", pa.float64()))
+        out_fields.append(pa.field(f"{c}_cummean", pa.float64()))
+        out_fields.append(pa.field(f"{c}_cummax", pa.float64()))
+        out_fields.append(pa.field(f"{c}_cumcount", pa.int64()))
     for c, k in (rolling or {}).items():
         out_fields.append(pa.field(f"{c}_rollmean_{k}", pa.float64()))
     for c, w in (rolling_time_us or {}).items():
@@ -195,6 +202,27 @@ def window_features(
         for c in interp_cols:
             x = _f64(group.column(c))
             cols[f"{c}_interp"] = pa.array(_interp_time(x, tsv), pa.float64())
+        for c in cumulative:
+            # expanding aggregates, SQL ROWS UNBOUNDED PRECEDING semantics:
+            # nulls skipped; rows before the first non-null stay null. The
+            # running sum adds values in frame order, so DuckDB reproduces it
+            # bitwise.
+            x = _f64(group.column(c))
+            valid = ~np.isnan(x)
+            cnt = np.cumsum(valid.astype(np.int64))
+            cs = np.cumsum(np.where(valid, x, 0.0))
+            none_yet = cnt == 0
+            cols[f"{c}_cumsum"] = pa.array(
+                np.where(none_yet, np.nan, cs), pa.float64(), from_pandas=True
+            )
+            cols[f"{c}_cummean"] = pa.array(
+                np.where(none_yet, np.nan, cs / np.maximum(cnt, 1)),
+                pa.float64(), from_pandas=True,
+            )
+            cols[f"{c}_cummax"] = pa.array(
+                np.fmax.accumulate(x), pa.float64(), from_pandas=True
+            )
+            cols[f"{c}_cumcount"] = pa.array(cnt, pa.int64())
         for c, k in (rolling or {}).items():
             # trailing k-row mean ignoring nulls (SQL AVG OVER ROWS k-1
             # PRECEDING AND CURRENT ROW), via prefix sums — O(n) per group
