@@ -1327,6 +1327,22 @@ def q_argmax_events(sf_dir: str):
     return ev.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
+def q_grouped_topk_events(sf_dir: str):
+    """Top-3 events per user by value (grouped top-k with map-side combine;
+    deterministic tie-break by event_id)."""
+    from ..stages.util import grouped_topk
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+    return grouped_topk(ev, key="user_id", sort_keys=["value", "event_id"], k=3,
+                        descending=[True, False])
+
+
+SQL_GROUPED_TOPK_EVENTS = """
+SELECT event_id, user_id, event_type, value FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) <= 3
+"""
+
+
 SQL_ARGMAX_EVENTS = """
 SELECT event_id, user_id, event_type, value FROM events
 QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) = 1
@@ -1855,6 +1871,7 @@ QUERIES = {
     "except_order_keys": (q_except_order_keys, SQL_EXCEPT_ORDER_KEYS),
     "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
     "argmax_events": (q_argmax_events, SQL_ARGMAX_EVENTS),
+    "grouped_topk_events": (q_grouped_topk_events, SQL_GROUPED_TOPK_EVENTS),
     "sample_lineitem": (q_sample_lineitem, SQL_SAMPLE_LINEITEM),
     "hash_split_documents": (q_hash_split_documents, SQL_HASH_SPLIT_DOCUMENTS),
     "image_phash_neardups": (q_image_phash_neardups, None),

@@ -98,9 +98,10 @@ def _register_builtins() -> None:
     register_stage(
         "sort", lambda ds, *, keys, descending=False: ds.sort(keys, descending=descending)
     )
-    from .util import topk
+    from .util import grouped_topk, topk
 
     register_stage("topk", topk)
+    register_stage("grouped_topk", grouped_topk)
     register_stage("repartition", lambda ds, *, n: ds.repartition(n))
     register_stage("window_features", window.window_features)
     register_stage("window_features_bucketed", window.window_features_bucketed)

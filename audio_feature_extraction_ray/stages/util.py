@@ -38,6 +38,45 @@ def topk(
     )
 
 
+def grouped_topk(
+    ds: ray.data.Dataset,
+    key: str,
+    sort_keys: list[str],
+    k: int,
+    descending: bool | list[bool] = True,
+) -> ray.data.Dataset:
+    """Top-k rows PER GROUP (e.g. each user's k highest-value events) with a
+    map-side combine: every batch keeps at most k rows per key it sees
+    (vectorized run-boundary selection over a local sort), then one
+    ``groupby(key)`` merge takes the global per-group top-k — the shuffle
+    moves ≤ blocks×k rows per key, never the group's full history.
+    ``sort_keys`` should total-order within a group (add a tiebreak)."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_keys)
+    order = [(key, "ascending")] + [
+        (c, "descending" if d else "ascending") for c, d in zip(sort_keys, descending)
+    ]
+
+    def local(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if t.num_rows == 0:
+            return t
+        idx = pa.compute.sort_indices(t, sort_keys=order)
+        t = t.take(idx)
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        # rank within each key run (runs are contiguous after the sort)
+        starts = np.flatnonzero(np.concatenate(([True], kv[1:] != kv[:-1])))
+        run_id = np.cumsum(np.concatenate(([False], kv[1:] != kv[:-1])))
+        rank = np.arange(len(kv)) - starts[run_id]
+        return t.filter(pa.array(rank < k))
+
+    partial = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    return partial.groupby(key).map_groups(
+        lambda g: local(g), batch_format="pyarrow"
+    )
+
+
 def arrow_schema_of(ds: ray.data.Dataset) -> tuple[ray.data.Dataset, pa.Schema]:
     """Return ``(ds, arrow schema)``, normalizing pandas-backed blocks.
 
