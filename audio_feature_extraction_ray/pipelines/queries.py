@@ -258,6 +258,47 @@ FROM lineitem
 """
 
 
+def q_approx_distinct_parts(sf_dir: str):
+    """A9 sketch slot: HyperLogLog approximate distinct-part count (rows-only;
+    tolerance vs the exact count pinned in pytest — the exact path's groupby
+    shuffle is the thing this avoids at 100 TB)."""
+    from ..stages.aggregates import approx_distinct
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey"])
+    return _one_row({"approx_n_partkey": approx_distinct(li, "l_partkey")})
+
+
+def q_pivot_event_counts(sf_dir: str):
+    """Pivot / conditional aggregation: one row per user with per-event-type
+    count columns (the reference's wide report tables; SQL conditional SUM)."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def flags(t: pa.Table) -> pa.Table:
+        out = {"user_id": t.column("user_id")}
+        et = t.column("event_type")
+        for ty in types:
+            out[f"n_{ty}"] = pc.cast(pc.equal(et, ty), pa.int64())
+        return pa.table(out)
+
+    return grouped_agg_fast(
+        ev.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id"],
+        specs=[(f"n_{ty}", f"n_{ty}", "sum") for ty in types],
+    )
+
+
+SQL_PIVOT_EVENT_COUNTS = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
 def q_unique_event_types(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["event_type"])
     vals = sorted(ds.unique("event_type"))
@@ -1834,6 +1875,8 @@ QUERIES = {
     "grouped_stats_documents": (q_grouped_stats_documents, SQL_GROUPED_STATS_DOCUMENTS),
     "percentiles_events": (q_percentiles_events, SQL_PERCENTILES_EVENTS),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
+    "approx_distinct_parts": (q_approx_distinct_parts, None),
+    "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENT_COUNTS),
     "unique_event_types": (q_unique_event_types, SQL_UNIQUE_EVENT_TYPES),
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
     "join_customer_orders": (q_join_customer_orders, SQL_JOIN_CUSTOMER_ORDERS),

@@ -339,6 +339,52 @@ def approx_quantiles_grouped(
     return sketches.groupby(key).map_groups(per_key, batch_format="pyarrow")
 
 
+def approx_distinct(
+    ds: ray.data.Dataset, col: str, precision: int = 12
+) -> int:
+    """Approximate COUNT(DISTINCT col) via HyperLogLog (A9 sketch slot — at
+    100 TB the exact path's groupby shuffle moves every distinct key).
+
+    Map side: each block hashes its values columnar (polars row hash →
+    bucket index + leading-zero rank) and emits its 2^precision register
+    maxima as ONE fixed-size row; registers merge by elementwise max and
+    the standard bias-corrected harmonic estimate runs on the driver.
+    Standard error ≈ 1.04/sqrt(2^precision) ≈ 1.6% at precision 12.
+    """
+    m = 1 << precision
+
+    def sketch(t: pa.Table) -> pa.Table:
+        import polars as _pl
+
+        regs = np.zeros(m, dtype=np.int64)
+        if t.num_rows:
+            h = _pl.from_arrow(t.select([col])).hash_rows(seed=99).to_numpy()
+            bucket = (h >> np.uint64(64 - precision)).astype(np.int64)
+            rest = (h << np.uint64(precision)) | np.uint64(1 << (precision - 1))
+            # rank = leading zeros of the remaining bits + 1, vectorized via
+            # float64 exponent extraction (exact for any nonzero uint64)
+            exp = ((rest.astype(np.float64)).view(np.uint64) >> np.uint64(52)) - np.uint64(1023)
+            rank = (64 - exp.astype(np.int64)).clip(1, 64 - precision + 1)
+            np.maximum.at(regs, bucket, rank)
+        return pa.table({"reg": pa.array(regs, pa.int64())})
+
+    parts = list(
+        ds.select_columns([col])
+        .map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    regs = np.zeros(m, dtype=np.int64)
+    for p in parts:
+        arr = p.column("reg").to_numpy(zero_copy_only=False)
+        regs = np.maximum(regs, arr.reshape(-1, m).max(axis=0))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)  # small-range correction
+    return int(round(est))
+
+
 def exact_quantiles(ds: ray.data.Dataset, col: str, qs: list[float]) -> list[float]:
     """Exact quantiles with linear interpolation (SQL ``quantile_cont``).
 

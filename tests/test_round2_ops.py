@@ -642,3 +642,14 @@ def test_bucket_hash_join_matches_pandas():
     assert len(got) == len(exp)
     np.testing.assert_allclose(got["a"], exp["a"])
     np.testing.assert_allclose(got["b"], exp["b"])
+
+
+def test_approx_distinct_within_tolerance():
+    from audio_feature_extraction_ray.stages.aggregates import approx_distinct
+
+    li = ray.data.read_parquet(os.path.join(SF_DIR, "lineitem.parquet")) \
+        .select_columns(["l_partkey"])
+    exact = len(li.unique("l_partkey"))
+    approx = approx_distinct(li, "l_partkey", precision=12)
+    # HLL standard error ~1.6% at precision 12; allow 5 sigma
+    assert abs(approx - exact) <= max(0.08 * exact, 10), (approx, exact)
