@@ -574,6 +574,28 @@ FROM events
 """
 
 
+def q_rank_events(sf_dir: str):
+    """Rank family per user: row_number / percent_rank / NTILE(4) over value
+    order (deterministic tie-break by event_id) — exact SQL window
+    semantics, bit-for-bit (percent_rank is an exact rational; NTILE's
+    remainder rows fill the leading buckets)."""
+    from ..stages.window import grouped_rank
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return grouped_rank(ev, key="user_id", sort_keys=["value", "event_id"],
+                        descending=[True, False], n_tiles=4)
+
+
+SQL_RANK_EVENTS = """
+SELECT event_id, user_id, value,
+       ROW_NUMBER() OVER w AS row_number,
+       PERCENT_RANK() OVER w AS percent_rank,
+       NTILE(4) OVER w AS ntile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+"""
+
+
 def q_cumulative_events(sf_dir: str):
     """Expanding (cumulative) aggregates per user: running sum/mean/max/count
     of value — SQL ROWS UNBOUNDED PRECEDING semantics, bitwise-exact since
@@ -1889,6 +1911,7 @@ QUERIES = {
     "lag_lead_events": (q_lag_lead_events, SQL_LAG_LEAD_EVENTS),
     "ffill_events": (q_ffill_events, SQL_FFILL_EVENTS),
     "cumulative_events": (q_cumulative_events, SQL_CUMULATIVE_EVENTS),
+    "rank_events": (q_rank_events, SQL_RANK_EVENTS),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
     "time_bucket_stats": (q_time_bucket_stats, SQL_TIME_BUCKET_STATS),

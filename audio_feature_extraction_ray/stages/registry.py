@@ -104,6 +104,7 @@ def _register_builtins() -> None:
     register_stage("grouped_topk", grouped_topk)
     register_stage("repartition", lambda ds, *, n: ds.repartition(n))
     register_stage("window_features", window.window_features)
+    register_stage("grouped_rank", window.grouped_rank)
     register_stage("window_features_bucketed", window.window_features_bucketed)
     register_stage("sessionize", window.sessionize)
     register_stage("time_bucket", window.time_bucket)

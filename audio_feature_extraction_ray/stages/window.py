@@ -714,6 +714,52 @@ def window_features_bucketed(
     return unioned.groupby("__kb").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def grouped_rank(
+    ds: ray.data.Dataset,
+    key: str,
+    sort_keys: list[str],
+    descending: bool | list[bool] = False,
+    n_tiles: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group rank features: ``row_number`` (1-based), ``percent_rank``
+    and optional ``ntile`` over the group's ``sort_keys`` order — exact SQL
+    window semantics (NTILE's remainder rows go to the leading buckets), so
+    DuckDB replays them bit-for-bit. One groupby shuffle; ranks are computed
+    vectorized over each sorted group."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_keys)
+    ds, schema = arrow_schema_of(ds)
+    out_fields = [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
+    out_fields += [pa.field("row_number", pa.int64()), pa.field("percent_rank", pa.float64())]
+    if n_tiles is not None:
+        out_fields.append(pa.field("ntile", pa.int64()))
+    out_schema = pa.schema(out_fields)
+    order = [(c, "descending" if d else "ascending") for c, d in zip(sort_keys, descending)]
+
+    def per_group(group: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(group, sort_keys=order)
+        group = group.take(idx)
+        n = group.num_rows
+        r = np.arange(n, dtype=np.int64)
+        cols = {name: group.column(name) for name in group.column_names}
+        cols["row_number"] = pa.array(r + 1, pa.int64())
+        cols["percent_rank"] = pa.array(
+            r / (n - 1) if n > 1 else np.zeros(n), pa.float64()
+        )
+        if n_tiles is not None:
+            small = n // n_tiles
+            big = n % n_tiles
+            thr = big * (small + 1)
+            if small == 0:
+                tile = r  # fewer rows than tiles: one row per leading bucket
+            else:
+                tile = np.where(r < thr, r // (small + 1), big + (r - thr) // small)
+            cols["ntile"] = pa.array(tile + 1, pa.int64())
+        return pa.table(cols, schema=out_schema)
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pyarrow")
+
+
 def sessionize(
     ds: ray.data.Dataset,
     key: str,
