@@ -1130,6 +1130,30 @@ WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARC
 """
 
 
+def q_weighted_sample_documents(sf_dir: str):
+    """Deterministic weighted sample of documents, weight = n_chars (longer
+    docs proportionally likelier) — the quality-weighted corpus-selection
+    primitive, reproducible on any cluster size and SQL-replayable."""
+    from ..stages.sampling import weighted_sample
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = weighted_sample(docs, ["doc_id"], "n_chars", k=100, tiebreak="doc_id")
+    return _round_cols(out, ["score"], digits=6)
+
+
+SQL_WEIGHTED_SAMPLE_DOCUMENTS = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         POW(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+               / 4503599627370496.0,
+             1.0 / GREATEST(n_chars, 1e-12)) AS score
+  FROM documents
+)
+SELECT doc_id, n_chars, ROUND(score, 6) AS score
+FROM s ORDER BY s.score DESC, doc_id LIMIT 100
+"""
+
+
 def q_hash_split_documents(sf_dir: str):
     """Deterministic train/val/test split assignment + per-split counts."""
     from ..stages.sampling import hash_split
@@ -1940,6 +1964,7 @@ QUERIES = {
     "grouped_topk_events": (q_grouped_topk_events, SQL_GROUPED_TOPK_EVENTS),
     "sample_lineitem": (q_sample_lineitem, SQL_SAMPLE_LINEITEM),
     "hash_split_documents": (q_hash_split_documents, SQL_HASH_SPLIT_DOCUMENTS),
+    "weighted_sample_documents": (q_weighted_sample_documents, SQL_WEIGHTED_SAMPLE_DOCUMENTS),
     "image_phash_neardups": (q_image_phash_neardups, None),
     "compare_preprocess_reports": (q_compare_preprocess_reports, None),
     "sessionize_events_bucketed": (q_sessionize_events_bucketed, SQL_SESSIONIZE_EVENTS),

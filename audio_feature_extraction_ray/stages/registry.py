@@ -116,6 +116,7 @@ def _register_builtins() -> None:
     register_stage("simhash_pairs", dedup.simhash_dedup_pairs)
     register_stage("hamming_pairs", dedup.hamming_dedup_pairs)
     register_stage("deterministic_sample", sampling.deterministic_sample)
+    register_stage("weighted_sample", sampling.weighted_sample)
     register_stage("hash_split", sampling.hash_split)
 
 

@@ -52,6 +52,42 @@ def deterministic_sample(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def weighted_sample(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    weight_col: str,
+    k: int,
+    sep: str = "-",
+    tiebreak: str | None = None,
+) -> ray.data.Dataset:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis): each row scores ``u^(1/w)`` where ``u`` derives from the md5
+    of its key — no RNG state, identical samples on any cluster size — and
+    the global top-k scores win via the shuffle-free :func:`topk`. The
+    quality-weighted corpus-selection primitive (weight = quality score /
+    token count / dedup multiplicity). SQL-replayable: DuckDB parses the
+    same md5 hex prefix and computes the same POW.
+    """
+    import numpy as np
+
+    from .util import topk
+
+    def score(t: pa.Table) -> pa.Table:
+        keys = _row_keys(t, key_cols, sep)
+        u = np.array(
+            [int(hashlib.md5(s.encode()).hexdigest()[:13], 16) for s in keys],
+            dtype=np.float64,
+        ) / float(16**13)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        sc = np.power(u, 1.0 / np.maximum(w, 1e-12))
+        return t.append_column("score", pa.array(sc, pa.float64()))
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    keys = ["score"] + ([tiebreak] if tiebreak else [])
+    desc = [True] + ([False] if tiebreak else [])
+    return topk(scored, keys, k, descending=desc)
+
+
 def hash_split(
     ds: ray.data.Dataset,
     key_fn_cols: list[str],
