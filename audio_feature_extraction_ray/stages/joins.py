@@ -126,8 +126,13 @@ def bucket_hash_join(
     collected on the driver and no task holds more than one bucket — the
     100 TB-safe large–large shape; skewed keys are bounded by the bucket count
     (raise ``num_buckets``, or pre-aggregate/salt upstream for a hot key).
-    Measured faster than Ray's native ``Dataset.join`` at every scale tested
-    here (see BASELINE.md); `hash_join` stays as the native fallback.
+
+    Wall-time is on par with Ray's native ``Dataset.join`` at bench scale
+    (~2.9 s each on lineitem⋈orders at sf0.1; the native join was 3x slower
+    in round 1 and has since improved). The value of this variant is
+    compositional: it is a plain Dataset-in/Dataset-out primitive our other
+    operators embed (connected-components label joins, dedup signature
+    verification) with explicit control over bucketing and key normalization.
     """
     from .util import arrow_schema_of
 
