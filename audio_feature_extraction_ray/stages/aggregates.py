@@ -86,9 +86,11 @@ def grouped_agg_fast(
     (SURVEY.md §2.6: it materializes full value lists in RAM,
     evaluation/evaluator.py:38-49). Phase 2 shuffles only the small partials
     by key-hash bucket and combines per bucket. On high-cardinality keys this
-    beats the sort-based ``groupby().aggregate()`` by ~an order of magnitude
-    and is the pattern that holds at 100 TB (partials are bounded by
-    #blocks × #distinct-keys-per-block, never by row count).
+    beats the sort-based ``groupby().aggregate()`` by 4–5x at bench scale
+    (measured: 1.2–1.7 s vs 5.5–6.9 s on 600k rows / 150k keys at sf0.1,
+    the gap growing with key cardinality) and is the pattern that holds at
+    100 TB (partials are bounded by #blocks × #distinct-keys-per-block,
+    never by row count).
 
     specs: (out_name, src_col, fn) with fn ∈ {sum, min, max, mean, count}.
     ``mean`` is carried as (sum, non-null count) pairs and finalized in
