@@ -330,12 +330,12 @@ def window_features_bucketed(
 
     Equivalent to :func:`window_features` (pinned by tests, including a
     giant-hot-entity case); costs one extra shuffle of the data — the price
-    of the per-task memory bound. ``rolling_time_us`` is supported for
-    window reaches ``w <= bucket_us`` via bounded CONTEXT-ROW duplication:
-    rows within ``w`` of a bucket's end are co-shipped to the next bucket
-    (tagged, used for the time-window sums, never re-emitted) — at most one
-    extra bucket of rows per task, so the memory bound holds. Larger time
-    reaches need a larger ``bucket_us`` (asserted).
+    of the per-task memory bound. ``rolling_time_us`` works via bounded
+    CONTEXT-ROW duplication: rows within the window reach of a later
+    bucket's frames are co-shipped to that bucket (tagged, used for the
+    time-window sums, never re-emitted), chained ``ceil(w / bucket_us)``
+    buckets ahead — per-task memory grows to ``1 + ceil(w/bucket_us)``
+    buckets, the caller's bucket-size/window trade.
     """
     import pyarrow.compute as pc
 
@@ -344,11 +344,10 @@ def window_features_bucketed(
     rolling = rolling or {}
     rolling_time_us = rolling_time_us or {}
     max_w = max(rolling_time_us.values(), default=0)
-    if max_w > bucket_us:
-        raise ValueError(
-            f"rolling_time_us window {max_w} exceeds bucket_us {bucket_us}; "
-            "context-row duplication only reaches one bucket back"
-        )
+    # chained context duplication: a time window reaching R buckets back
+    # ships each row to up to R subsequent buckets — per-task memory grows
+    # to (1 + R) buckets, the caller's bucket_us/window trade
+    ctx_reach = -(-max_w // bucket_us) if max_w > 0 else 0
     ds, schema = arrow_schema_of(ds)
     fields = list(zip(schema.names, schema.types))
     # largest backward/forward reach in ROWS
@@ -387,20 +386,25 @@ def window_features_bucketed(
         b = tsv // bucket_us
         t = t.append_column("__b", pa.array(b, pa.int64())) \
             .append_column("__ctx", pa.array(np.zeros(len(tsv), np.int8)))
-        if max_w > 0:
-            # context duplication: rows within max_w of their bucket's end
-            # also serve the NEXT bucket's trailing time windows
-            near_end = tsv >= (b + 1) * bucket_us - max_w
-            if near_end.any():
-                dup = t.filter(pa.array(near_end))
-                dup = dup.set_column(
-                    dup.column_names.index("__b"), "__b",
-                    pc.add(dup.column("__b"), 1),
-                ).set_column(
-                    dup.column_names.index("__ctx"), "__ctx",
-                    pa.array(np.ones(dup.num_rows, np.int8)),
-                )
-                t = pa.concat_tables([t, dup])
+        if ctx_reach > 0:
+            # context duplication: rows within max_w of a LATER bucket's
+            # window serve that bucket's trailing time frames (chained up
+            # to ctx_reach buckets ahead for windows spanning buckets)
+            parts = [t]
+            for j in range(1, ctx_reach + 1):
+                near = tsv >= (b + j) * bucket_us - max_w
+                if near.any():
+                    dup = t.filter(pa.array(near))
+                    dup = dup.set_column(
+                        dup.column_names.index("__b"), "__b",
+                        pc.add(dup.column("__b"), j),
+                    ).set_column(
+                        dup.column_names.index("__ctx"), "__ctx",
+                        pa.array(np.ones(dup.num_rows, np.int8)),
+                    )
+                    parts.append(dup)
+            if len(parts) > 1:
+                t = pa.concat_tables(parts)
         kb = pc.binary_join_element_wise(
             pc.cast(t.column(key), pa.string()),
             pc.cast(t.column("__b"), pa.string()),

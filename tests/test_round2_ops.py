@@ -411,7 +411,8 @@ def test_window_features_bucketed_equivalence():
     kwargs = dict(
         key="k", ts="ts", value_cols=["v"], lags=(1, 3), leads=(1, 2), deltas=True,
         fill_cols=["f"], interp_cols=["f"], session_gap_us=50_000,
-        rolling={"v": 5}, rolling_time_us={"v": 150_000},
+        rolling={"v": 5}, rolling_time_us={"v": 450_000},  # > 2x bucket_us:
+        # exercises CHAINED context duplication across multiple buckets
     )
     plain = window_features(ds, **kwargs).to_pandas() \
         .sort_values(["k", "ts"]).reset_index(drop=True)
