@@ -466,6 +466,36 @@ ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+def q_asof_events_tolerance(sf_dir: str):
+    """Backward as-of with a BOUNDED LOOKBACK: latest purchase within 2 h
+    before each click, else null — completes the oracle coverage of the
+    as-of mode matrix (backward/forward x unbounded/tolerance)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    clicks = ev.filter(expr="event_type == 'click'") \
+        .select_columns(["event_id", "user_id", "ts"])
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+        .select_columns(["user_id", "ts", "value"]) \
+        .map_batches(lambda t: t.rename_columns(["user_id", "r_ts", "value"]),
+                     batch_format="pyarrow")
+    return asof_join(clicks, purchases, on="user_id", left_ts="ts", right_ts="r_ts",
+                     value_cols=["value"], suffix="_recent", direction="backward",
+                     tolerance_us=2 * HOUR_US)
+
+
+SQL_ASOF_EVENTS_TOLERANCE = """
+SELECT c.event_id, c.user_id, c.ts,
+       CASE WHEN p.r_ts IS NOT NULL
+                 AND epoch_us(c.ts) - epoch_us(p.r_ts) <= 7200000000
+            THEN p.value END AS value_recent,
+       CASE WHEN p.r_ts IS NOT NULL
+                 AND epoch_us(c.ts) - epoch_us(p.r_ts) <= 7200000000
+            THEN p.r_ts END AS matched_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts AS r_ts, value FROM events WHERE event_type = 'purchase') p
+ON c.user_id = p.user_id AND c.ts >= p.r_ts
+"""
+
+
 def q_asof_events_bucketed(sf_dir: str):
     """The BOUNDED-MEMORY bucketed as-of (per-(entity, time-bucket)
     co-partitioning + bucket-summary fallback) against the same oracle SQL
@@ -1932,6 +1962,7 @@ QUERIES = {
     "asof_events": (q_asof_events, SQL_ASOF_EVENTS),
     "asof_events_forward": (q_asof_events_forward, SQL_ASOF_EVENTS_FORWARD),
     "asof_events_bucketed": (q_asof_events_bucketed, SQL_ASOF_EVENTS_BUCKETED),
+    "asof_events_tolerance": (q_asof_events_tolerance, SQL_ASOF_EVENTS_TOLERANCE),
     "lag_lead_events": (q_lag_lead_events, SQL_LAG_LEAD_EVENTS),
     "ffill_events": (q_ffill_events, SQL_FFILL_EVENTS),
     "cumulative_events": (q_cumulative_events, SQL_CUMULATIVE_EVENTS),
