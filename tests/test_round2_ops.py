@@ -93,13 +93,17 @@ def test_connected_components_property(pairs):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     df = pd.DataFrame({"id_a": [a for a, _ in pairs], "id_b": [b for _, b in pairs]})
-    got = connected_components(ray.data.from_pandas(df)).to_pandas()
-    lab = dict(zip(got["id"], got["cluster"]))
     nodes = {a for a, _ in pairs} | {b for _, b in pairs}
-    # min-label propagation converges to the component's min id == union-find
-    # root under min-merge
-    for n in nodes:
-        assert lab[n] == find(n), (n, lab[n], find(n))
+    # BOTH execution paths must equal serial union-find: the driver-side
+    # small-graph pass (default threshold) and the distributed label loop
+    # (threshold 0 forces it)
+    for thr in (1_000_000, 0):
+        got = connected_components(
+            ray.data.from_pandas(df), driver_threshold=thr
+        ).to_pandas()
+        lab = dict(zip(got["id"], got["cluster"]))
+        for n in nodes:
+            assert lab[n] == find(n), (thr, n, lab[n], find(n))
 
 
 # ------------------------------------------------------------------ interp
