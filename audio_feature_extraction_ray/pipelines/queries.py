@@ -799,6 +799,38 @@ FROM documents
 """
 
 
+def q_redact_documents(sf_dir: str):
+    """PII-style scrubbing (sensitive-term analog on this corpus: redact the
+    'customer' entity and collapse 'key'-adjacent identifiers), redaction
+    count per doc — oracle-checked against chained regexp_replace."""
+    from ..stages.text import redact
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = redact(
+        ds,
+        patterns={
+            r"\bcustomer\b": "<ENTITY>",
+            r"\b(key|hash) [a-z]+\b": "<ID>",
+        },
+    )
+    return out.select_columns(["doc_id", "text", "n_redactions"])
+
+
+SQL_REDACT_DOCUMENTS = r"""
+WITH s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\bcustomer\b')) AS c1,
+         regexp_replace(text, '\bcustomer\b', '<ENTITY>', 'g') AS t1
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(t1, '\b(key|hash) [a-z]+\b', '<ID>', 'g') AS text,
+       CAST(c1 + len(regexp_extract_all(t1, '\b(key|hash) [a-z]+\b')) AS BIGINT)
+         AS n_redactions
+FROM s1
+"""
+
+
 def q_dedup_exact_documents(sf_dir: str):
     """Exact dedup via md5 fingerprint: one row per distinct text."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1977,6 +2009,7 @@ QUERIES = {
     "token_frequencies": (q_token_frequencies, SQL_TOKEN_FREQUENCIES),
     "text_quality_documents": (q_text_quality_documents, SQL_TEXT_QUALITY_DOCUMENTS),
     "dedup_exact_documents": (q_dedup_exact_documents, SQL_DEDUP_EXACT_DOCUMENTS),
+    "redact_documents": (q_redact_documents, SQL_REDACT_DOCUMENTS),
     "minhash_pairs_documents": (q_minhash_pairs_documents, None),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "simhash_documents": (q_simhash_documents, None),

@@ -90,6 +90,40 @@ def text_features(
     )
 
 
+def redact(
+    ds: ray.data.Dataset,
+    patterns: dict[str, str],
+    text_col: str = "text",
+    count_col: str | None = "n_redactions",
+) -> ray.data.Dataset:
+    """PII-style scrubbing: replace each regex with its placeholder, fully
+    columnar (``pc.replace_substring_regex``), optionally counting the
+    redactions per row — the pre-training text-cleanup stage (emails,
+    numbers, handles out; structure preserved). Patterns apply in dict
+    order, matching SQL ``regexp_replace(..., 'g')`` chains exactly.
+    """
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        col = col.fill_null("")
+        total = None
+        for pat, repl in patterns.items():
+            if count_col is not None:
+                hits = pc.count_substring_regex(col, pat)
+                total = hits if total is None else pc.add(total, hits)
+            col = pc.replace_substring_regex(col, pat, repl)
+        out = {n: t.column(n) for n in t.column_names if n != text_col}
+        out[text_col] = col
+        if count_col is not None:
+            out[count_col] = pc.cast(total, pa.int64()) if total is not None else \
+                pa.nulls(t.num_rows, pa.int64()).fill_null(0)
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def token_count_table(ds: ray.data.Dataset, id_col: str, text_col: str = "text") -> ray.data.Dataset:
     """Minimal projection: (id, token_count) with python str.split semantics
     (columnar split — non-empty token slots counted, no per-doc loop)."""
