@@ -799,6 +799,37 @@ FROM documents
 """
 
 
+def q_chunk_documents(sf_dir: str):
+    """Token-window chunking with overlap (64-token chunks, 16 overlap) —
+    the LLM context-window prep stage, oracle-checked via DuckDB list
+    slicing + array_to_string."""
+    from ..stages.text import chunk_text
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_text(ds, id_col="doc_id", chunk_tokens=64, overlap=16)
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+') AS toks
+  FROM documents
+  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
+), n AS (
+  SELECT doc_id, toks, len(toks) AS nt,
+         CASE WHEN len(toks) <= 64 THEN 1
+              ELSE 1 + CAST(CEIL((len(toks) - 64) / 48.0) AS BIGINT) END AS nc
+  FROM t
+), e AS (
+  SELECT doc_id, toks, nt, UNNEST(generate_series(0, nc - 1)) AS chunk_id FROM n
+)
+SELECT doc_id, chunk_id,
+       array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text,
+       CAST(LEAST(nt - chunk_id * 48, 64) AS BIGINT) AS n_tokens
+FROM e
+"""
+
+
 def q_redact_documents(sf_dir: str):
     """PII-style scrubbing (sensitive-term analog on this corpus: redact the
     'customer' entity and collapse 'key'-adjacent identifiers), redaction
@@ -2010,6 +2041,7 @@ QUERIES = {
     "text_quality_documents": (q_text_quality_documents, SQL_TEXT_QUALITY_DOCUMENTS),
     "dedup_exact_documents": (q_dedup_exact_documents, SQL_DEDUP_EXACT_DOCUMENTS),
     "redact_documents": (q_redact_documents, SQL_REDACT_DOCUMENTS),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "minhash_pairs_documents": (q_minhash_pairs_documents, None),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "simhash_documents": (q_simhash_documents, None),

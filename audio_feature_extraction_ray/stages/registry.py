@@ -110,6 +110,7 @@ def _register_builtins() -> None:
     register_stage("time_bucket", window.time_bucket)
     register_stage("text_features", text.text_features)
     register_stage("redact", text.redact)
+    register_stage("chunk_text", text.chunk_text)
     register_stage("grouped_stats", aggregates.grouped_stats)
     register_stage("grouped_agg_fast", aggregates.grouped_agg_fast)
     register_stage("dedup_exact", dedup.dedup_exact)

@@ -124,6 +124,55 @@ def redact(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def chunk_text(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> ray.data.Dataset:
+    """Token-window chunking with overlap — the LLM context-window prep
+    stage: each document becomes ceil-covering windows of ``chunk_tokens``
+    whitespace tokens stepping by ``chunk_tokens - overlap``. Output rows
+    ``(id, chunk_id, chunk_text, n_tokens)`` with chunk text whitespace-
+    joined (token-level chunking; original inter-token whitespace is not
+    preserved, matching SQL array_to_string). Empty documents emit no
+    chunks. Tokenization is columnar; only the per-chunk string joins are
+    per-row (inherent to producing chunk strings)."""
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, off, _ = _flat_tokens(batch.column(text_col))
+        toks = flat.to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        out_id, out_cid, out_txt, out_n = [], [], [], []
+        for r in range(len(ids)):
+            words = [t for t in toks[off[r] : off[r + 1]] if t]
+            n = len(words)
+            if n == 0:
+                continue
+            nc = 1 if n <= chunk_tokens else 1 + -(-(n - chunk_tokens) // step)
+            for i in range(nc):
+                piece = words[i * step : i * step + chunk_tokens]
+                out_id.append(ids[r])
+                out_cid.append(i)
+                out_txt.append(" ".join(piece))
+                out_n.append(len(piece))
+        id_type = batch.schema.field(id_col).type
+        return pa.table(
+            {
+                id_col: pa.array(out_id, id_type),
+                "chunk_id": pa.array(out_cid, pa.int64()),
+                "chunk_text": pa.array(out_txt, pa.string()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def token_count_table(ds: ray.data.Dataset, id_col: str, text_col: str = "text") -> ray.data.Dataset:
     """Minimal projection: (id, token_count) with python str.split semantics
     (columnar split — non-empty token slots counted, no per-doc loop)."""
