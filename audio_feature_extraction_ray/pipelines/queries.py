@@ -799,6 +799,51 @@ FROM documents
 """
 
 
+def q_corpus_pipeline_documents(sf_dir: str):
+    """The end-to-end pretraining-corpus curation composition in ONE
+    oracle-checked pipeline: quality features → threshold filter
+    (n_tokens ≥ 20, punct_ratio ≤ 0.1) → exact dedup (min doc_id per md5
+    fingerprint) → deterministic weighted selection of 50 docs by token
+    count. Every stage streams; every stage is SQL-replayable."""
+    from ..stages.dedup import dedup_exact
+    from ..stages.sampling import weighted_sample
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    feats = text_features(ds, quality=True, lang=False, fingerprints=True)
+    kept = feats.filter(expr="n_tokens >= 20 and punct_ratio <= 0.1")
+    deduped = dedup_exact(kept, ["fingerprint_md5"], order_col="doc_id", keep="min")
+    sampled = weighted_sample(deduped, ["doc_id"], "n_tokens", k=50, tiebreak="doc_id")
+    out = sampled.select_columns(["doc_id", "n_tokens", "score"])
+    return _round_cols(out, ["score"], digits=6)
+
+
+SQL_CORPUS_PIPELINE_DOCUMENTS = r"""
+WITH q AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
+              ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'))
+         END AS n_tokens,
+         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0
+           / NULLIF(length(text), 0) AS punct_ratio,
+         md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13)))) AS fp
+  FROM documents
+), kept AS (
+  SELECT * FROM q WHERE n_tokens >= 20 AND punct_ratio <= 0.1
+), deduped AS (
+  SELECT doc_id, n_tokens FROM kept
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+), scored AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         POW(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+               / 4503599627370496.0,
+             1.0 / GREATEST(n_tokens, 1e-12)) AS score
+  FROM deduped
+)
+SELECT doc_id, n_tokens, ROUND(score, 6) AS score
+FROM scored ORDER BY scored.score DESC, doc_id LIMIT 50
+"""
+
+
 def q_chunk_documents(sf_dir: str):
     """Token-window chunking with overlap (64-token chunks, 16 overlap) —
     the LLM context-window prep stage, oracle-checked via DuckDB list
@@ -2042,6 +2087,7 @@ QUERIES = {
     "dedup_exact_documents": (q_dedup_exact_documents, SQL_DEDUP_EXACT_DOCUMENTS),
     "redact_documents": (q_redact_documents, SQL_REDACT_DOCUMENTS),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "corpus_pipeline_documents": (q_corpus_pipeline_documents, SQL_CORPUS_PIPELINE_DOCUMENTS),
     "minhash_pairs_documents": (q_minhash_pairs_documents, None),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "simhash_documents": (q_simhash_documents, None),
