@@ -49,6 +49,8 @@ HEADLINE = [
     "alignment_report_events",
     "approx_percentiles_events",
     "simhash_documents",
+    "corpus_pipeline_documents",
+    "chunk_documents",
 ]
 
 
