@@ -13,7 +13,7 @@ import json
 import os
 
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+from ray.data.aggregate import Count, Max, Mean, Min, Std
 
 from ..stages.aggregates import exact_quantiles
 
@@ -87,9 +87,9 @@ def generate_evaluation_report(
 def compare_reports(baseline: dict, improved: dict) -> dict:
     """J5: explicit baseline-vs-improved comparison — per-metric delta and
     relative change between two evaluation reports (the reference's
-    original-vs-improved experiment comparison,
-    02_prosody_analysis_experiment/prosody_analysis.py improved-vs-original
-    sections and 05/dtw_alignment.py:1504-1567 summary diffs).
+    baseline-vs-current intent: committed golden baselines under
+    04_feature_extraction_experiment/baseline/ plus the summary reporting in
+    05_dtw_alignment_experiment/dtw_alignment.py:1504-1567).
 
     Input: two dicts as returned by :func:`generate_evaluation_report`
     (section → {metric: value}). Output: {section.metric: {baseline,

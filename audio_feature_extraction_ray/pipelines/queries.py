@@ -23,7 +23,7 @@ from ..sources.tables import read_table
 from ..stages.aggregates import exact_quantiles, grouped_agg_fast, grouped_stats
 from ..stages.asof import asof_join
 from ..stages.dedup import minhash_dedup_pairs
-from ..stages.joins import broadcast_join, broadcast_semi_join, bucket_hash_join
+from ..stages.joins import broadcast_join, broadcast_semi_join
 from ..stages.similarity import knn_bruteforce, _normalize, _stack_embeddings
 from ..stages.text import text_features
 from ..stages.window import sessionize, time_bucket, window_features

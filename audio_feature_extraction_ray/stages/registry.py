@@ -1,8 +1,9 @@
 """Stage protocol + registry: the user-extension surface (SURVEY.md §2.9).
 
-The reference extends its pipeline by monkey-patching module functions and
-editing config dicts (06_full_integration_test/run_full_test.py,
-04_feature_extraction_experiment config chains). The Ray-Data-first recast is
+The reference extends its pipeline by monkey-patching extractor methods
+(``extractor.preprocess_audio = custom_fn``, README.md:129-138) and editing
+YAML config chains (04_feature_extraction_experiment/process_audio.py:14-26).
+The Ray-Data-first recast is
 a declarative REGISTRY: every built-in operator registers under a name, users
 register their own with :func:`register_stage`, and :func:`build_pipeline`
 composes a ``Dataset → Dataset`` chain from plain config
