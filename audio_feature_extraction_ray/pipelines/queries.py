@@ -629,6 +629,26 @@ WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
 """
 
 
+def q_rank_ties_events(sf_dir: str):
+    """Tie-aware RANK / DENSE_RANK per user over value DESC — rows with equal
+    values share a rank (the events table carries real ties), deterministic
+    without any tiebreak column."""
+    from ..stages.window import grouped_rank
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return grouped_rank(ev, key="user_id", sort_keys=["value"], descending=True,
+                        tie_aware=True)
+
+
+SQL_RANK_TIES_EVENTS = """
+SELECT event_id, user_id, value,
+       RANK() OVER w AS rank,
+       DENSE_RANK() OVER w AS dense_rank
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC)
+"""
+
+
 def q_cumulative_events(sf_dir: str):
     """Expanding (cumulative) aggregates per user: running sum/mean/max/count
     of value — SQL ROWS UNBOUNDED PRECEDING semantics, bitwise-exact since
@@ -2078,6 +2098,7 @@ QUERIES = {
     "ffill_events": (q_ffill_events, SQL_FFILL_EVENTS),
     "cumulative_events": (q_cumulative_events, SQL_CUMULATIVE_EVENTS),
     "rank_events": (q_rank_events, SQL_RANK_EVENTS),
+    "rank_ties_events": (q_rank_ties_events, SQL_RANK_TIES_EVENTS),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
     "time_bucket_stats": (q_time_bucket_stats, SQL_TIME_BUCKET_STATS),

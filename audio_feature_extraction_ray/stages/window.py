@@ -724,19 +724,29 @@ def grouped_rank(
     sort_keys: list[str],
     descending: bool | list[bool] = False,
     n_tiles: int | None = None,
+    tie_aware: bool = False,
 ) -> ray.data.Dataset:
-    """Per-group rank features: ``row_number`` (1-based), ``percent_rank``
-    and optional ``ntile`` over the group's ``sort_keys`` order — exact SQL
-    window semantics (NTILE's remainder rows go to the leading buckets), so
-    DuckDB replays them bit-for-bit. One groupby shuffle; ranks are computed
-    vectorized over each sorted group."""
+    """Per-group rank features over the group's ``sort_keys`` order — exact
+    SQL window semantics, so DuckDB replays them bit-for-bit. One groupby
+    shuffle; ranks are computed vectorized over each sorted group.
+
+    Default outputs: ``row_number`` (1-based), ``percent_rank`` and optional
+    ``ntile`` (remainder rows fill the leading buckets) — these require
+    ``sort_keys`` to be a TOTAL order (add a tiebreak column).
+    ``tie_aware=True`` instead emits ``rank``/``dense_rank`` where rows with
+    equal sort keys share a rank — deterministic even WITH ties, matching
+    SQL RANK()/DENSE_RANK()."""
     if isinstance(descending, bool):
         descending = [descending] * len(sort_keys)
     ds, schema = arrow_schema_of(ds)
     out_fields = [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
-    out_fields += [pa.field("row_number", pa.int64()), pa.field("percent_rank", pa.float64())]
-    if n_tiles is not None:
-        out_fields.append(pa.field("ntile", pa.int64()))
+    if tie_aware:
+        out_fields += [pa.field("rank", pa.int64()), pa.field("dense_rank", pa.int64())]
+    else:
+        out_fields += [pa.field("row_number", pa.int64()),
+                       pa.field("percent_rank", pa.float64())]
+        if n_tiles is not None:
+            out_fields.append(pa.field("ntile", pa.int64()))
     out_schema = pa.schema(out_fields)
     order = [(c, "descending" if d else "ascending") for c, d in zip(sort_keys, descending)]
 
@@ -746,6 +756,24 @@ def grouped_rank(
         n = group.num_rows
         r = np.arange(n, dtype=np.int64)
         cols = {name: group.column(name) for name in group.column_names}
+        if tie_aware:
+            new_run = np.ones(n, dtype=bool)
+            for c in sort_keys:
+                arr = group.column(c)
+                arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+                neq = pa.compute.invert(
+                    pa.compute.equal(arr.slice(1), arr.slice(0, n - 1))
+                ).to_numpy(zero_copy_only=False)
+                if c == sort_keys[0]:
+                    new_run[1:] = np.where(np.asarray(neq, dtype=bool), True, False)
+                else:
+                    new_run[1:] |= np.asarray(neq, dtype=bool)
+            new_run[0] = True
+            starts = np.flatnonzero(new_run)
+            run_id = np.cumsum(new_run) - 1
+            cols["rank"] = pa.array(starts[run_id] + 1, pa.int64())
+            cols["dense_rank"] = pa.array(run_id + 1, pa.int64())
+            return pa.table(cols, schema=out_schema)
         cols["row_number"] = pa.array(r + 1, pa.int64())
         cols["percent_rank"] = pa.array(
             r / (n - 1) if n > 1 else np.zeros(n), pa.float64()
