@@ -371,6 +371,35 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000
 """
 
 
+def q_bloom_semi_orders(sf_dir: str):
+    """The Bloom-prefilter-then-exact-verify semi-join composition: orders of
+    high-balance customers — the Bloom stage passes every true match plus
+    ~1% noise WITHOUT broadcasting the exact key set, and the exact
+    membership stage restores precision, so the result is oracle-exact.
+    At 10^9-key scale the Bloom bits are 10-100x smaller than the keys."""
+    from ..stages.joins import bloom_semi_join
+
+    spenders = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]) \
+        .filter(expr="c_acctbal > 9000.0").select_columns(["c_custkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda t: t.rename_columns(["o_orderkey", "c_custkey"]),
+                     batch_format="pyarrow")
+    prefiltered = bloom_semi_join(orders, spenders, key="c_custkey", fpp=0.01)
+    keys = pa.table(
+        {"c_custkey": pa.array(sorted(spenders.unique("c_custkey")), pa.int64())}
+    )
+    exact = broadcast_semi_join(prefiltered, keys, key="c_custkey")
+    return exact.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "o_custkey"]), batch_format="pyarrow"
+    )
+
+
+SQL_BLOOM_SEMI_ORDERS = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+"""
+
+
 def q_top10_order_revenue(sf_dir: str):
     """Large-side aggregate + broadcast join + global top-k."""
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
@@ -2088,6 +2117,7 @@ QUERIES = {
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
     "join_customer_orders": (q_join_customer_orders, SQL_JOIN_CUSTOMER_ORDERS),
     "anti_join_customers": (q_anti_join_customers, SQL_ANTI_JOIN_CUSTOMERS),
+    "bloom_semi_orders": (q_bloom_semi_orders, SQL_BLOOM_SEMI_ORDERS),
     "top10_order_revenue": (q_top10_order_revenue, SQL_TOP10_ORDER_REVENUE),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "asof_events": (q_asof_events, SQL_ASOF_EVENTS),

@@ -90,6 +90,75 @@ def broadcast_semi_join(
     return big.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+class _BloomFilter:
+    """Vectorized Bloom filter over int64/string keys: k polars row hashes
+    with distinct seeds index one numpy bit array. Build and probe are both
+    columnar; NO false negatives by construction, false-positive rate
+    ~(1 - e^{-kn/m})^k."""
+
+    def __init__(self, n_keys: int, fpp: float = 0.01):
+        import math
+
+        n = max(n_keys, 1)
+        m = max(8, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+        self.m = m
+        self.k = max(1, round(m / n * math.log(2)))
+        self.bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+
+    def _hashes(self, arr: pa.Array) -> np.ndarray:
+        import polars as pl
+
+        t = pa.table({"k": arr})
+        hs = np.empty((self.k, len(arr)), dtype=np.uint64)
+        for j in range(self.k):
+            hs[j] = pl.from_arrow(t).hash_rows(seed=1000 + j).to_numpy()
+        return hs % np.uint64(self.m)
+
+    def add(self, arr: pa.Array) -> None:
+        for pos in self._hashes(arr):
+            np.bitwise_or.at(self.bits, pos >> np.uint64(3),
+                             np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+
+    def contains(self, arr: pa.Array) -> np.ndarray:
+        out = np.ones(len(arr), dtype=bool)
+        for pos in self._hashes(arr):
+            out &= (self.bits[pos >> np.uint64(3)]
+                    >> (pos & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        return out
+
+
+def bloom_semi_join(
+    big: ray.data.Dataset,
+    keys_ds: ray.data.Dataset,
+    key: str,
+    keys_col: str | None = None,
+    fpp: float = 0.01,
+) -> ray.data.Dataset:
+    """APPROXIMATE semi-join pre-filter: keep big-side rows whose key
+    PROBABLY appears in ``keys_ds`` — never drops a true match (no false
+    negatives), passes ~``fpp`` of non-matching rows. The scale pattern when
+    the key set itself is too large to broadcast exactly (10^9 keys ≈ GBs;
+    the Bloom filter is 10–100x smaller): Bloom-prefilter here, then
+    exact-join the surviving fraction. Build side streams through
+    ``unique`` once; the filter ships once via the object store.
+    """
+    import ray as _ray
+
+    key_list = keys_ds.unique(keys_col or key)
+    bf = _BloomFilter(len(key_list), fpp)
+    if key_list:
+        bf.add(pa.array(key_list))
+    ref = _ray.put(bf)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        f: _BloomFilter = _ray.get(ref)
+        col = batch.column(key)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return batch.filter(pa.array(f.contains(col)))
+
+    return big.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

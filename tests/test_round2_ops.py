@@ -630,6 +630,27 @@ def test_dedup_keep_representatives():
     assert sorted(kept["doc_id"]) == [0, 3, 4, 5, 7]
 
 
+# ------------------------------------------------------------------ bloom semi-join
+
+def test_bloom_semi_join_no_false_negatives_and_fpp():
+    from audio_feature_extraction_ray.stages.joins import bloom_semi_join
+
+    rng = np.random.default_rng(17)
+    member = rng.choice(200_000, size=2_000, replace=False).astype(np.int64)
+    big_keys = np.concatenate([member, 200_000 + rng.integers(0, 10**6, size=20_000)])
+    big = ray.data.from_pandas(pd.DataFrame({"k": big_keys, "v": np.arange(len(big_keys))}))
+    keys = ray.data.from_pandas(pd.DataFrame({"k": member}))
+    kept = bloom_semi_join(big, keys, key="k", fpp=0.01).to_pandas()
+    # every true member retained — no false negatives, ever
+    assert set(member) <= set(kept["k"])
+    # false positives bounded (generous 5x margin over the 1% design point)
+    n_fp = (~kept["k"].isin(member)).sum()
+    assert n_fp <= 0.05 * 20_000, n_fp
+    # exactness restored by a subsequent exact membership filter
+    exact = kept[kept["k"].isin(member)]
+    assert sorted(exact["k"].unique()) == sorted(member)
+
+
 # ------------------------------------------------------------------ bucket hash join
 
 def test_bucket_hash_join_matches_pandas():
