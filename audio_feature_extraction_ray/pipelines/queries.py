@@ -974,6 +974,51 @@ FROM documents GROUP BY 1
 """
 
 
+def q_dedup_keep_documents(sf_dir: str):
+    """The fuzzy-dedup KEEP step, oracle-pinned via a PREFIX-fingerprint
+    duplicate graph (documents sharing an opening are likely templated —
+    this corpus has ~25 real prefix-collision groups): star pairs (min id ↔
+    other) within each prefix-md5 group → connected components → drop
+    non-representatives. Equals one row per distinct prefix keeping the min
+    doc_id, which SQL replays directly."""
+    from ..stages.dedup import dedup_keep_representatives
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prefix_fp(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        pref = pc.utf8_slice_codeunits(
+            pc.utf8_lower(pc.utf8_trim_whitespace(t.column("text").combine_chunks())), 0, 20
+        )
+        fps = [hashlib.md5(s.encode()).hexdigest() for s in pref.to_pylist()]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "fingerprint_md5": pa.array(fps, pa.string())}
+        )
+
+    fp = ds.map_batches(prefix_fp, batch_format="pyarrow", zero_copy_batch=True)
+
+    def star_pairs(group: pa.Table) -> pa.Table:
+        ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        return pa.table({"id_a": pa.array(np.full(len(ids) - 1, ids[0]), pa.int64()),
+                         "id_b": pa.array(ids[1:], pa.int64())})
+
+    pairs = fp.groupby("fingerprint_md5").map_groups(star_pairs, batch_format="pyarrow")
+    kept = dedup_keep_representatives(ds, pairs, id_col="doc_id")
+    return kept.select_columns(["doc_id"])
+
+
+SQL_DEDUP_KEEP_DOCUMENTS = """
+SELECT doc_id FROM documents
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY md5(substr(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13))), 1, 20))
+  ORDER BY doc_id) = 1
+"""
+
+
 def q_minhash_pairs_documents(sf_dir: str):
     """MinHash+LSH near-dup pairs (no SQL oracle — rows-only check)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -2166,6 +2211,7 @@ QUERIES = {
     "sessionize_events_bucketed": (q_sessionize_events_bucketed, SQL_SESSIONIZE_EVENTS),
     "checkpoint_manifest_events": (q_checkpoint_manifest_events, None),
     "dedup_clusters_documents": (q_dedup_clusters_documents, None),
+    "dedup_keep_documents": (q_dedup_keep_documents, SQL_DEDUP_KEEP_DOCUMENTS),
     "rolling_time_mean_bucketed": (q_rolling_time_mean_bucketed, SQL_ROLLING_TIME_MEAN_EVENTS),
     "knn_ivf_embeddings": (q_knn_ivf_embeddings, None),
     "knn_lsh_embeddings": (q_knn_lsh_embeddings, None),

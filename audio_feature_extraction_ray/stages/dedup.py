@@ -505,9 +505,8 @@ def dedup_keep_representatives(
         return pa.table({"drop_id": t.column("id").filter(keep)})
 
     to_drop = comps.map_batches(drop_ids, batch_format="pyarrow", zero_copy_batch=True)
-    drop_t = pa.table(
-        {id_col: pa.array(sorted(to_drop.unique("drop_id")), pa.int64())}
-    )
+    drop_vals = to_drop.unique("drop_id") or []  # unique() is None on empty
+    drop_t = pa.table({id_col: pa.array(sorted(drop_vals), pa.int64())})
     from .joins import broadcast_semi_join
 
     return broadcast_semi_join(ds, drop_t, key=id_col, anti=True)
