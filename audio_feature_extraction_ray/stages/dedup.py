@@ -460,6 +460,8 @@ def connected_components(
             lambda t: pa.table({"src": t.column("node"), "nlabel": t.column("label")}),
             batch_format="pyarrow",
         )
+        # bucket join (union + per-bucket Acero): the native hash join
+        # rejects the schema-less empty blocks the loop's aggregates emit
         msgs = bucket_hash_join(edges, lab_src, on="src", num_buckets=8).map_batches(
             lambda t: pa.table({"node": t.column("dst"), "label": t.column("nlabel")}),
             batch_format="pyarrow",
