@@ -114,10 +114,13 @@ def _register_builtins() -> None:
     register_stage("chunk_text", text.chunk_text)
     register_stage("grouped_stats", aggregates.grouped_stats)
     register_stage("grouped_agg_fast", aggregates.grouped_agg_fast)
+    register_stage("approx_quantiles_grouped", aggregates.approx_quantiles_grouped)
     register_stage("dedup_exact", dedup.dedup_exact)
     register_stage("minhash_pairs", dedup.minhash_dedup_pairs)
     register_stage("simhash_pairs", dedup.simhash_dedup_pairs)
     register_stage("hamming_pairs", dedup.hamming_dedup_pairs)
+    register_stage("connected_components", dedup.connected_components)
+    register_stage("embedding_pairs", dedup.embedding_dedup_pairs)
     register_stage("deterministic_sample", sampling.deterministic_sample)
     register_stage("weighted_sample", sampling.weighted_sample)
     register_stage("hash_split", sampling.hash_split)
