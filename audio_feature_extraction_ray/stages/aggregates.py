@@ -349,8 +349,10 @@ def approx_distinct(
 
     Map side: each block hashes its values columnar (polars row hash →
     bucket index + leading-zero rank) and emits its 2^precision register
-    maxima as ONE fixed-size row; registers merge by elementwise max and
-    the standard bias-corrected harmonic estimate runs on the driver.
+    maxima as ONE fixed-size row; registers merge by elementwise max in a
+    single combine task (same ``repartition(1)`` tree-combine shape as
+    :func:`approx_quantiles`) so only the FINAL register row reaches the
+    driver, which runs the standard bias-corrected harmonic estimate.
     Standard error ≈ 1.04/sqrt(2^precision) ≈ 1.6% at precision 12.
     """
     m = 1 << precision
@@ -370,13 +372,23 @@ def approx_distinct(
             np.maximum.at(regs, bucket, rank)
         return pa.table({"reg": pa.array(regs, pa.int64())})
 
+    def combine(t: pa.Table) -> pa.Table:
+        arr = t.column("reg").to_numpy(zero_copy_only=False)
+        if len(arr) == 0:
+            return pa.table({"reg": pa.array(np.zeros(m, dtype=np.int64), pa.int64())})
+        return pa.table(
+            {"reg": pa.array(arr.reshape(-1, m).max(axis=0), pa.int64())}
+        )
+
     parts = list(
         ds.select_columns([col])
         .map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
         .iter_batches(batch_format="pyarrow", batch_size=None)
     )
     regs = np.zeros(m, dtype=np.int64)
-    for p in parts:
+    for p in parts:  # exactly one m-register row after the combine task
         arr = p.column("reg").to_numpy(zero_copy_only=False)
         regs = np.maximum(regs, arr.reshape(-1, m).max(axis=0))
     alpha = 0.7213 / (1 + 1.079 / m)

@@ -488,17 +488,82 @@ def connected_components(
     )
 
 
+def distributed_anti_join(
+    ds: ray.data.Dataset,
+    keys_ds: ray.data.Dataset,
+    key: str,
+    keys_col: str | None = None,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """EXACT anti-join without materializing the key set anywhere: both sides
+    hash-bucket on the key (one shuffle), each bucket drops its left rows
+    whose key appears in its right slice (``pc.is_in`` per bucket). The key
+    set may be corpus-scale — no driver collect, no broadcast; per-task
+    memory is one bucket of each side."""
+    from .util import arrow_schema_of
+
+    kc = keys_col or key
+    ds, lschema = arrow_schema_of(ds)
+    key_type = lschema.types[lschema.names.index(key)]
+    union_names = list(lschema.names) + ["__side", "__bucket"]
+
+    def bucket_of(col) -> pa.Array:
+        import polars as _pl
+
+        if len(col) == 0:
+            return pa.array([], pa.int32())
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        h = _pl.from_arrow(pa.table({"k": arr.cast(key_type)})).hash_rows(seed=7).to_numpy()
+        return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        out = {n: t.column(n) for n in lschema.names}
+        out["__side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        out["__bucket"] = bucket_of(t.column(key))
+        return pa.table({n: out[n] for n in union_names})
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        out = {}
+        for n, typ in zip(lschema.names, lschema.types):
+            out[n] = t.column(kc).cast(key_type) if n == key else pa.nulls(t.num_rows, typ)
+        out["__side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        out["__bucket"] = bucket_of(t.column(kc))
+        return pa.table({n: out[n] for n in union_names})
+
+    lt = ds.map_batches(prep_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = keys_ds.map_batches(prep_right, batch_format="pyarrow", zero_copy_batch=True)
+    out_names = list(lschema.names)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        lmask = pa.array(side == 1)
+        lpart = group.filter(lmask).select(out_names)
+        rkeys = pc.unique(group.filter(pc.invert(lmask)).column(key).combine_chunks())
+        if len(rkeys) == 0:
+            return lpart
+        hit = pc.is_in(lpart.column(key), value_set=rkeys)
+        return lpart.filter(pc.invert(hit))
+
+    return lt.union(rt).groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
 def dedup_keep_representatives(
     ds: ray.data.Dataset,
     pairs: ray.data.Dataset,
     id_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    broadcast_threshold: int = 100_000,
 ) -> ray.data.Dataset:
     """Fuzzy-dedup KEEP step: drop every row that belongs to a near-dup
     component but is not its min-id representative. Rows in no component
     pass through untouched (they never enter the label table, so only
     component membership — pair-bounded, never corpus-bounded — shuffles).
+
+    The drop-id set is applied through :func:`distributed_anti_join` when it
+    exceeds ``broadcast_threshold`` ids — at a 100 TB corpus with a high dup
+    rate the drop set is corpus-scale, so it must never be collected or
+    broadcast; small sets take the cheaper broadcast path (one count chooses).
     """
     comps = connected_components(pairs, id_a, id_b)
 
@@ -507,7 +572,10 @@ def dedup_keep_representatives(
         return pa.table({"drop_id": t.column("id").filter(keep)})
 
     to_drop = comps.map_batches(drop_ids, batch_format="pyarrow", zero_copy_batch=True)
-    drop_vals = to_drop.unique("drop_id") or []  # unique() is None on empty
+    n_drop = to_drop.count()
+    if n_drop > broadcast_threshold:
+        return distributed_anti_join(ds, to_drop, key=id_col, keys_col="drop_id")
+    drop_vals = to_drop.unique("drop_id") if n_drop else []
     drop_t = pa.table({id_col: pa.array(sorted(drop_vals), pa.int64())})
     from .joins import broadcast_semi_join
 

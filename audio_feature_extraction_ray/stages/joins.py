@@ -105,6 +105,15 @@ class _BloomFilter:
         self.k = max(1, round(m / n * math.log(2)))
         self.bits = np.zeros((m + 7) // 8, dtype=np.uint8)
 
+    @classmethod
+    def with_params(cls, m: int, k: int) -> "_BloomFilter":
+        """Empty filter with explicit geometry — lets distributed build tasks
+        construct size-identical partials that OR-merge losslessly."""
+        obj = cls.__new__(cls)
+        obj.m, obj.k = m, k
+        obj.bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+        return obj
+
     def _hashes(self, arr: pa.Array) -> np.ndarray:
         import polars as pl
 
@@ -139,15 +148,48 @@ def bloom_semi_join(
     negatives), passes ~``fpp`` of non-matching rows. The scale pattern when
     the key set itself is too large to broadcast exactly (10^9 keys ≈ GBs;
     the Bloom filter is 10–100x smaller): Bloom-prefilter here, then
-    exact-join the surviving fraction. Build side streams through
-    ``unique`` once; the filter ships once via the object store.
+    exact-join the surviving fraction.
+
+    The build is DISTRIBUTED — the key list never materializes anywhere:
+    each build block sets bits into its own m-bit partial array (emitted as
+    ONE fixed-size binary row), partials OR-merge in a single combine task,
+    and the driver holds only the final m-bit array (sized from the build
+    side's ROW count, which upper-bounds its distinct count — repeats only
+    oversize m, i.e. lower the real fpp). Filter geometry (m, k) is fixed
+    up front so partials merge losslessly.
     """
     import ray as _ray
 
-    key_list = keys_ds.unique(keys_col or key)
-    bf = _BloomFilter(len(key_list), fpp)
-    if key_list:
-        bf.add(pa.array(key_list))
+    kc = keys_col or key
+    n_est = keys_ds.count()  # cheap (metadata / streaming count), no shuffle
+    proto = _BloomFilter(n_est, fpp)
+    m, k = proto.m, proto.k
+
+    def partial_bits(t: pa.Table) -> pa.Table:
+        f = _BloomFilter.with_params(m, k)
+        if t.num_rows:
+            col = t.column(kc)
+            f.add(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+        return pa.table({"bits": pa.array([f.bits.tobytes()], pa.large_binary())})
+
+    merged = (
+        keys_ds.select_columns([kc])
+        .map_batches(partial_bits, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=65536)
+        .repartition(1)
+        .map_batches(
+            lambda t: pa.table({"bits": pa.array(
+                [np.bitwise_or.reduce(
+                    np.frombuffer(b"".join(t.column("bits").to_pylist()), dtype=np.uint8)
+                    .reshape(-1, (m + 7) // 8), axis=0).tobytes()], pa.large_binary())}),
+            batch_format="pyarrow", batch_size=None,
+        )
+    )
+    parts = list(merged.iter_batches(batch_format="pyarrow", batch_size=None))
+    bf = _BloomFilter.with_params(m, k)
+    for p in parts:
+        for b in p.column("bits").to_pylist():
+            bf.bits |= np.frombuffer(b, dtype=np.uint8)
     ref = _ray.put(bf)
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -217,6 +259,17 @@ def bucket_hash_join(
         for n, t in zip(rschema.names, rschema.types)
         if n != right_on
     ]
+    # suffixing must not collide with a right column literally named that way
+    # (e.g. right has both 'x' → 'x_r' AND a native 'x_r'): the dict-keyed
+    # union schema would silently collapse the two and join wrong data
+    rout_names = [n for n, _ in rcols]
+    if len(set(rout_names)) != len(rout_names):
+        dupes = sorted({n for n in rout_names if rout_names.count(n) > 1})
+        raise ValueError(
+            f"bucket_hash_join: right-side output column(s) {dupes} are "
+            f"ambiguous after applying rsuffix={rsuffix!r} — rename the "
+            f"clashing column(s) or pick a collision-free suffix"
+        )
     union_fields = lcols + rcols + [("__side", pa.int8()), ("__bucket", pa.int32())]
     union_names = [n for n, _ in union_fields]
 

@@ -41,6 +41,36 @@ import pyarrow.parquet as pq
 
 import ray.data
 
+# Partitioning-scheme tag recorded in every output's manifest. Exact resume
+# depends on rows hashing to the SAME partition across runs; if the hash
+# scheme ever changes (it did once: crc32 → FNV-1a), resuming a directory
+# written under the old scheme would silently mix two layouts. The writers
+# record this tag and refuse to resume on mismatch.
+PARTITION_SCHEME = "fnv1a-v1"
+
+
+def _check_scheme(out_dir: str, n_partitions: int | None) -> None:
+    """Write (first run) or verify (resume) the partitioning-scheme marker."""
+    mdir = os.path.join(out_dir, "_manifest")
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, "_scheme.json")
+    want = {"scheme": PARTITION_SCHEME, "n_partitions": n_partitions}
+    if os.path.exists(path):
+        with open(path) as f:
+            have = json.load(f)
+        if have != want:
+            raise ValueError(
+                f"checkpoint dir {out_dir!r} was written with partitioning "
+                f"{have}, this writer uses {want}; resuming would mix two "
+                f"partition layouts — delete the directory (or rerun with the "
+                f"matching scheme) instead"
+            )
+        return
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(want, f)
+    os.replace(tmp, path)
+
 
 def _write_table(table: pa.Table, path: str, file_format: str) -> None:
     if file_format == "parquet":
@@ -184,6 +214,7 @@ def write_partitioned_resumable(
     """
     sort_keys = sort_keys or [key]
     os.makedirs(out_dir, exist_ok=True)
+    _check_scheme(out_dir, n_partitions)
 
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column("__part", pa.array(_partition_of(t.column(key), n_partitions)))
@@ -226,18 +257,25 @@ def write_value_partitioned_resumable(
     partitioned writer.
 
     Partition id = stable hash of the category value; the manifest row also
-    records the category value itself, and the data file is named after it
-    (``cat-<value>.parquet``, sanitized). Unknown/unbounded category
-    cardinality is the caller's risk — each distinct value is one file, the
-    natural layout when a downstream consumer reads one category at a time.
+    records the category value itself. The data file is named
+    ``cat-<digest>-<value>.parquet`` where ``digest`` is a stable hash of the
+    FULL category value — the sanitized/truncated value suffix is cosmetic,
+    so categories like ``'a/b'`` vs ``'a_b'`` (or long values sharing an
+    80-char prefix) can never collide onto one file or manifest marker.
+    Unknown/unbounded category cardinality is the caller's risk — each
+    distinct value is one file, the natural layout when a downstream consumer
+    reads one category at a time.
     """
     sort_keys = sort_keys or [category_col]
-    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    _check_scheme(out_dir, None)
     fail = set(str(v) for v in fail_categories)
 
     def write_group(group: pa.Table) -> pa.Table:
         val = group.column(category_col)[0].as_py()
-        safe = "".join(ch if ch.isalnum() or ch in "-_." else "_" for ch in str(val))[:80]
+        digest = hashlib.md5(str(val).encode("utf-8")).hexdigest()[:12]
+        safe = digest + "-" + "".join(
+            ch if ch.isalnum() or ch in "-_." else "_" for ch in str(val)
+        )[:64]
         pid = int(_partition_of(pa.array([str(val)]), 1 << 30)[0])
         marker = os.path.join(out_dir, "_manifest", f"cat-{safe}.json")
         t0 = time.time()

@@ -1,0 +1,189 @@
+"""Round-3 operators: distributed Bloom build, distributed anti-join dedup
+keep, value-partition collision safety, partition-scheme versioning,
+bucket-join suffix ambiguity detection."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ bloom (distributed build)
+
+def test_bloom_semi_join_no_false_negatives_distributed_build():
+    """The distributed build must preserve the no-false-negative contract:
+    every big row whose key IS in keys_ds survives the filter."""
+    from audio_feature_extraction_ray.stages.joins import bloom_semi_join
+
+    rng = np.random.default_rng(7)
+    big_keys = rng.integers(0, 50_000, size=20_000)
+    big = ray.data.from_arrow(
+        pa.table({"k": pa.array(big_keys, pa.int64()),
+                  "v": pa.array(np.arange(20_000), pa.int64())})
+    )
+    # key set with duplicates (sizing uses row count, dupes must be harmless)
+    member = rng.integers(0, 50_000, size=6_000)
+    keys_ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(np.concatenate([member, member]), pa.int64())})
+    ).repartition(8)  # several build blocks → several partial bit arrays
+    out = bloom_semi_join(big, keys_ds, key="k", fpp=0.01)
+    got = set()
+    for b in out.iter_batches(batch_format="pyarrow", batch_size=None):
+        got.update(b.column("v").to_pylist())
+    member_set = set(member.tolist())
+    expected_true = {i for i, k in enumerate(big_keys.tolist()) if k in member_set}
+    assert expected_true <= got  # no false negatives
+    # false positives bounded (fpp=1% with generous slack for sizing noise)
+    fp = len(got - expected_true)
+    non_members = 20_000 - len(expected_true)
+    assert fp <= max(50, int(non_members * 0.05))
+
+
+def test_bloom_semi_join_empty_keys():
+    from audio_feature_extraction_ray.stages.joins import bloom_semi_join
+
+    big = ray.data.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64())}))
+    keys_ds = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    out = bloom_semi_join(big, keys_ds, key="k")
+    assert out.count() == 0
+
+
+# ------------------------------------------------------------------ distributed anti-join
+
+def test_distributed_anti_join_matches_broadcast():
+    from audio_feature_extraction_ray.stages.dedup import distributed_anti_join
+    from audio_feature_extraction_ray.stages.joins import broadcast_semi_join
+
+    rng = np.random.default_rng(11)
+    ids = np.arange(5_000, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "x": pa.array(rng.random(5_000))})
+    ).repartition(6)
+    drop = np.unique(rng.integers(0, 5_000, size=1_200)).astype(np.int64)
+    drops_ds = ray.data.from_arrow(pa.table({"drop_id": pa.array(drop)})).repartition(4)
+    got = distributed_anti_join(ds, drops_ds, key="doc_id", keys_col="drop_id")
+    want = broadcast_semi_join(
+        ds, pa.table({"doc_id": pa.array(drop)}), key="doc_id", anti=True
+    )
+    g = sorted(r["doc_id"] for r in got.take_all())
+    w = sorted(r["doc_id"] for r in want.take_all())
+    assert g == w
+    assert set(g) == set(ids.tolist()) - set(drop.tolist())
+
+
+def test_dedup_keep_representatives_distributed_path():
+    """Force the anti-join path with a tiny broadcast_threshold and pin it to
+    the broadcast path's output."""
+    from audio_feature_extraction_ray.stages.dedup import dedup_keep_representatives
+
+    ids = pa.array(np.arange(60, dtype=np.int64))
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids}))
+    # chain components: (0,1),(1,2) ; (10,11) ; (20,21),(21,22),(22,23)
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([0, 1, 10, 20, 21, 22], pa.int64()),
+                "id_b": pa.array([1, 2, 11, 21, 22, 23], pa.int64()),
+            }
+        )
+    )
+    kept_dist = sorted(
+        r["doc_id"]
+        for r in dedup_keep_representatives(
+            ds, pairs, "doc_id", broadcast_threshold=0
+        ).take_all()
+    )
+    kept_bcast = sorted(
+        r["doc_id"]
+        for r in dedup_keep_representatives(
+            ds, pairs, "doc_id", broadcast_threshold=10**9
+        ).take_all()
+    )
+    assert kept_dist == kept_bcast
+    dropped = set(np.arange(60).tolist()) - set(kept_dist)
+    assert dropped == {1, 2, 11, 21, 22, 23}
+
+
+# ------------------------------------------------------------------ checkpoint safety
+
+def test_value_partitioned_colliding_categories(tmp_path):
+    """'a/b' and 'a_b' sanitize identically — the digest prefix must keep
+    their files and manifest markers distinct (silent data loss before)."""
+    from audio_feature_extraction_ray.state.checkpoint import (
+        read_manifest,
+        write_value_partitioned_resumable,
+    )
+
+    out = str(tmp_path / "collide")
+    t = pa.table(
+        {
+            "cat": pa.array(["a/b", "a_b", "a/b", "a_b"], pa.string()),
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    manifest = write_value_partitioned_resumable(
+        ray.data.from_arrow(t), out, category_col="cat"
+    )
+    cats = sorted(manifest.column("category").to_pylist())
+    assert cats == ["a/b", "a_b"]
+    paths = set(manifest.column("path").to_pylist())
+    assert len(paths) == 2
+    rows = read_manifest(out)
+    assert len(rows) == 2
+    import pyarrow.parquet as pq
+
+    total = sum(pq.read_table(p).num_rows for p in paths)
+    assert total == 4
+
+
+def test_partition_scheme_mismatch_refused(tmp_path):
+    from audio_feature_extraction_ray.state.checkpoint import (
+        write_partitioned_resumable,
+    )
+
+    out = str(tmp_path / "sch")
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "v": pa.array([1.0, 2.0, 3.0])})
+    )
+    write_partitioned_resumable(ds, out, key="k", n_partitions=4)
+    # resuming with the same scheme/partition-count is fine (all skipped)
+    m = write_partitioned_resumable(ds, out, key="k", n_partitions=4)
+    assert all(m.column("skipped").to_pylist())
+    # a different partition count (or a future hash-scheme change) must refuse
+    with pytest.raises(ValueError, match="partition"):
+        write_partitioned_resumable(ds, out, key="k", n_partitions=8)
+    # simulate a directory written under an older hash scheme
+    sch = os.path.join(out, "_manifest", "_scheme.json")
+    with open(sch, "w") as f:
+        json.dump({"scheme": "crc32-v0", "n_partitions": 4}, f)
+    with pytest.raises(ValueError, match="scheme|partition"):
+        write_partitioned_resumable(ds, out, key="k", n_partitions=4)
+
+
+# ------------------------------------------------------------------ bucket join ambiguity
+
+def test_bucket_hash_join_suffix_ambiguity_raises():
+    from audio_feature_extraction_ray.stages.joins import bucket_hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()), "x": pa.array([1.0, 2.0])})
+    )
+    # right has both a clashing 'x' (suffixes to 'x_r') and a native 'x_r'
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2], pa.int64()),
+                "x": pa.array([10.0, 20.0]),
+                "x_r": pa.array([100.0, 200.0]),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        bucket_hash_join(left, right, on="k")
