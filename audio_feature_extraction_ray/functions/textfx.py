@@ -93,28 +93,129 @@ def md5_fingerprint(text: str, normalize: bool = True) -> str:
     return hashlib.md5(t.encode("utf-8")).hexdigest()
 
 
-def rolling_fingerprint(text: str, window: int = 4) -> int:
-    """Winnowing-style document fingerprint: min rolling hash over token windows.
+def _token_hash32(tok: str) -> int:
+    """32-bit token hash from the md5 prefix — DuckDB-replayable as
+    ``('0x' || substr(md5(tok), 1, 8))::UBIGINT``."""
+    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
 
-    Robust to local edits outside the minimizing window; int64 output.
+
+_FP_BASE = 1_000_003
+_FP_MASK = 0x7FFFFFFFFFFFFFFF  # fold is mod 2^63
+
+
+def rolling_fingerprint(text: str, window: int = 4) -> int:
+    """Winnowing-style document fingerprint: min rolling hash over token
+    windows. Robust to local edits outside the minimizing window; int64
+    output. Token hash is the md5-prefix (not a process hash) so a DuckDB
+    oracle reproduces it exactly; the window fold is a base-1000003
+    polynomial mod 2^63 (closed form == the iterated masked fold).
     """
     toks = [t.lower() for t in ws_tokens(text)]
     if not toks:
         return 0
-    hs = [zlib.crc32(t.encode("utf-8")) for t in toks]
+    hs = [_token_hash32(t) for t in toks]
     if len(hs) < window:
         acc = 0
         for h in hs:
-            acc = (acc * 1_000_003 + h) & 0x7FFFFFFFFFFFFFFF
+            acc = (acc * _FP_BASE + h) & _FP_MASK
         return acc
     best = None
     for i in range(len(hs) - window + 1):
         acc = 0
         for h in hs[i : i + window]:
-            acc = (acc * 1_000_003 + h) & 0x7FFFFFFFFFFFFFFF
+            acc = (acc * _FP_BASE + h) & _FP_MASK
         if best is None or acc < best:
             best = acc
     return int(best)
+
+
+def _mulmod63(acc: np.ndarray, b: int) -> np.ndarray:
+    """(acc * b) mod 2^63 without uint64 overflow, for b < 2^20 and
+    acc < 2^63: split acc into 32-bit halves; the high product wraps at
+    2^31 (2^31 * 2^32 = 2^63)."""
+    b = np.uint64(b)
+    hi = acc >> np.uint64(32)
+    lo = acc & np.uint64(0xFFFFFFFF)
+    return ((((hi * b) & np.uint64(0x7FFFFFFF)) << np.uint64(32)) + lo * b) \
+        & np.uint64(_FP_MASK)
+
+
+def rolling_fingerprint_batch(
+    texts, window: int = 4, token_hash_cache: dict | None = None
+) -> np.ndarray:
+    """Vectorized :func:`rolling_fingerprint` over a string column —
+    bit-identical to the serial kernel, no Python loop over documents.
+
+    Distinct lowered tokens hash once (md5, cached across batches when the
+    caller holds the cache, e.g. an actor); the window fold runs as
+    ``window`` full-array passes of the masked multiply-add; per-doc minima
+    come from ``np.minimum.reduceat`` over the flat window array.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    flat, off, _ = _flat_tokens(texts)
+    n_rows = len(off) - 1
+    out = np.zeros(n_rows, dtype=np.int64)
+    if n_rows == 0 or len(flat) == 0:
+        return out
+    # python split() drops empty slots: keep only non-empty tokens, with
+    # per-row counts of survivors
+    lowered = pc.utf8_lower(flat)
+    nonempty = pc.not_equal(pc.utf8_length(lowered), 0).to_numpy(zero_copy_only=False)
+    cs = np.concatenate(([0], np.cumsum(nonempty)))
+    counts = (cs[off[1:]] - cs[off[:-1]]).astype(np.int64)
+    kept = lowered.filter(pa.array(nonempty))
+    if len(kept) == 0:
+        return out
+    de = kept.dictionary_encode()
+    idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = de.dictionary.to_pylist()
+    cache = token_hash_cache if token_hash_cache is not None else {}
+    hvals = np.empty(len(vocab), dtype=np.uint64)
+    for k, tok in enumerate(vocab):
+        v = cache.get(tok)
+        if v is None:
+            v = _token_hash32(tok)
+            cache[tok] = v
+        hvals[k] = v
+    h = hvals[idx]  # flat token-hash stream, doc d owns h[start[d] : start[d]+counts[d]]
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+
+    # long docs (counts >= window): fold over every flat window, then mask
+    # out windows crossing doc boundaries via reduceat segments
+    n_flat = len(h)
+    if n_flat >= window:
+        acc = np.zeros(n_flat - window + 1, dtype=np.uint64)
+        for j in range(window):
+            acc = (_mulmod63(acc, _FP_BASE) + h[j : j + len(acc)]) & np.uint64(_FP_MASK)
+        long_rows = np.flatnonzero(counts >= window)
+        if len(long_rows):
+            seg_start = starts[long_rows]
+            seg_end = seg_start + counts[long_rows] - window + 1
+            red_idx = np.empty(2 * len(long_rows), dtype=np.int64)
+            red_idx[0::2] = seg_start
+            red_idx[1::2] = seg_end
+            trailing = red_idx[-1] >= len(acc)
+            if trailing:
+                red_idx = red_idx[:-1]
+            mins = np.minimum.reduceat(acc, red_idx)[0::2]
+            out[long_rows] = mins.view(np.int64)
+
+    # short docs (1 <= counts < window): fold all their tokens — one masked
+    # multiply-add pass per position (< window passes, each vectorized)
+    short_rows = np.flatnonzero((counts > 0) & (counts < window))
+    if len(short_rows):
+        acc = np.zeros(len(short_rows), dtype=np.uint64)
+        scount = counts[short_rows]
+        sstart = starts[short_rows]
+        for j in range(window - 1):
+            active = scount > j
+            acc[active] = (
+                _mulmod63(acc[active], _FP_BASE) + h[sstart[active] + j]
+            ) & np.uint64(_FP_MASK)
+        out[short_rows] = acc.view(np.int64)
+    return out
 
 
 # ---------------------------------------------------------------- shingles / MinHash

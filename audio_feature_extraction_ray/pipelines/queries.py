@@ -1026,6 +1026,16 @@ def q_minhash_pairs_documents(sf_dir: str):
     return _round_cols(pairs.select_columns(["id_a", "id_b", "est_jaccard"]), ["est_jaccard"])
 
 
+def q_minhash_pairs_prefix_documents(sf_dir: str):
+    """Same pair set as ``minhash_pairs_documents`` via the signature-PREFIX
+    band shuffle (~2x fewer band-shuffle bytes at threshold 0.7; exact-prune
+    bound guarantees identical output — equality pinned in pytest). The
+    scale path for network-bound clusters."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, id_col="doc_id", threshold=0.7, sig_prefix="auto")
+    return _round_cols(pairs.select_columns(["id_a", "id_b", "est_jaccard"]), ["est_jaccard"])
+
+
 def q_simhash_documents(sf_dir: str):
     """Per-doc 64-bit SimHash signatures (rows-only)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1546,14 +1556,36 @@ def q_image_phash_dupes(sf_dir: str):
     n = max(30, int(1500 * _sf_of(sf_dir)))
     feats = feature_stage(synth_images(n), features=("embedding",))
     ok = feats.filter(expr="status == 'ok'")
-    groups = grouped_agg_fast(ok, keys=["phash_calc"], specs=[], count_alias="n").to_pandas()
-    return _one_row(
-        {
-            "n_images": int(groups["n"].sum()),
-            "n_distinct_phash": len(groups),
-            "n_dup_groups": int((groups["n"] > 1).sum()),
-            "max_group": int(groups["n"].max()),
-        }
+    groups = grouped_agg_fast(ok, keys=["phash_calc"], specs=[], count_alias="n")
+
+    # summarize distributed: per-group rows never reach the driver (group
+    # cardinality is corpus-scale at 100 TB) — one combinable stats row per
+    # block, merged in a single final task
+    def block_stats(t: pa.Table) -> pa.Table:
+        cnt = t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_images": pa.array([int(cnt.sum())], pa.int64()),
+                "n_distinct_phash": pa.array([len(cnt)], pa.int64()),
+                "n_dup_groups": pa.array([int((cnt > 1).sum())], pa.int64()),
+                "max_group": pa.array([int(cnt.max()) if len(cnt) else 0], pa.int64()),
+            }
+        )
+
+    def merge_stats(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_images": [int(pc.sum(t.column("n_images")).as_py() or 0)],
+                "n_distinct_phash": [int(pc.sum(t.column("n_distinct_phash")).as_py() or 0)],
+                "n_dup_groups": [int(pc.sum(t.column("n_dup_groups")).as_py() or 0)],
+                "max_group": [int(pc.max(t.column("max_group")).as_py() or 0)],
+            }
+        )
+
+    return (
+        groups.map_batches(block_stats, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(merge_stats, batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -2227,4 +2259,5 @@ QUERIES = {
     "neardup_embeddings": (q_neardup_embeddings, SQL_NEARDUP_EMBEDDINGS),
     "flagship_images": (q_flagship_images, None),
     "images_asof": (q_images_asof, None),
+    "minhash_pairs_prefix_documents": (q_minhash_pairs_prefix_documents, None),
 }

@@ -113,6 +113,17 @@ def minhash_signatures(
     )
 
 
+def _prefix_prune_bound(num_perm: int, prefix: int, threshold: float) -> int:
+    """Min prefix-agreement a pair can have and still possibly meet the
+    full-signature threshold: agree_full >= ceil(threshold*num_perm) and the
+    non-prefix part contributes at most (num_perm - prefix) agreements, so
+    prefix_agree >= min_agree_full - (num_perm - prefix). A bound < 1 means
+    the prefix cannot prune anything (every pair passes) — caller falls back
+    to shipping the full signature. EXACT: never drops a qualifying pair."""
+    min_agree_full = int(np.ceil(threshold * num_perm - 1e-9))
+    return min_agree_full - (num_perm - prefix)
+
+
 def minhash_dedup_pairs(
     ds: ray.data.Dataset,
     id_col: str,
@@ -123,39 +134,75 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     seed: int = 42,
     max_group: int = 1000,
+    sig_prefix: int | str | None = None,
+    verify_broadcast_pairs: int = 100_000,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
 
     LSH banding: b=16, r=4 over 64 perms → the S-curve crosses ~0.5 around
     J≈(1/b)^(1/r)≈0.5, so J>=0.8 pairs are caught with high probability.
 
-    Band rows carry the (binary-packed) signature so each band group prunes
-    its candidates AGAINST THE THRESHOLD IN-BAND — only surviving pairs ever
-    leave the group. The ×bands signature duplication through the shuffle is
-    the deliberate price: the alternative (id-only band rows + a distributed
-    re-join of signatures onto candidate pairs) emits ALL C(g,2) in-band id
-    pairs unpruned, which explodes on corpora with big near-dup clusters —
-    measured, not theorized. Only (band, id, 512-byte sig) rows shuffle,
-    never documents.
+    Shuffle-byte strategy (the ×bands duplication trade, NOTES #3):
+
+    - **prefix path** (``sig_prefix="auto"`` or an int): band rows carry only
+      a signature PREFIX (e.g. 16 of 64 perms). Each band group prunes pairs
+      with the EXACT bound from :func:`_prefix_prune_bound` — a pair whose
+      prefix agreement is below it cannot meet the full threshold even if
+      every non-prefix perm agrees, so the prune has zero false negatives.
+      Survivors (a tiny fraction: random pairs agree on ~0 perms) are
+      verified against full signatures — via a broadcast sig lookup when the
+      survivor set is bounded (≤ ``verify_broadcast_pairs``; zero extra
+      shuffles), else via two distributed ``bucket_hash_join``s (no driver
+      collect). Band-shuffle bytes drop ~(num_perm/prefix)× at the cost of
+      fetching full sigs for the few survivors.
+    - **full path** (default; also the fallback when the bound can't prune):
+      band rows carry the full signature and each band group thresholds
+      in-band — the id-only alternative (NO pruning before a re-join) emits
+      ALL C(g,2) in-band pairs and explodes on clustered corpora (measured
+      in round 2, reverted).
+
+    Either way only (band, id, sig-or-prefix) rows shuffle, never documents,
+    and the two paths produce IDENTICAL output (pinned in pytest). Default
+    is the full path: the prefix path cuts band-shuffle bytes ~2× at
+    threshold 0.7 (~3.8× at 0.8) but adds two pipeline barriers (sig + pair
+    materialization), which dominate on a single node — flip to "auto" when
+    the band shuffle is network-bound (large clusters, big corpora).
     """
     sigs = minhash_signatures(ds, id_col, text_col, num_perm, shingle_k, seed)
+
+    if sig_prefix == "auto":
+        sig_prefix = next(
+            (p for p in (num_perm // 4, num_perm // 2)
+             if p >= 1 and _prefix_prune_bound(num_perm, p, threshold) >= 1),
+            None,
+        )
+    prefix = int(sig_prefix) if sig_prefix else 0
+    use_prefix = bool(prefix) and 0 < prefix < num_perm \
+        and _prefix_prune_bound(num_perm, prefix, threshold) >= 1
+    if use_prefix:
+        # the sig table feeds three consumers (banding + two verify joins);
+        # without pinning, each lazy consumer recomputes the whole signature
+        # pipeline. One (id, sig) row per doc — the natural checkpoint
+        # artifact of minhash dedup (at extreme scale, write_parquet it).
+        sigs = sigs.materialize()
 
     def to_bands(batch: pa.Table):
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sg = _binary_to_mat(batch.column("sig"))
         bkeys = band_keys_matrix(sg.view(np.uint64), bands)
         rep = np.repeat(np.arange(len(ids)), bands)
+        ship = sg[rep][:, :prefix] if use_prefix else sg[rep]
         return pa.table(
             {
                 "band": pa.array(bkeys.ravel(), pa.int64()),
                 id_col: pa.array(np.repeat(ids, bands), pa.int64()),
-                "sig": _mat_to_binary(sg[rep]),
+                "sig": _mat_to_binary(ship),
             }
         )
 
     banded = sigs.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
 
-    def candidates(group: pa.Table) -> pa.Table:
+    def _group_prep(group: pa.Table):
         n = group.num_rows
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         sg = _binary_to_mat(group.column("sig"))
@@ -165,7 +212,140 @@ def minhash_dedup_pairs(
         ids, sg = ids[order], sg[order]
         # dedupe identical doc ids within the band group
         keep = np.concatenate(([True], ids[1:] != ids[:-1]))
-        ids, sg = ids[keep], sg[keep]
+        return ids[keep], sg[keep], truncated
+
+    if use_prefix:
+        min_prefix_agree = _prefix_prune_bound(num_perm, prefix, threshold)
+
+        def candidates_prefix(group: pa.Table) -> pa.Table:
+            ids, sg, truncated = _group_prep(group)
+            g = len(ids)
+            empty = pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "trunc": pa.array([], pa.int64()),
+                }
+            )
+            if g < 2:
+                return empty
+            agree = (sg[:, None, :] == sg[None, :, :]).sum(axis=2)
+            iu, ju = np.triu_indices(g, k=1)
+            m = agree[iu, ju] >= min_prefix_agree
+            return pa.table(
+                {
+                    "id_a": pa.array(ids[iu[m]], pa.int64()),
+                    "id_b": pa.array(ids[ju[m]], pa.int64()),
+                    "trunc": pa.array(
+                        np.full(int(m.sum()), int(truncated), dtype=np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        cand = banded.groupby("band").map_groups(candidates_prefix, batch_format="pyarrow")
+        # same pair from multiple bands → one verify each; truncated = any band
+        # (materialized: pair-bounded, and the verify joins' schema inference
+        # would otherwise re-run the band shuffle)
+        cand = dedup_exact(cand, ["id_a", "id_b"], order_col="trunc", keep="max").materialize()
+
+        def _verify_table(t: pa.Table) -> pa.Table:
+            """(id_a, id_b, trunc, sig_a, sig_b) rows → thresholded pairs."""
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "id_a": pa.array([], pa.int64()),
+                        "id_b": pa.array([], pa.int64()),
+                        "est_jaccard": pa.array([], pa.float64()),
+                        "truncated": pa.array([], pa.bool_()),
+                    }
+                )
+            sa = _binary_to_mat(t.column("sig_a"))
+            sb = _binary_to_mat(t.column("sig_b"))
+            jac = (sa == sb).mean(axis=1)
+            keep = jac >= threshold
+            tr = t.column("trunc").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "id_a": t.column("id_a").filter(pa.array(keep)),
+                    "id_b": t.column("id_b").filter(pa.array(keep)),
+                    "est_jaccard": pa.array(jac[keep], pa.float64()),
+                    "truncated": pa.array(tr[keep] > 0, pa.bool_()),
+                }
+            )
+
+        n_cand = cand.count()
+        if n_cand <= verify_broadcast_pairs:
+            # common case: few survivors → broadcast their sigs (bounded by
+            # 2×n_cand rows, filtered out of the sig table with one scan) and
+            # verify inside a map — zero extra shuffles
+            import ray as _ray
+
+            from .joins import broadcast_semi_join
+
+            cand_ids_t = pa.concat_tables(
+                list(cand.iter_batches(batch_format="pyarrow", batch_size=None))
+            ) if n_cand else pa.table({"id_a": pa.array([], pa.int64()),
+                                       "id_b": pa.array([], pa.int64())})
+            uniq = pa.table({
+                id_col: pc.unique(pa.chunked_array(
+                    [cand_ids_t.column("id_a"), cand_ids_t.column("id_b")]
+                ).combine_chunks())
+            })
+            sig_sub = pa.concat_tables(list(
+                broadcast_semi_join(sigs, uniq, key=id_col)
+                .iter_batches(batch_format="pyarrow", batch_size=None)
+            )) if n_cand else None
+            if sig_sub is None or sig_sub.num_rows == 0:
+                return cand.map_batches(
+                    lambda t: _verify_table(t.slice(0, 0).append_column(
+                        "sig_a", pa.array([], pa.large_binary())).append_column(
+                        "sig_b", pa.array([], pa.large_binary()))),
+                    batch_format="pyarrow",
+                )
+            lut_ids = sig_sub.column(id_col).to_numpy(zero_copy_only=False)
+            lut_mat = _binary_to_mat(sig_sub.column("sig"))
+            order = np.argsort(lut_ids, kind="stable")
+            ref = _ray.put((lut_ids[order], lut_mat[order]))
+
+            def verify_bcast(t: pa.Table) -> pa.Table:
+                ids_sorted, mat = _ray.get(ref)
+                ia = t.column("id_a").to_numpy(zero_copy_only=False)
+                ib = t.column("id_b").to_numpy(zero_copy_only=False)
+                pa_idx = np.searchsorted(ids_sorted, ia)
+                pb_idx = np.searchsorted(ids_sorted, ib)
+                t2 = pa.table(
+                    {
+                        "id_a": t.column("id_a"),
+                        "id_b": t.column("id_b"),
+                        "trunc": t.column("trunc"),
+                        "sig_a": _mat_to_binary(mat[pa_idx]),
+                        "sig_b": _mat_to_binary(mat[pb_idx]),
+                    }
+                )
+                return _verify_table(t2)
+
+            return cand.map_batches(verify_bcast, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+        # scale path: survivor set too large to broadcast → two distributed
+        # bucket joins ship full sigs only for candidate ids
+        from .joins import bucket_hash_join
+
+        sig_a = sigs.map_batches(
+            lambda t: pa.table({"__ia": t.column(id_col), "sig_a": t.column("sig")}),
+            batch_format="pyarrow",
+        )
+        sig_b = sigs.map_batches(
+            lambda t: pa.table({"__ib": t.column(id_col), "sig_b": t.column("sig")}),
+            batch_format="pyarrow",
+        )
+        joined = bucket_hash_join(cand, sig_a, on="id_a", right_on="__ia")
+        joined = bucket_hash_join(joined, sig_b, on="id_b", right_on="__ib")
+        return joined.map_batches(_verify_table, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def candidates(group: pa.Table) -> pa.Table:
+        ids, sg, truncated = _group_prep(group)
         g = len(ids)
         if g < 2:
             return pa.table(

@@ -19,7 +19,7 @@ from ..functions.textfx import (
     langid_batch,
     md5_fingerprint,
     quality_batch,
-    rolling_fingerprint,
+    rolling_fingerprint_batch,
     simhash_batch,
     _flat_tokens,
 )
@@ -43,9 +43,10 @@ class TextFeatures:
         self.lang = lang
         self.fingerprints = fingerprints
         self.simhash = simhash
-        # per-actor token→md5 cache for the simhash kernel (tokens repeat
-        # heavily across documents; each distinct token hashes once per actor)
+        # per-actor token→md5 caches (tokens repeat heavily across documents;
+        # each distinct token hashes once per actor per kernel)
         self._token_cache: dict = {}
+        self._fp_cache: dict = {}
         # warm compiled regexes once per actor
         from ..functions import textfx  # noqa: F401
 
@@ -62,11 +63,13 @@ class TextFeatures:
             out["lang_pred"] = pa.array(langid_batch(col), pa.string())
         if self.fingerprints:
             texts = col.to_pylist()
+            # whole-document md5 is inherently per-row (one digest per doc)
             out["fingerprint_md5"] = pa.array(
                 [md5_fingerprint(t or "") for t in texts], pa.string()
             )
             out["fingerprint_rolling"] = pa.array(
-                [rolling_fingerprint(t or "") for t in texts], pa.int64()
+                rolling_fingerprint_batch(col, token_hash_cache=self._fp_cache),
+                pa.int64(),
             )
         if self.simhash:
             out["simhash"] = pa.array(simhash_batch(col, self._token_cache), pa.int64())

@@ -167,6 +167,66 @@ def test_partition_scheme_mismatch_refused(tmp_path):
         write_partitioned_resumable(ds, out, key="k", n_partitions=4)
 
 
+# ------------------------------------------------------------------ minhash prefix band shuffle
+
+def _neardup_corpus(n_base=40, seed=3):
+    rng = np.random.default_rng(seed)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+             "hotel", "india", "juliet", "kilo", "lima", "mike", "november"]
+    texts, ids = [], []
+    did = 0
+    for i in range(n_base):
+        base = " ".join(rng.choice(words, size=30).tolist())
+        texts.append(base); ids.append(did); did += 1
+        if i % 3 == 0:  # a near-dup: tweak one word
+            toks = base.split()
+            toks[rng.integers(0, len(toks))] = "zulu"
+            texts.append(" ".join(toks)); ids.append(did); did += 1
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+
+
+@pytest.mark.parametrize("threshold", [0.7, 0.85])
+def test_minhash_prefix_path_matches_full(threshold):
+    """The signature-prefix band shuffle must emit the EXACT same pair set
+    (ids + est_jaccard) as the full-signature in-band path."""
+    from audio_feature_extraction_ray.stages.dedup import (
+        _prefix_prune_bound,
+        minhash_dedup_pairs,
+    )
+
+    ds = _neardup_corpus()
+    full = minhash_dedup_pairs(ds, "doc_id", threshold=threshold, sig_prefix=None)
+    pref = minhash_dedup_pairs(ds, "doc_id", threshold=threshold, sig_prefix="auto")
+
+    def pairset(d):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["est_jaccard"], 12)) for r in d.take_all()
+        )
+
+    a, b = pairset(full), pairset(pref)
+    assert a == b and len(a) > 0
+    # the auto prefix actually prunes at these thresholds
+    assert _prefix_prune_bound(64, 32, threshold) >= 1
+    # the scale path (distributed verify joins) must match too
+    joined = minhash_dedup_pairs(
+        ds, "doc_id", threshold=threshold, sig_prefix="auto", verify_broadcast_pairs=0
+    )
+    assert pairset(joined) == a
+
+
+def test_prefix_prune_bound_exact():
+    from audio_feature_extraction_ray.stages.dedup import _prefix_prune_bound
+
+    # threshold 0.8 over 64 perms → min full agreement 52; 16-perm prefix can
+    # prune anything agreeing on ≤3 prefix perms (52 - 48 = 4 needed)
+    assert _prefix_prune_bound(64, 16, 0.8) == 4
+    # threshold 0.7 → 45 needed; a 16-perm prefix cannot prune (bound < 1)
+    assert _prefix_prune_bound(64, 16, 0.7) < 1
+    assert _prefix_prune_bound(64, 32, 0.7) == 13
+
+
 # ------------------------------------------------------------------ bucket join ambiguity
 
 def test_bucket_hash_join_suffix_ambiguity_raises():
