@@ -109,6 +109,75 @@ def _interp_time(x: np.ndarray, tsv: np.ndarray) -> np.ndarray:
     return out
 
 
+def _interp_time_cubic(x: np.ndarray, tsv: np.ndarray) -> np.ndarray:
+    """Natural-cubic-spline interpolation of interior null gaps over the TIME
+    axis — the F4 cubic option matching the reference's CubicSpline gap fill
+    over voiced points (04_feature_extraction_experiment/
+    audio_feature_extraction 2/audio_feature_extraction/
+    feature_extractor.py:224-232; boundary condition here is *natural*
+    — zero second derivative at the ends — where scipy defaults to
+    not-a-knot; documented semantic choice, no scipy in the engine).
+
+    Non-null rows keep their value; leading/trailing nulls stay null (no
+    extrapolation — matches :func:`_interp_time`). Duplicate-timestamp valid
+    rows collapse to their first occurrence for the spline knots. The
+    tridiagonal solve is the Thomas algorithm — O(m) sequential per entity
+    (inherent data dependence); the vectorized linear path stays the default.
+    """
+    valid = ~np.isnan(x)
+    out = x.copy()
+    if valid.sum() < 2:
+        return out
+    t_all = tsv[valid].astype(np.float64)
+    y_all = x[valid]
+    # collapse duplicate knot times (keep first) — h_i == 0 breaks the solve
+    keep = np.concatenate(([True], np.diff(t_all) > 0))
+    t, y = t_all[keep], y_all[keep]
+    m = len(t)
+    first_t, last_t = t_all[0], t_all[-1]
+    gap = ~valid & (tsv > first_t) & (tsv < last_t)
+    if not gap.any():
+        return out
+    tg = tsv[gap].astype(np.float64)
+    if m == 2:
+        frac = (tg - t[0]) / (t[1] - t[0])
+        out[gap] = y[0] + (y[1] - y[0]) * frac
+        return out
+    h = np.diff(t)
+    slope = np.diff(y) / h
+    # natural BC: M[0] = M[m-1] = 0; interior M from the tridiagonal system
+    # h[i-1]*M[i-1] + 2*(h[i-1]+h[i])*M[i] + h[i]*M[i+1] = 6*(slope[i]-slope[i-1])
+    n_int = m - 2
+    diag = 2.0 * (h[:-1] + h[1:])
+    lower = h[1:-1].copy()  # sub-diagonal (rows 1..n_int-1)
+    upper = h[1:-1].copy()  # super-diagonal (rows 0..n_int-2)
+    rhs = 6.0 * (slope[1:] - slope[:-1])
+    # Thomas forward sweep + back substitution
+    cp = np.empty(n_int)
+    dp = np.empty(n_int)
+    cp[0] = upper[0] / diag[0] if n_int > 1 else 0.0
+    dp[0] = rhs[0] / diag[0]
+    for i in range(1, n_int):
+        denom = diag[i] - lower[i - 1] * cp[i - 1]
+        cp[i] = upper[i] / denom if i < n_int - 1 else 0.0
+        dp[i] = (rhs[i] - lower[i - 1] * dp[i - 1]) / denom
+    M = np.zeros(m)
+    M[n_int] = dp[n_int - 1]
+    for i in range(n_int - 2, -1, -1):
+        M[i + 1] = dp[i] - cp[i] * M[i + 2]
+    # evaluate on the owning interval
+    seg = np.clip(np.searchsorted(t, tg, side="right") - 1, 0, m - 2)
+    hs = h[seg]
+    ta, tb = t[seg], t[seg + 1]
+    out[gap] = (
+        M[seg] * (tb - tg) ** 3 / (6.0 * hs)
+        + M[seg + 1] * (tg - ta) ** 3 / (6.0 * hs)
+        + (y[seg] / hs - M[seg] * hs / 6.0) * (tb - tg)
+        + (y[seg + 1] / hs - M[seg + 1] * hs / 6.0) * (tg - ta)
+    )
+    return out
+
+
 def window_features(
     ds: ray.data.Dataset,
     key: str,
@@ -125,6 +194,7 @@ def window_features(
     rolling: dict[str, int] | None = None,
     rolling_time_us: dict[str, int] | None = None,
     cumulative: list[str] | None = None,
+    interp_method: str = "linear",
 ) -> ray.data.Dataset:
     """Add per-entity window columns in one shuffle.
 
@@ -146,6 +216,9 @@ def window_features(
     fill_cols = fill_cols or []
     interp_cols = interp_cols or []
     cumulative = cumulative or []
+    if interp_method not in ("linear", "cubic"):
+        raise ValueError(f"interp_method must be 'linear' or 'cubic', got {interp_method!r}")
+    _interp_fn = _interp_time if interp_method == "linear" else _interp_time_cubic
     ds, schema = arrow_schema_of(ds)
     fields = list(zip(schema.names, schema.types))
     out_fields = [pa.field(n, t) for n, t in fields]
@@ -201,7 +274,7 @@ def window_features(
             cols[f"{c}_bfill"] = pa.array(_bfill(x.copy()), pa.float64())
         for c in interp_cols:
             x = _f64(group.column(c))
-            cols[f"{c}_interp"] = pa.array(_interp_time(x, tsv), pa.float64())
+            cols[f"{c}_interp"] = pa.array(_interp_fn(x, tsv), pa.float64())
         for c in cumulative:
             # expanding aggregates, SQL ROWS UNBOUNDED PRECEDING semantics:
             # nulls skipped; rows before the first non-null stay null. The

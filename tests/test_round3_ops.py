@@ -247,3 +247,94 @@ def test_bucket_hash_join_suffix_ambiguity_raises():
     )
     with pytest.raises(ValueError, match="ambiguous"):
         bucket_hash_join(left, right, on="k")
+
+
+# ------------------------------------------------------------------ cubic gap interpolation (F4)
+
+def _dense_natural_spline(t, y, tg):
+    """Reference: full-matrix natural-spline solve (np.linalg, O(m^3))."""
+    m = len(t)
+    h = np.diff(t)
+    slope = np.diff(y) / h
+    A = np.zeros((m, m))
+    b = np.zeros(m)
+    A[0, 0] = A[-1, -1] = 1.0
+    for i in range(1, m - 1):
+        A[i, i - 1], A[i, i], A[i, i + 1] = h[i - 1], 2 * (h[i - 1] + h[i]), h[i]
+        b[i] = 6 * (slope[i] - slope[i - 1])
+    M = np.linalg.solve(A, b)
+    seg = np.clip(np.searchsorted(t, tg, side="right") - 1, 0, m - 2)
+    hs = h[seg]
+    ta, tb = t[seg], t[seg + 1]
+    return (M[seg] * (tb - tg) ** 3 / (6 * hs) + M[seg + 1] * (tg - ta) ** 3 / (6 * hs)
+            + (y[seg] / hs - M[seg] * hs / 6) * (tb - tg)
+            + (y[seg + 1] / hs - M[seg + 1] * hs / 6) * (tg - ta))
+
+
+def test_cubic_interp_matches_dense_solve():
+    from audio_feature_extraction_ray.stages.window import _interp_time_cubic
+
+    rng = np.random.default_rng(11)
+    for _ in range(100):
+        n = int(rng.integers(3, 50))
+        tsv = np.sort(rng.choice(100_000, size=n, replace=False)).astype(np.int64)
+        x = rng.normal(size=n)
+        mask = rng.random(n) < 0.4
+        xm = x.copy()
+        xm[mask] = np.nan
+        got = _interp_time_cubic(xm.copy(), tsv)
+        valid = ~np.isnan(xm)
+        if valid.sum() < 3:
+            continue
+        t, y = tsv[valid].astype(float), xm[valid]
+        gap = np.isnan(xm) & (tsv > t[0]) & (tsv < t[-1])
+        exp = xm.copy()
+        if gap.any():
+            exp[gap] = _dense_natural_spline(t, y, tsv[gap].astype(float))
+        np.testing.assert_allclose(np.nan_to_num(got, nan=-9e9),
+                                   np.nan_to_num(exp, nan=-9e9), atol=1e-9)
+
+
+def test_cubic_interp_edge_semantics():
+    from audio_feature_extraction_ray.stages.window import _interp_time_cubic
+
+    tsv = np.array([0, 10, 20, 30, 40, 50], dtype=np.int64)
+    # collinear points -> exact linear fill
+    x = np.array([0.0, np.nan, 2.0, np.nan, 4.0, 5.0])
+    np.testing.assert_allclose(_interp_time_cubic(x.copy(), tsv), [0, 1, 2, 3, 4, 5])
+    # leading/trailing nulls never extrapolate
+    x2 = np.array([np.nan, 1.0, np.nan, 3.0, np.nan], dtype=np.float64)
+    g2 = _interp_time_cubic(x2.copy(), tsv[:5])
+    assert np.isnan(g2[0]) and np.isnan(g2[4]) and abs(g2[2] - 2.0) < 1e-12
+    # fewer than 2 valid points -> unchanged
+    x3 = np.array([np.nan, 7.0, np.nan])
+    g3 = _interp_time_cubic(x3.copy(), tsv[:3])
+    assert np.isnan(g3[0]) and g3[1] == 7.0 and np.isnan(g3[2])
+
+
+def test_window_features_cubic_interp_e2e():
+    """interp_method='cubic' flows through window_features and differs from
+    linear on curved data while agreeing at valid rows."""
+    from audio_feature_extraction_ray.stages.window import window_features
+
+    ts = np.arange(0, 120, 10, dtype="datetime64[us]")
+    vals = (np.arange(12, dtype=np.float64)) ** 2
+    v = vals.copy()
+    v[[3, 4, 7]] = np.nan
+    t = pa.table({
+        "k": pa.array([1] * 12, pa.int64()),
+        "ts": pa.array(ts),
+        "v": pa.array(v, pa.float64(), from_pandas=True),
+    })
+    ds = ray.data.from_arrow(t)
+    lin = window_features(ds, key="k", ts="ts", value_cols=[], lags=(), leads=(),
+                          deltas=False, interp_cols=["v"]).to_pandas()
+    cub = window_features(ds, key="k", ts="ts", value_cols=[], lags=(), leads=(),
+                          deltas=False, interp_cols=["v"], interp_method="cubic").to_pandas()
+    valid = ~np.isnan(v)
+    np.testing.assert_allclose(cub["v_interp"][valid], vals[valid])
+    # curved data: cubic fill is closer to the true quadratic than linear
+    gaps = np.isnan(v)
+    err_c = np.abs(cub["v_interp"][gaps].to_numpy() - vals[gaps])
+    err_l = np.abs(lin["v_interp"][gaps].to_numpy() - vals[gaps])
+    assert err_c.sum() < err_l.sum()
