@@ -12,6 +12,8 @@ the same grid point. Pure column passthroughs and same-expression arithmetic
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -2062,6 +2064,45 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_approx_percentiles_sketch_events(sf_dir: str):
+    """The PURE t-digest path (no exact verification side) — what actually
+    runs at 100 TB, kept as its own gate/bench entry so the sketch's cost is
+    measured alone; accuracy is asserted by the oracle-checked
+    :func:`q_approx_percentiles_events` tolerance flag."""
+    from ..stages.aggregates import approx_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+    p25, p50, p75 = approx_quantiles(ds, "value", [0.25, 0.5, 0.75])
+    return _one_row(
+        {"p25": _round6_scalar(p25), "p50": _round6_scalar(p50), "p75": _round6_scalar(p75)}
+    )
+
+
+def q_visualize_images(sf_dir: str):
+    """K5 PNG visualization sink: per-entity stacked feature panel (embedding
+    heatmap + channel-profile strips) rendered pure-NumPy and written
+    distributed with skip-if-exists resume — the reference's per-file
+    matplotlib figure (04_feature_extraction_experiment/
+    feature_extraction.py:361-437) as a Ray sink. Returns the manifest
+    (rows-only gate: paths are environment-local)."""
+    import shutil
+    import tempfile
+
+    from ..sources.images import synth_images
+    from ..stages.features import feature_stage
+    from ..stages.viz import write_feature_pngs
+
+    n = max(20, int(1000 * _sf_of(sf_dir)))
+    feats = feature_stage(synth_images(n), features=("embedding",))
+    ok = feats.filter(expr="status == 'ok'")
+    out_dir = os.path.join(tempfile.gettempdir(), f"afx_viz_{n}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    manifest = write_feature_pngs(
+        ok, out_dir, id_col="image_id", matrix_col="embedding", matrix_shape=(8, 8),
+    )
+    return manifest.select_columns(["image_id", "w", "h", "n_bytes", "skipped"])
+
+
 def q_alignment_report_events(sf_dir: str):
     """A7 grouped alignment report, SQL-replayable form: as-of pair every
     click with its latest purchase per user, score per-user offset RMSE and
@@ -2564,4 +2605,6 @@ QUERIES = {
     "compare_preprocess_reports": (q_compare_preprocess_reports, None),
     "align_report": (q_align_report, None),
     "evaluation_report": (q_evaluation_report, None),
+    "approx_percentiles_sketch_events": (q_approx_percentiles_sketch_events, None),
+    "visualize_images": (q_visualize_images, None),
 }

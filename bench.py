@@ -47,10 +47,13 @@ HEADLINE = [
     "revenue_by_nation",
     "interp_events",
     "alignment_report_events",
-    "approx_percentiles_events",
+    "approx_percentiles_sketch_events",
     "simhash_documents",
     "corpus_pipeline_documents",
     "chunk_documents",
+    # round 3 additions
+    "fingerprint_documents",
+    "minhash_pairs_prefix_documents",
 ]
 
 
