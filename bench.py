@@ -53,7 +53,6 @@ HEADLINE = [
     "chunk_documents",
     # round 3 additions
     "fingerprint_documents",
-    "minhash_pairs_prefix_documents",
 ]
 
 
