@@ -140,34 +140,27 @@ def _mulmod63(acc: np.ndarray, b: int) -> np.ndarray:
         & np.uint64(_FP_MASK)
 
 
-def rolling_fingerprint_batch(
-    texts, window: int = 4, token_hash_cache: dict | None = None
-) -> np.ndarray:
-    """Vectorized :func:`rolling_fingerprint` over a string column —
-    bit-identical to the serial kernel, no Python loop over documents.
-
-    Distinct lowered tokens hash once (md5, cached across batches when the
-    caller holds the cache, e.g. an actor); the window fold runs as
-    ``window`` full-array passes of the masked multiply-add; per-doc minima
-    come from ``np.minimum.reduceat`` over the flat window array.
-    """
+def _token_hash_stream(texts, token_hash_cache: dict | None = None):
+    """Flat md5-prefix token-hash stream for a string column: returns
+    ``(h: uint64[n_tokens], starts: int64[n_rows], counts: int64[n_rows])``
+    with doc ``d`` owning ``h[starts[d] : starts[d] + counts[d]]`` —
+    python ``str.split`` token semantics (empty slots dropped), lowered,
+    each distinct token hashed once (cached across batches when the caller
+    holds the cache). Returns None when the batch has no tokens."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     flat, off, _ = _flat_tokens(texts)
     n_rows = len(off) - 1
-    out = np.zeros(n_rows, dtype=np.int64)
     if n_rows == 0 or len(flat) == 0:
-        return out
-    # python split() drops empty slots: keep only non-empty tokens, with
-    # per-row counts of survivors
+        return None
     lowered = pc.utf8_lower(flat)
     nonempty = pc.not_equal(pc.utf8_length(lowered), 0).to_numpy(zero_copy_only=False)
     cs = np.concatenate(([0], np.cumsum(nonempty)))
     counts = (cs[off[1:]] - cs[off[:-1]]).astype(np.int64)
     kept = lowered.filter(pa.array(nonempty))
     if len(kept) == 0:
-        return out
+        return None
     de = kept.dictionary_encode()
     idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab = de.dictionary.to_pylist()
@@ -179,16 +172,42 @@ def rolling_fingerprint_batch(
             v = _token_hash32(tok)
             cache[tok] = v
         hvals[k] = v
-    h = hvals[idx]  # flat token-hash stream, doc d owns h[start[d] : start[d]+counts[d]]
+    h = hvals[idx]
     starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    return h, starts, counts
+
+
+def _window_fold(h: np.ndarray, window: int) -> np.ndarray:
+    """Polynomial fold of every length-``window`` run of the flat stream
+    (windows crossing doc boundaries included — callers mask by segment)."""
+    acc = np.zeros(len(h) - window + 1, dtype=np.uint64)
+    for j in range(window):
+        acc = (_mulmod63(acc, _FP_BASE) + h[j : j + len(acc)]) & np.uint64(_FP_MASK)
+    return acc
+
+
+def rolling_fingerprint_batch(
+    texts, window: int = 4, token_hash_cache: dict | None = None
+) -> np.ndarray:
+    """Vectorized :func:`rolling_fingerprint` over a string column —
+    bit-identical to the serial kernel, no Python loop over documents.
+
+    Distinct lowered tokens hash once (md5, cached across batches when the
+    caller holds the cache, e.g. an actor); the window fold runs as
+    ``window`` full-array passes of the masked multiply-add; per-doc minima
+    come from ``np.minimum.reduceat`` over the flat window array.
+    """
+    stream = _token_hash_stream(texts, token_hash_cache)
+    out = np.zeros(len(texts), dtype=np.int64)
+    if stream is None:
+        return out
+    h, starts, counts = stream
 
     # long docs (counts >= window): fold over every flat window, then mask
     # out windows crossing doc boundaries via reduceat segments
     n_flat = len(h)
     if n_flat >= window:
-        acc = np.zeros(n_flat - window + 1, dtype=np.uint64)
-        for j in range(window):
-            acc = (_mulmod63(acc, _FP_BASE) + h[j : j + len(acc)]) & np.uint64(_FP_MASK)
+        acc = _window_fold(h, window)
         long_rows = np.flatnonzero(counts >= window)
         if len(long_rows):
             seg_start = starts[long_rows]
@@ -216,6 +235,148 @@ def rolling_fingerprint_batch(
             ) & np.uint64(_FP_MASK)
         out[short_rows] = acc.view(np.int64)
     return out
+
+
+def ngram_window_hashes(text: str, window: int = 8) -> set[int]:
+    """Serial reference: the set of polynomial hashes of every FULL
+    length-``window`` token n-gram of a document (same token hash and fold
+    as :func:`rolling_fingerprint` — md5-prefix tokens, base-1000003 mod
+    2^63). Docs shorter than ``window`` tokens have no n-gram."""
+    toks = [t.lower() for t in ws_tokens(text)]
+    out: set[int] = set()
+    for i in range(len(toks) - window + 1):
+        acc = 0
+        for t in toks[i : i + window]:
+            acc = (acc * _FP_BASE + _token_hash32(t)) & _FP_MASK
+        out.add(acc)
+    return out
+
+
+def contamination_batch(
+    texts,
+    bench_sorted: np.ndarray,
+    window: int = 8,
+    token_hash_cache: dict | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized benchmark-decontamination kernel: for each document, how
+    many of its full ``window``-token n-grams appear in the (sorted uint64)
+    benchmark n-gram hash set — returns ``(n_hits: int64[n], contaminated:
+    bool[n])``. Same hash/fold as :func:`ngram_window_hashes`; membership is
+    one ``searchsorted`` over the flat window array, per-doc counts one
+    ``add.reduceat`` — no Python loop over documents."""
+    n_rows = len(texts)
+    hits = np.zeros(n_rows, dtype=np.int64)
+    stream = _token_hash_stream(texts, token_hash_cache)
+    if stream is None or len(bench_sorted) == 0:
+        return hits, hits > 0
+    h, starts, counts = stream
+    if len(h) < window:
+        return hits, hits > 0
+    acc = _window_fold(h, window)
+    pos = np.searchsorted(bench_sorted, acc)
+    pos[pos >= len(bench_sorted)] = len(bench_sorted) - 1
+    member = (bench_sorted[pos] == acc).astype(np.int64)
+    long_rows = np.flatnonzero(counts >= window)
+    if len(long_rows):
+        seg_start = starts[long_rows]
+        seg_end = seg_start + counts[long_rows] - window + 1
+        red_idx = np.empty(2 * len(long_rows), dtype=np.int64)
+        red_idx[0::2] = seg_start
+        red_idx[1::2] = seg_end
+        trailing = red_idx[-1] >= len(member)
+        if trailing:
+            red_idx = red_idx[:-1]
+        # a dropped trailing boundary (== len) makes the final reduceat
+        # segment run to the array end — exactly that doc's window span
+        sums = np.add.reduceat(member, red_idx)[0::2]
+        hits[long_rows] = sums
+    return hits, hits > 0
+
+
+def repetition_signals(text: str) -> tuple[float, float]:
+    """Serial reference for the Gopher-style repetition quality signals:
+    ``(dup_line_frac, top_2gram_frac)`` — the fraction of non-empty lines
+    that are duplicates of an earlier line, and the share of the most
+    frequent token 2-gram among all 2-grams (repetitious machine-generated
+    text scores high on both)."""
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    dup_frac = 1.0 - len(set(lines)) / len(lines) if lines else 0.0
+    toks = [t.lower() for t in ws_tokens(text)]
+    if len(toks) < 2:
+        return dup_frac, 0.0
+    from collections import Counter
+
+    grams = Counter(zip(toks[:-1], toks[1:]))
+    return dup_frac, max(grams.values()) / (len(toks) - 1)
+
+
+def repetition_batch(texts, token_hash_cache: dict | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized :func:`repetition_signals` over a string column: returns
+    ``(dup_line_frac: f64[n], top_2gram_frac: f64[n])``.
+
+    Lines dedupe via dictionary-encoding + per-(row, line-id) uniques; the
+    2-gram mode comes from an exact 64-bit pair encoding of the 32-bit token
+    hashes (no collisions), one lexsort, and run-length segment maxima — no
+    Python loop over documents."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n_rows = len(texts)
+    dup = np.zeros(n_rows, dtype=np.float64)
+    top2 = np.zeros(n_rows, dtype=np.float64)
+    if n_rows == 0:
+        return dup, top2
+
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    # ---- duplicate-line fraction
+    lines = pc.split_pattern(arr, "\n")
+    flat = pc.list_flatten(lines)
+    loff = np.asarray(lines.offsets)
+    keep = pc.not_equal(pc.utf8_length(pc.utf8_trim_whitespace(flat)), 0) \
+        .to_numpy(zero_copy_only=False)
+    csk = np.concatenate(([0], np.cumsum(keep)))
+    n_lines = (csk[loff[1:]] - csk[loff[:-1]]).astype(np.int64)
+    kept = flat.filter(pa.array(keep))
+    if len(kept):
+        ids = kept.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), n_lines)
+        K = int(ids.max()) + 1
+        n_distinct = np.zeros(n_rows, dtype=np.int64)
+        urow = np.unique(rows * K + ids) // K
+        np.add.at(n_distinct, urow, 1)
+        has = n_lines > 0
+        dup[has] = 1.0 - n_distinct[has] / n_lines[has]
+
+    # ---- top-2-gram fraction
+    stream = _token_hash_stream(texts, token_hash_cache)
+    if stream is None:
+        return dup, top2
+    h, starts, counts = stream
+    if len(h) < 2:
+        return dup, top2
+    pair = (h[:-1] << np.uint64(32)) | h[1:]  # exact: token hashes are 32-bit
+    tok_row = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+    prow = tok_row[:-1]
+    valid = prow == tok_row[1:]  # pairs crossing doc boundaries are not 2-grams
+    pair, prow = pair[valid], prow[valid]
+    if len(pair) == 0:
+        return dup, top2
+    order = np.lexsort((pair, prow))
+    pair, prow = pair[order], prow[order]
+    run_start = np.concatenate(
+        ([True], (pair[1:] != pair[:-1]) | (prow[1:] != prow[:-1]))
+    )
+    run_idx = np.flatnonzero(run_start)
+    run_counts = np.diff(np.concatenate((run_idx, [len(pair)])))
+    run_row = prow[run_idx]
+    row_boundary = np.concatenate(([True], run_row[1:] != run_row[:-1]))
+    row_idx = np.flatnonzero(row_boundary)
+    maxima = np.maximum.reduceat(run_counts, row_idx)
+    total = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(total, prow, 1)
+    rows_present = run_row[row_idx]
+    top2[rows_present] = maxima / total[rows_present]
+    return dup, top2
 
 
 # ---------------------------------------------------------------- shingles / MinHash

@@ -1110,6 +1110,100 @@ def q_minhash_pairs_prefix_documents(sf_dir: str):
     return _round_cols(pairs.select_columns(["id_a", "id_b", "est_jaccard"]), ["est_jaccard"])
 
 
+def q_repetition_documents(sf_dir: str):
+    """Gopher-style repetition quality signals (LLM corpus filtering):
+    duplicate-line fraction + top token-2-gram share per document —
+    hash-exact oracle-checked (line dedup and 2-gram modes are integer
+    counts; only the final fractions round)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = text_features(ds, quality=False, lang=False, fingerprints=False,
+                        repetition=True)
+    return _round_cols(out.select_columns(["doc_id", "dup_line_frac", "top_2gram_frac"]),
+                       ["dup_line_frac", "top_2gram_frac"], digits=6)
+
+
+SQL_REPETITION_DOCUMENTS = r"""
+WITH lf AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\n'), x -> trim(x) <> '')) AS n_lines,
+         len(list_distinct(list_filter(regexp_split_to_array(text, '\n'),
+                                       x -> trim(x) <> ''))) AS n_distinct
+  FROM documents
+),
+tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 2
+),
+pos AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks FROM tl),
+gc AS (
+  SELECT doc_id, lower(toks[i]) || ' ' || lower(toks[i+1]) AS g, count(*) AS c
+  FROM pos GROUP BY doc_id, g
+),
+gm AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM gc GROUP BY doc_id)
+SELECT d.doc_id,
+       ROUND(CASE WHEN lf.n_lines > 0 THEN 1.0 - lf.n_distinct * 1.0 / lf.n_lines
+                  ELSE 0.0 END, 6) AS dup_line_frac,
+       ROUND(COALESCE(gm.mx * 1.0 / gm.tot, 0.0), 6) AS top_2gram_frac
+FROM documents d JOIN lf USING (doc_id) LEFT JOIN gm USING (doc_id)
+"""
+
+
+def q_decontaminate_documents(sf_dir: str):
+    """Benchmark decontamination (the eval-set leakage check): documents with
+    ``doc_id % 20 == 0`` play the held-out benchmark; every corpus document
+    is tagged with its full-8-token-n-gram overlap count against that set.
+    Benchmark n-gram hashes broadcast (eval sets are tiny vs the corpus);
+    the corpus streams through an actor pool — no shuffle. Hash-exact
+    oracle: same md5-prefix/polynomial fold as the fingerprint kernel."""
+    from ..stages.text import decontaminate
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pick_bench(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 20 == 0))
+
+    bench = ds.map_batches(pick_bench, batch_format="pyarrow", zero_copy_batch=True)
+    out = decontaminate(ds, bench, text_col="text", window=8)
+    return out.select_columns(["doc_id", "n_contaminated", "contaminated"])
+
+
+SQL_DECONTAMINATE_DOCUMENTS = r"""
+WITH tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+pos AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM tl),
+h AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(lower(toks[pos])), 1, 8))::UBIGINT::HUGEINT AS hv
+  FROM pos
+),
+win AS (
+  SELECT doc_id, hv,
+         lead(hv, 1) OVER w AS h1, lead(hv, 2) OVER w AS h2, lead(hv, 3) OVER w AS h3,
+         lead(hv, 4) OVER w AS h4, lead(hv, 5) OVER w AS h5, lead(hv, 6) OVER w AS h6,
+         lead(hv, 7) OVER w AS h7
+  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+wh AS (
+  SELECT doc_id,
+         ((((((((hv * 1000003 + h1) % 9223372036854775808::HUGEINT) * 1000003 + h2)
+            % 9223372036854775808::HUGEINT * 1000003 + h3)
+            % 9223372036854775808::HUGEINT * 1000003 + h4)
+            % 9223372036854775808::HUGEINT * 1000003 + h5)
+            % 9223372036854775808::HUGEINT * 1000003 + h6)
+            % 9223372036854775808::HUGEINT * 1000003 + h7)
+            % 9223372036854775808::HUGEINT AS wh
+  FROM win WHERE h7 IS NOT NULL
+),
+bench AS (SELECT DISTINCT wh FROM wh WHERE doc_id % 20 = 0),
+hits AS (SELECT w.doc_id, count(*) AS n FROM wh w JOIN bench b USING (wh) GROUP BY w.doc_id)
+SELECT d.doc_id, COALESCE(h.n, 0) AS n_contaminated, COALESCE(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def q_simhash_documents(sf_dir: str):
     """Per-doc 64-bit SimHash signatures — hash-exact oracle-checked: the
     token hash is an md5 prefix, so DuckDB replays the whole kernel (distinct
@@ -2280,6 +2374,46 @@ def q_pairwise_quality_images(sf_dir: str):
     return _round_cols(out, ["psnr_db"], digits=4).sort("pair")
 
 
+def q_image_pair_report(sf_dir: str):
+    """J4-literal DTW alignment × Q6 pairwise quality in ONE driver slot
+    (registry consolidation, round 3): the same teacher/student pairing
+    feeds both the constrained-DTW aligner and the PSNR quality scorer, and
+    the two per-pair reports join on the pair key — the reference computes
+    exactly this combination per file pair (05_dtw_alignment_experiment/
+    dtw_alignment.py:1377-1416 + the PESQ/STOI assessment). Rows-only gate
+    (synthetic-image pipelines have no SQL analog)."""
+    from ..sources.images import synth_images
+    from ..stages.align import align_pairs, pairwise_quality
+    from ..stages.features import feature_stage
+    from ..stages.joins import bucket_hash_join
+
+    n = max(20, int(600 * _sf_of(sf_dir)))
+    feats = feature_stage(synth_images(n), features=("embedding",)) \
+        .filter(expr="status == 'ok'")
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t.column("image_id").to_pylist()
+        eids = [int(i[3:]) for i in ids]
+        pair = pa.array([f"pair{e // 2:06d}" for e in eids], pa.string())
+        role = pa.array(["teacher" if e % 2 == 0 else "student" for e in eids], pa.string())
+        return t.append_column("pair", pair).append_column("role", role)
+
+    # two consumers — materialize the bounded tagged set once
+    tagged = feats.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()
+    al = align_pairs(tagged, pair_col="pair", role_col="role", ts_col="ts",
+                     emb_col="embedding")
+    pq = pairwise_quality(tagged, pair_col="pair", role_col="role", emb_col="embedding")
+    pq = _round_cols(pq, ["psnr_db"], digits=4).map_batches(
+        lambda t: t.rename_columns(
+            ["pair" if c == "pair" else ("q_status" if c == "status" else c)
+             for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    return bucket_hash_join(al, pq, on="pair").sort("pair")
+
+
 def q_image_phash_neardups(sf_dir: str):
     """Image near-dup pairs by perceptual-hash hamming distance (rows-only):
     band-bucketed phash LSH — the cheap image-dedup path next to the
@@ -2547,7 +2681,7 @@ QUERIES = {
     "sessionize_events_bucketed": (q_sessionize_events_bucketed, SQL_SESSIONIZE_EVENTS),
     "explode_embedding_stats": (q_explode_embedding_stats, SQL_EXPLODE_EMBEDDING_STATS),
     "registry_chain_events": (q_registry_chain_events, SQL_REGISTRY_CHAIN_EVENTS),
-    "checkpoint_manifest_events": (q_checkpoint_manifest_events, None),
+    "repetition_documents": (q_repetition_documents, SQL_REPETITION_DOCUMENTS),
     # -- 30-43: text / LLM-corpus operators
     "token_frequencies": (q_token_frequencies, SQL_TOKEN_FREQUENCIES),
     "text_quality_documents": (q_text_quality_documents, SQL_TEXT_QUALITY_DOCUMENTS),
@@ -2563,16 +2697,19 @@ QUERIES = {
     "minhash_pairs_documents": (q_minhash_pairs_documents, None),
     "neardup_embeddings": (q_neardup_embeddings, SQL_NEARDUP_EMBEDDINGS),
     "knn_embeddings": (q_knn_embeddings, SQL_KNN_EMBEDDINGS),
-    # -- 44-50: image / flagship pipelines
+    "decontaminate_documents": (q_decontaminate_documents, SQL_DECONTAMINATE_DOCUMENTS),
+    # -- 45-50: image / flagship pipelines + A7 report
     "flagship_images": (q_flagship_images, None),
     "images_asof": (q_images_asof, None),
     "preprocess_images": (q_preprocess_images, None),
     "image_phash_neardups": (q_image_phash_neardups, None),
-    "align_image_pairs": (q_align_image_pairs, None),
-    "pairwise_quality_images": (q_pairwise_quality_images, None),
+    "image_pair_report": (q_image_pair_report, None),
     "alignment_report_events": (q_alignment_report_events, SQL_ALIGNMENT_REPORT_EVENTS),
     # ---- 51+: tail — variants of families already represented above;
     # ---- exercised by the local sf0.001 oracle gate every pytest run
+    "checkpoint_manifest_events": (q_checkpoint_manifest_events, None),
+    "align_image_pairs": (q_align_image_pairs, None),
+    "pairwise_quality_images": (q_pairwise_quality_images, None),
     "global_stats": (q_global_stats, SQL_GLOBAL_STATS),
     "quality_rates": (q_quality_rates, SQL_QUALITY_RATES),
     "grouped_stats_documents": (q_grouped_stats_documents, SQL_GROUPED_STATS_DOCUMENTS),

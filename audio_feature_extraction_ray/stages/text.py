@@ -19,6 +19,7 @@ from ..functions.textfx import (
     langid_batch,
     md5_fingerprint,
     quality_batch,
+    repetition_batch,
     rolling_fingerprint_batch,
     simhash_batch,
     _flat_tokens,
@@ -37,12 +38,14 @@ class TextFeatures:
         lang: bool = True,
         fingerprints: bool = True,
         simhash: bool = False,
+        repetition: bool = False,
     ):
         self.text_col = text_col
         self.quality = quality
         self.lang = lang
         self.fingerprints = fingerprints
         self.simhash = simhash
+        self.repetition = repetition
         # per-actor token→md5 caches (tokens repeat heavily across documents;
         # each distinct token hashes once per actor per kernel)
         self._token_cache: dict = {}
@@ -73,6 +76,10 @@ class TextFeatures:
             )
         if self.simhash:
             out["simhash"] = pa.array(simhash_batch(col, self._token_cache), pa.int64())
+        if self.repetition:
+            dup, top2 = repetition_batch(col, token_hash_cache=self._fp_cache)
+            out["dup_line_frac"] = pa.array(dup, pa.float64())
+            out["top_2gram_frac"] = pa.array(top2, pa.float64())
         return pa.table(out)
 
 
@@ -190,3 +197,90 @@ def token_count_table(ds: ray.data.Dataset, id_col: str, text_col: str = "text")
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class _TagContamination:
+    """Actor stage: flag documents sharing any full token n-gram with the
+    broadcast benchmark hash set (object-store ref read once per actor)."""
+
+    def __init__(self, bench_ref, text_col: str, window: int):
+        import ray as _ray
+
+        self.bench = _ray.get(bench_ref)  # sorted uint64 array, zero-copy
+        self.text_col = text_col
+        self.window = window
+        self._cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.textfx import contamination_batch
+
+        hits, flag = contamination_batch(
+            batch.column(self.text_col), self.bench, self.window, self._cache
+        )
+        return batch.append_column(
+            "n_contaminated", pa.array(hits, pa.int64())
+        ).append_column("contaminated", pa.array(flag, pa.bool_()))
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    window: int = 8,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 1024,
+) -> ray.data.Dataset:
+    """Benchmark decontamination — the eval-set leakage check every LLM
+    training corpus runs: tag each corpus document with how many of its full
+    ``window``-token n-grams appear anywhere in the benchmark set.
+
+    Scale shape: the benchmark (an eval set) is orders of magnitude smaller
+    than the corpus, so its distinct n-gram hashes are computed distributed
+    (per-block unique arrays), unioned once, and **broadcast** via
+    ``ray.put`` — the 100 TB corpus streams through an actor pool doing one
+    ``searchsorted`` per batch; no shuffle touches the corpus. Token hash /
+    polynomial fold match :func:`...functions.textfx.ngram_window_hashes`,
+    so a SQL oracle replays the flags exactly.
+    """
+    import numpy as np
+    import ray as _ray
+
+    from ..functions.textfx import _token_hash_stream, _window_fold
+
+    bcol = bench_text_col or text_col
+
+    def block_hashes(t: pa.Table) -> pa.Table:
+        stream = _token_hash_stream(t.column(bcol))
+        if stream is None:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        h, starts, counts = stream
+        if len(h) < window:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        acc = _window_fold(h, window)
+        # keep only windows fully inside one document
+        long_rows = np.flatnonzero(counts >= window)
+        segs = [
+            acc[starts[r] : starts[r] + counts[r] - window + 1] for r in long_rows
+        ]
+        u = np.unique(np.concatenate(segs)) if segs else np.array([], dtype=np.uint64)
+        return pa.table({"h": pa.array(u, pa.uint64())})
+
+    parts = benchmark.map_batches(block_hashes, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    chunks = [
+        b.column("h").to_numpy(zero_copy_only=False)
+        for b in parts.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    bench_sorted = (
+        np.unique(np.concatenate(chunks)) if chunks else np.array([], dtype=np.uint64)
+    )
+    ref = _ray.put(bench_sorted)
+    return ds.map_batches(
+        _TagContamination,
+        fn_constructor_kwargs={"bench_ref": ref, "text_col": text_col, "window": window},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

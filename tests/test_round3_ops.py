@@ -338,3 +338,90 @@ def test_window_features_cubic_interp_e2e():
     err_c = np.abs(cub["v_interp"][gaps].to_numpy() - vals[gaps])
     err_l = np.abs(lin["v_interp"][gaps].to_numpy() - vals[gaps])
     assert err_c.sum() < err_l.sum()
+
+
+def test_prefix_prune_bound_never_drops_qualifying_pair():
+    """Property: for random signature pairs, prefix agreement below the bound
+    implies full agreement below threshold — the prune is exact."""
+    from audio_feature_extraction_ray.stages.dedup import _prefix_prune_bound
+
+    rng = np.random.default_rng(5)
+    num_perm = 64
+    for threshold in (0.6, 0.7, 0.8, 0.9):
+        for prefix in (8, 16, 32, 48):
+            bound = _prefix_prune_bound(num_perm, prefix, threshold)
+            for _ in range(300):
+                a = rng.integers(0, 4, size=num_perm)
+                b = a.copy()
+                flip = rng.random(num_perm) < rng.random()
+                b[flip] = a[flip] + 1 + rng.integers(0, 3, size=int(flip.sum()))
+                full_agree = int((a == b).sum())
+                prefix_agree = int((a[:prefix] == b[:prefix]).sum())
+                est = full_agree / num_perm
+                if est >= threshold:  # qualifying pair must survive the prune
+                    assert prefix_agree >= bound
+
+
+# ------------------------------------------------------------------ repetition + decontamination kernels
+
+def test_repetition_batch_matches_serial():
+    from audio_feature_extraction_ray.functions.textfx import (
+        repetition_batch,
+        repetition_signals,
+    )
+
+    rng = np.random.default_rng(0)
+    words = ["a", "bb", "ccc", "dd", "e", "spam", "ham", "x1"]
+    texts = []
+    for i in range(200):
+        toks = rng.choice(words, size=rng.integers(0, 40)).tolist()
+        t = " ".join(toks)
+        if i % 4 == 0:
+            lines = [" ".join(rng.choice(words, size=3)) for _ in range(rng.integers(1, 6))]
+            if i % 8 == 0:
+                lines.append(lines[0])
+            t = "\n".join(lines + ([""] if i % 3 else []))
+        texts.append(t)
+    texts += ["", "   ", "\n\n\n", "one", "tok tok tok tok tok"]
+    col = pa.array(texts, pa.string())
+    d, t2 = repetition_batch(col)
+    for i, txt in enumerate(texts):
+        ed, et = repetition_signals(txt)
+        assert abs(ed - d[i]) < 1e-12 and abs(et - t2[i]) < 1e-12, (i, txt[:40])
+
+
+def test_contamination_batch_matches_serial():
+    from audio_feature_extraction_ray.functions.textfx import (
+        contamination_batch,
+        ngram_window_hashes,
+    )
+
+    rng = np.random.default_rng(1)
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    bench_texts = [" ".join(rng.choice(words, size=20).tolist()) for _ in range(4)]
+    bench = set()
+    for bt in bench_texts:
+        bench |= ngram_window_hashes(bt, 8)
+    bench_sorted = np.array(sorted(bench), dtype=np.uint64)
+    corpus = (
+        [" ".join(rng.choice(words, size=rng.integers(0, 30)).tolist()) for _ in range(60)]
+        + bench_texts
+        + [bench_texts[0] + " tail", "short doc"]
+    )
+    hits, flag = contamination_batch(pa.array(corpus, pa.string()), bench_sorted, window=8)
+    for i, txt in enumerate(corpus):
+        own_hashes = ngram_window_hashes(txt, 8)
+        # serial count with multiplicity
+        toks = [w.lower() for w in txt.split()]
+        from audio_feature_extraction_ray.functions.textfx import _FP_BASE, _FP_MASK, _token_hash32
+
+        cnt = 0
+        for j in range(max(len(toks) - 7, 0)):
+            acc = 0
+            for w in toks[j : j + 8]:
+                acc = (acc * _FP_BASE + _token_hash32(w)) & _FP_MASK
+            if acc in bench:
+                cnt += 1
+        assert hits[i] == cnt and flag[i] == (cnt > 0), (i, txt[:40])
+    assert flag[-2] and flag[60]  # the planted copies are caught
+    assert not flag[-1]
