@@ -42,6 +42,16 @@ def _ts_i64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return a.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 
+def _ts_i64_nullsafe(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Like :func:`_ts_i64` but tolerates null entries (filled with 0 —
+    callers only read positions that are non-null on their side)."""
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if pa.types.is_timestamp(a.type):
+        a = a.cast(pa.timestamp("us", tz=a.type.tz), safe=False).cast(pa.int64())
+    a = a.fill_null(0)
+    return a.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+
 def _append_null_cols(schema_cols: list[tuple[str, pa.DataType]]):
     def fn(t: pa.Table) -> pa.Table:
         for name, typ in schema_cols:
@@ -120,50 +130,83 @@ def asof_join(
     out_schema = pa.schema(out_fields)
     fwd = direction == "forward"
 
-    def merge(group: pa.Table) -> pa.Table:
-        side = group.column(_SIDE).to_numpy(zero_copy_only=False)
-        lmask = side == 1
-        lt = group.filter(pa.array(lmask))
-        rt = group.filter(pa.array(~lmask))
-        n = lt.num_rows
+    # ONE vectorized segment scan per coarse hash partition instead of one
+    # Python map_groups call per entity: per-group call overhead (~0.2 ms)
+    # dominates at real entity cardinalities. Hash-partitioning the entity
+    # key keeps timelines whole (every row of an entity lands in the same
+    # partition); inside a partition, a lexsort + running build-index scan
+    # matches EVERY probe of EVERY entity in one pass — semantics identical
+    # to the per-entity searchsorted merge (inclusive ties, stable original
+    # order among equal build timestamps, tolerance bounds).
+    n_partitions = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import polars as _pl
+
+        h = _pl.from_arrow(pa.table({"k": t.column(on)})).hash_rows(seed=17).to_numpy()
+        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
+
+    def merge_part(part: pa.Table) -> pa.Table:
+        part = part.combine_chunks()
+        npart = part.num_rows
+        if npart == 0:
+            return out_schema.empty_table()
+        g = part.column(on).combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        side = part.column(_SIDE).to_numpy(zero_copy_only=False)
+        is_build = side == 0
+        lts_all = _ts_i64_nullsafe(part.column(left_ts))
+        rts_all = _ts_i64_nullsafe(part.column(_RTS))
+        ts_u = np.where(is_build, rts_all, lts_all)
+        orig = np.arange(npart)
+        # at equal ts: backward match is inclusive → builds sort BEFORE
+        # probes; forward likewise inclusive → probes BEFORE builds
+        side_key = (1 - side) if fwd else side
+        order = np.lexsort((orig, side_key, ts_u, g))
+        g_s, build_s, orig_s = g[order], is_build[order], orig[order]
+        pos = np.arange(npart)
+        seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g_s)) + 1))
+        seg_sizes = np.diff(np.concatenate((seg_first, [npart])))
+        seg_start_of = np.repeat(seg_first, seg_sizes)
+        if fwd:
+            seg_end_of = np.repeat(seg_first + seg_sizes - 1, seg_sizes)
+            # nearest build at/after me: minimum build position in my suffix
+            match_pos = np.minimum.accumulate(
+                np.where(build_s, pos, npart)[::-1]
+            )[::-1]
+            has_match = match_pos <= seg_end_of
+        else:
+            match_pos = np.maximum.accumulate(np.where(build_s, pos, -1))
+            has_match = match_pos >= seg_start_of
+        probe_pos = np.flatnonzero(~build_s)
+        n = len(probe_pos)
         if n == 0:
             return out_schema.empty_table()
-        lts = _ts_i64(lt.column(left_ts))
-        cols: dict[str, pa.Array | pa.ChunkedArray] = {
-            name: lt.column(name) for name, _ in left_cols
-        }
-        if rt.num_rows == 0:
-            for c in value_cols:
-                cols[c + suffix] = pa.nulls(n, rtypes[c])
-            cols[matched_ts_col] = pa.nulls(n, rts_type)
-            return pa.table(cols, schema=out_schema)
-        rts = _ts_i64(rt.column(_RTS))
-        order = np.argsort(rts, kind="stable")
-        rts_sorted = rts[order]
-        if fwd:
-            idx = np.searchsorted(rts_sorted, lts, side="left")
-            valid = idx < len(rts_sorted)
-            idx_c = np.minimum(idx, len(rts_sorted) - 1)
-            if tolerance_us is not None:
-                valid &= (rts_sorted[idx_c] - lts) <= tolerance_us
-        else:
-            idx = np.searchsorted(rts_sorted, lts, side="right") - 1
-            valid = idx >= 0
-            idx_c = np.maximum(idx, 0)
-            if tolerance_us is not None:
-                valid &= (lts - rts_sorted[idx_c]) <= tolerance_us
-        safe_idx = pa.array(
-            np.where(valid, order[idx_c], 0).astype(np.int64), pa.int64()
+        p_orig = orig_s[probe_pos]
+        p_valid = has_match[probe_pos]
+        p_build_orig = orig_s[np.where(p_valid, match_pos[probe_pos], 0)]
+        if tolerance_us is not None:
+            m_rts = rts_all[p_build_orig]
+            p_lts = lts_all[p_orig]
+            gap = (m_rts - p_lts) if fwd else (p_lts - m_rts)
+            p_valid = p_valid & (gap <= tolerance_us)
+        take_probe = pa.array(p_orig, pa.int64())
+        take_build = pa.array(
+            np.where(p_valid, p_build_orig, 0).astype(np.int64), pa.int64()
         )
-        validity = pa.array(valid)
+        validity = pa.array(p_valid)
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {
+            name: part.column(name).take(take_probe) for name, _ in left_cols
+        }
         for c in value_cols:
-            taken = pc.take(rt.column(_RPREFIX + c).combine_chunks(), safe_idx)
+            taken = part.column(_RPREFIX + c).take(take_build)
             cols[c + suffix] = pc.if_else(validity, taken, pa.nulls(n, rtypes[c]))
-        taken_ts = pc.take(rt.column(_RTS).combine_chunks(), safe_idx)
+        taken_ts = part.column(_RTS).take(take_build)
         cols[matched_ts_col] = pc.if_else(validity, taken_ts, pa.nulls(n, rts_type))
         return pa.table(cols, schema=out_schema)
 
-    return unioned.groupby(on).map_groups(merge, batch_format="pyarrow")
+    return unioned.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(merge_part, batch_format="pyarrow")
 
 
 def asof_join_broadcast(
@@ -349,37 +392,175 @@ def asof_join_bucketed(
 
     lbk = lb.map_batches(composite, batch_format="pyarrow")
     rbk = rb.map_batches(composite, batch_format="pyarrow")
-    phase_a = asof_join(
-        lbk.drop_columns(["__b"]),
-        rbk.drop_columns(["__b"]),
-        on="__kb",
-        left_ts=left_ts,
-        right_ts=right_ts,
-        value_cols=value_cols,
-        suffix=suffix,
-        matched_ts_col=matched_ts_col,
+
+    # ---- phases A+B FUSED into ONE (entity, bucket) shuffle: each group
+    # emits its merged probe rows AND its one build-summary row (last build
+    # row of the bucket) together, so the build side crosses the wire once —
+    # the unfused form shuffled it twice (phase-A as-of + phase-B groupby;
+    # measured 1.5x wall on the gate query, and a full extra all-to-all of
+    # the build side at scale).
+    lcols_types = list(zip(lschema.names, lschema.types))
+    fused_fields = (
+        [pa.field(n, t) for n, t in lcols_types]
+        + [pa.field(c + suffix, rtypes[c]) for c in value_cols]
+        + [pa.field(matched_ts_col, rts_type)]
+        + [pa.field("__kind", pa.int8()), pa.field("__sb", pa.int64()),
+           pa.field("__s_ts", rts_type)]
+        + [pa.field("__s_" + c, rtypes[c]) for c in value_cols]
     )
+    fused_schema = pa.schema(fused_fields)
+    union_fields = (
+        [(n, t) for n, t in lcols_types]
+        + [("__rts", rts_type)]
+        + [("__r_" + c, rtypes[c]) for c in value_cols]
+        + [("__b", pa.int64()), ("__side", pa.int8()), ("__kb", pa.string())]
+    )
+    union_names = [n for n, _ in union_fields]
 
-    def keep_matched(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_valid(t.column(matched_ts_col))).drop_columns(["__kb"])
+    def prep_l(t: pa.Table) -> pa.Table:
+        out = {n: t.column(n) for n, _ in lcols_types}
+        out["__rts"] = pa.nulls(t.num_rows, rts_type)
+        for c in value_cols:
+            out["__r_" + c] = pa.nulls(t.num_rows, rtypes[c])
+        out["__b"] = t.column("__b")
+        out["__side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        out["__kb"] = t.column("__kb")
+        return pa.table({n: out[n] for n in union_names})
 
-    def keep_unmatched(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_null(t.column(matched_ts_col))).drop_columns(
-            ["__kb", matched_ts_col] + [c + suffix for c in value_cols]
+    def prep_r(t: pa.Table) -> pa.Table:
+        out: dict = {}
+        for n, typ in lcols_types:
+            out[n] = t.column(on) if n == on else pa.nulls(t.num_rows, typ)
+        out["__rts"] = t.column(right_ts)
+        for c in value_cols:
+            out["__r_" + c] = t.column(c)
+        out["__b"] = t.column("__b")
+        out["__side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        out["__kb"] = t.column("__kb")
+        return pa.table({n: out[n] for n in union_names})
+
+    unioned_ab = lbk.map_batches(prep_l, batch_format="pyarrow", zero_copy_batch=True) \
+        .union(rbk.map_batches(prep_r, batch_format="pyarrow", zero_copy_batch=True))
+
+    # coarse hash partitions instead of per-(entity, bucket) groups: a
+    # map_groups over (entity, bucket) pays one Python call per group —
+    # group cardinality is probe-scale, and the measured per-call overhead
+    # dominates. Hashing __kb into a bounded partition count keeps the
+    # bounded-memory property (a task holds ~1/n_partitions of the data,
+    # never required to hold a whole hot entity) while the per-partition
+    # merge runs as ONE vectorized segment scan over all its groups.
+    n_partitions = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import polars as _pl
+
+        h = _pl.from_arrow(
+            pa.table({"k": t.column("__kb").cast(pa.large_string())})
+        ).hash_rows(seed=13).to_numpy()
+        return t.append_column(
+            "__part", pa.array((h % n_partitions).astype(np.int32))
         )
 
-    matched = phase_a.map_batches(keep_matched, batch_format="pyarrow", zero_copy_batch=True)
-    unmatched = phase_a.map_batches(keep_unmatched, batch_format="pyarrow", zero_copy_batch=True)
+    def merge_part(part: pa.Table) -> pa.Table:
+        part = part.combine_chunks()
+        npart = part.num_rows
+        if npart == 0:
+            return fused_schema.empty_table()
+        g = part.column("__kb").combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        side = part.column("__side").to_numpy(zero_copy_only=False)
+        is_build = side == 0
+        lts_all = _ts_i64_nullsafe(part.column(left_ts))
+        rts_all = _ts_i64_nullsafe(part.column("__rts"))
+        ts_u = np.where(is_build, rts_all, lts_all)
+        # order: group, then ts, then builds before probes at equal ts
+        # (backward match is inclusive), then original position (the plain
+        # merge's stable tie order among equal build timestamps)
+        orig = np.arange(npart)
+        order = np.lexsort((orig, side, ts_u, g))
+        g_s, build_s, ts_s, orig_s = g[order], is_build[order], ts_u[order], orig[order]
+        pos = np.arange(npart)
+        seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g_s)) + 1))
+        seg_start_of = np.repeat(seg_first, np.diff(np.concatenate((seg_first, [npart]))))
+        lb = np.maximum.accumulate(np.where(build_s, pos, -1))
+        have_build = lb >= seg_start_of  # a build row in THIS group at/before me
+        probe_pos = np.flatnonzero(~build_s)
+        n_probes = len(probe_pos)
+        pieces = []
+        if n_probes:
+            p_orig = orig_s[probe_pos]
+            p_valid = have_build[probe_pos]
+            p_build_orig = orig_s[np.where(p_valid, lb[probe_pos], 0)]
+            take_probe = pa.array(p_orig, pa.int64())
+            take_build = pa.array(p_build_orig, pa.int64())
+            validity = pa.array(p_valid)
+            cols: dict = {
+                name: part.column(name).take(take_probe) for name, _ in lcols_types
+            }
+            for c in value_cols:
+                taken = part.column("__r_" + c).take(take_build)
+                cols[c + suffix] = pc.if_else(validity, taken, pa.nulls(n_probes, rtypes[c]))
+            taken_ts = part.column("__rts").take(take_build)
+            cols[matched_ts_col] = pc.if_else(validity, taken_ts,
+                                              pa.nulls(n_probes, rts_type))
+            cols["__kind"] = pa.array(np.zeros(n_probes, dtype=np.int8))
+            cols["__sb"] = pa.nulls(n_probes, pa.int64())
+            cols["__s_ts"] = pa.nulls(n_probes, rts_type)
+            for c in value_cols:
+                cols["__s_" + c] = pa.nulls(n_probes, rtypes[c])
+            pieces.append(pa.table(cols, schema=fused_schema))
+        # summaries: per group, the last build row = lb at the segment end
+        seg_end = np.concatenate((seg_first[1:], [npart])) - 1
+        s_lb = lb[seg_end]
+        s_has = s_lb >= seg_first
+        s_build_orig = orig_s[s_lb[s_has]]
+        n_sum = len(s_build_orig)
+        if n_sum:
+            take_b = pa.array(s_build_orig, pa.int64())
+            scols: dict = {}
+            for nm, typ in lcols_types:
+                scols[nm] = part.column(on).take(take_b) if nm == on \
+                    else pa.nulls(n_sum, typ)
+            for c in value_cols:
+                scols[c + suffix] = pa.nulls(n_sum, rtypes[c])
+            scols[matched_ts_col] = pa.nulls(n_sum, rts_type)
+            scols["__kind"] = pa.array(np.ones(n_sum, dtype=np.int8))
+            scols["__sb"] = part.column("__b").take(take_b)
+            scols["__s_ts"] = part.column("__rts").take(take_b)
+            for c in value_cols:
+                scols["__s_" + c] = part.column("__r_" + c).take(take_b)
+            pieces.append(pa.table(scols, schema=fused_schema))
+        if not pieces:
+            return fused_schema.empty_table()
+        return pa.concat_tables(pieces)
 
-    # ---- phase B: one summary row (last build row) per (entity, bucket)
-    def last_of_group(group: pa.Table) -> pa.Table:
-        ts = _ts_i64(group.column(right_ts))
-        i = int(np.argmax(ts))
-        return group.slice(i, 1)
+    # the fused output feeds THREE consumers (matched / unmatched /
+    # summaries) — pin it once. Size is probe rows + one summary row per
+    # non-empty (entity, bucket): object-store-backed, spillable, and the
+    # raw build side is never materialized.
+    phase_ab = unioned_ab.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(merge_part, batch_format="pyarrow") \
+        .materialize()
 
-    summaries = (
-        rbk.groupby("__kb").map_groups(last_of_group, batch_format="pyarrow").drop_columns(["__kb"])
-    )
+    def keep_matched(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t.column("__kind"), 0), pc.is_valid(t.column(matched_ts_col)))
+        return t.filter(keep).select(lcols + [c + suffix for c in value_cols] + [matched_ts_col])
+
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t.column("__kind"), 0), pc.is_null(t.column(matched_ts_col)))
+        return t.filter(keep).select(lcols)
+
+    def keep_summaries(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.equal(t.column("__kind"), 1))
+        out = {on: s.column(on), "__b": s.column("__sb"), right_ts: s.column("__s_ts")}
+        for c in value_cols:
+            if c not in out:
+                out[c] = s.column("__s_" + c)
+        return pa.table(out)
+
+    matched = phase_ab.map_batches(keep_matched, batch_format="pyarrow", zero_copy_batch=True)
+    unmatched = phase_ab.map_batches(keep_unmatched, batch_format="pyarrow", zero_copy_batch=True)
+    summaries = phase_ab.map_batches(keep_summaries, batch_format="pyarrow", zero_copy_batch=True)
 
     # ---- phase C: unmatched probes look back to strictly earlier buckets
     def prev_bucket(t: pa.Table) -> pa.Table:
