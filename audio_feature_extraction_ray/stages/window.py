@@ -248,118 +248,180 @@ def window_features(
         out_fields.append(pa.field("session_id", pa.int64()))
     out_schema = pa.schema(out_fields)
 
-    def per_group(group: pa.Table) -> pa.Table:
-        tsv = _ts_i64(group.column(ts))
+    def vector_block(block: pa.Table) -> pa.Table:
+        """ALL entities of a co-located block in ONE vectorized pass (round
+        3): per-entity ``map_groups`` paid a measured ~0.2 ms of Python per
+        group, which dominates the stage at real entity cardinality.
+        Selection-style kernels (lag/lead/delta, ffill/bfill, linear interp,
+        sessionize) run as whole-block numpy expressions with
+        segment-bounded shifts/scans — bit-identical to the per-entity
+        kernels (same element selections, same elementwise arithmetic).
+        Order-sensitive accumulations (cumulative family, rolling means,
+        cubic spline) run per segment on numpy slices so their float
+        accumulation order — which the SQL oracle reproduces — is unchanged;
+        the per-segment python overhead is a slice + a few array ops, ~50x
+        cheaper than a map_groups call."""
+        n = block.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        block = block.combine_chunks()
+        g = block.column(key).combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv_all = _ts_i64(block.column(ts))
         if tiebreak is not None:
-            tb = _f64(group.column(tiebreak))
-            order = np.lexsort((tb, tsv))
+            tb = _f64(block.column(tiebreak))
+            order = np.lexsort((tb, tsv_all, g))
         else:
-            order = np.argsort(tsv, kind="stable")
-        group = group.take(pa.array(order, pa.int64()))
-        tsv = tsv[order]
-        cols: dict[str, object] = {n: group.column(n) for n, _ in fields}
+            order = np.lexsort((tsv_all, g))
+        block = block.take(pa.array(order, pa.int64()))
+        tsv = tsv_all[order]
+        g = g[order]
+        pos = np.arange(n)
+        seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
+        seg_sizes = np.diff(np.concatenate((seg_first, [n])))
+        seg_start_of = np.repeat(seg_first, seg_sizes)
+        seg_end_of = np.repeat(seg_first + seg_sizes - 1, seg_sizes)
+
+        def seg_shift(x: np.ndarray, k: int) -> np.ndarray:
+            idx = pos - k
+            ok = (idx >= seg_start_of) & (idx <= seg_end_of)
+            out = np.full(n, np.nan)
+            out[ok] = x[idx[ok]]
+            return out
+
+        cols: dict[str, object] = {nm: block.column(nm) for nm, _ in fields}
         for c in value_cols:
-            x = _f64(group.column(c))
+            x = _f64(block.column(c))
             for k in lags:
-                cols[f"{c}_lag_{k}"] = pa.array(_shift(x, k), pa.float64())
+                cols[f"{c}_lag_{k}"] = pa.array(seg_shift(x, k), pa.float64(),
+                                                from_pandas=True)
             for k in leads:
-                cols[f"{c}_lead_{k}"] = pa.array(_shift(x, -k), pa.float64())
+                cols[f"{c}_lead_{k}"] = pa.array(seg_shift(x, -k), pa.float64(),
+                                                 from_pandas=True)
             if deltas:
-                d = x - _shift(x, 1)
-                cols[f"{c}_delta"] = pa.array(d, pa.float64())
-                cols[f"{c}_delta2"] = pa.array(d - _shift(d, 1), pa.float64())
+                d = x - seg_shift(x, 1)
+                cols[f"{c}_delta"] = pa.array(d, pa.float64(), from_pandas=True)
+                cols[f"{c}_delta2"] = pa.array(d - seg_shift(d, 1), pa.float64(),
+                                               from_pandas=True)
         for c in fill_cols:
-            x = _f64(group.column(c))
-            cols[f"{c}_ffill"] = pa.array(_ffill(x.copy()), pa.float64())
-            cols[f"{c}_bfill"] = pa.array(_bfill(x.copy()), pa.float64())
-        for c in interp_cols:
-            x = _f64(group.column(c))
-            cols[f"{c}_interp"] = pa.array(_interp_fn(x, tsv), pa.float64())
-        for c in cumulative:
-            # expanding aggregates, SQL ROWS UNBOUNDED PRECEDING semantics:
-            # nulls skipped; rows before the first non-null stay null. The
-            # running sum adds values in frame order, so DuckDB reproduces it
-            # bitwise.
-            x = _f64(group.column(c))
+            x = _f64(block.column(c))
             valid = ~np.isnan(x)
-            cnt = np.cumsum(valid.astype(np.int64))
-            cs = np.cumsum(np.where(valid, x, 0.0))
-            none_yet = cnt == 0
-            cols[f"{c}_cumsum"] = pa.array(
-                np.where(none_yet, np.nan, cs), pa.float64(), from_pandas=True
-            )
-            cols[f"{c}_cummean"] = pa.array(
-                np.where(none_yet, np.nan, cs / np.maximum(cnt, 1)),
-                pa.float64(), from_pandas=True,
-            )
-            cols[f"{c}_cummax"] = pa.array(
-                np.fmax.accumulate(x), pa.float64(), from_pandas=True
-            )
-            cols[f"{c}_cumcount"] = pa.array(cnt, pa.int64())
+            lv = np.maximum.accumulate(np.where(valid, pos, -1))
+            okf = lv >= seg_start_of
+            nv = np.minimum.accumulate(np.where(valid, pos, n)[::-1])[::-1]
+            okb = nv <= seg_end_of
+            cols[f"{c}_ffill"] = pa.array(
+                np.where(okf, x[np.maximum(lv, 0)], np.nan), pa.float64(),
+                from_pandas=True)
+            cols[f"{c}_bfill"] = pa.array(
+                np.where(okb, x[np.minimum(nv, n - 1)], np.nan), pa.float64(),
+                from_pandas=True)
+        for c in interp_cols:
+            x = _f64(block.column(c))
+            if interp_method == "cubic":
+                out = np.empty(n)
+                for st, size in zip(seg_first, seg_sizes):
+                    sl = slice(st, st + size)
+                    out[sl] = _interp_time_cubic(x[sl].copy(), tsv[sl])
+            else:
+                valid = ~np.isnan(x)
+                lv = np.maximum.accumulate(np.where(valid, pos, -1))
+                nv = np.minimum.accumulate(np.where(valid, pos, n)[::-1])[::-1]
+                gap = ~valid & (lv >= seg_start_of) & (nv <= seg_end_of)
+                out = x.copy()
+                if gap.any():
+                    pv, nvv = x[lv[gap]], x[nv[gap]]
+                    ptf = tsv[lv[gap]].astype(np.float64)
+                    ntf = tsv[nv[gap]].astype(np.float64)
+                    tf = tsv[gap].astype(np.float64)
+                    dt = ntf - ptf
+                    frac = np.where(dt > 0, (tf - ptf) / np.maximum(dt, 1.0), 0.0)
+                    out[gap] = pv + (nvv - pv) * frac
+            cols[f"{c}_interp"] = pa.array(out, pa.float64(), from_pandas=True)
+        for c in cumulative:
+            # expanding aggregates accumulate strictly IN FRAME ORDER so the
+            # SQL oracle reproduces them bitwise — original kernel per
+            # segment (a global cumsum + base-subtract would re-associate
+            # the floats)
+            x = _f64(block.column(c))
+            cs_out = np.empty(n)
+            mean_out = np.empty(n)
+            mx_out = np.empty(n)
+            cnt_out = np.empty(n, dtype=np.int64)
+            for st, size in zip(seg_first, seg_sizes):
+                sl = slice(st, st + size)
+                xs = x[sl]
+                valid = ~np.isnan(xs)
+                cnt = np.cumsum(valid.astype(np.int64))
+                cs = np.cumsum(np.where(valid, xs, 0.0))
+                none_yet = cnt == 0
+                cs_out[sl] = np.where(none_yet, np.nan, cs)
+                mean_out[sl] = np.where(none_yet, np.nan, cs / np.maximum(cnt, 1))
+                mx_out[sl] = np.fmax.accumulate(xs)
+                cnt_out[sl] = cnt
+            cols[f"{c}_cumsum"] = pa.array(cs_out, pa.float64(), from_pandas=True)
+            cols[f"{c}_cummean"] = pa.array(mean_out, pa.float64(), from_pandas=True)
+            cols[f"{c}_cummax"] = pa.array(mx_out, pa.float64(), from_pandas=True)
+            cols[f"{c}_cumcount"] = pa.array(cnt_out, pa.int64())
         for c, k in (rolling or {}).items():
             # trailing k-row mean ignoring nulls (SQL AVG OVER ROWS k-1
-            # PRECEDING AND CURRENT ROW), via prefix sums — O(n) per group
-            x = _f64(group.column(c))
-            valid = ~np.isnan(x)
-            cs = np.concatenate(([0.0], np.cumsum(np.where(valid, x, 0.0))))
-            cc = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
-            i = np.arange(len(x))
-            lo = np.maximum(0, i - k + 1)
-            sums = cs[i + 1] - cs[lo]
-            cnts = cc[i + 1] - cc[lo]
-            cols[f"{c}_rollmean_{k}"] = pa.array(
-                np.where(cnts > 0, sums / np.maximum(cnts, 1), np.nan), pa.float64()
-            )
+            # PRECEDING AND CURRENT ROW) — prefix sums stay segment-local
+            # for oracle-exact float order
+            x = _f64(block.column(c))
+            out = np.empty(n)
+            for st, size in zip(seg_first, seg_sizes):
+                sl = slice(st, st + size)
+                xs = x[sl]
+                valid = ~np.isnan(xs)
+                cs = np.concatenate(([0.0], np.cumsum(np.where(valid, xs, 0.0))))
+                cc = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+                i = np.arange(size)
+                lo = np.maximum(0, i - k + 1)
+                sums = cs[i + 1] - cs[lo]
+                cnts = cc[i + 1] - cc[lo]
+                out[sl] = np.where(cnts > 0, sums / np.maximum(cnts, 1), np.nan)
+            cols[f"{c}_rollmean_{k}"] = pa.array(out, pa.float64(), from_pandas=True)
         for c, w in (rolling_time_us or {}).items():
-            # time-range trailing mean: rows with ts in [t - w, t] (SQL RANGE
-            # BETWEEN INTERVAL w PRECEDING AND CURRENT ROW); two-pointer via
-            # searchsorted over the sorted time axis, O(n log n) per group
-            x = _f64(group.column(c))
-            valid = ~np.isnan(x)
-            cs = np.concatenate(([0.0], np.cumsum(np.where(valid, x, 0.0))))
-            cc = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
-            i = np.arange(len(x))
-            lo = np.searchsorted(tsv, tsv - w, side="left")
-            # RANGE frames include ALL rows at the current ts (peer rows)
-            hi = np.searchsorted(tsv, tsv, side="right")
-            sums = cs[hi] - cs[lo]
-            cnts = cc[hi] - cc[lo]
-            cols[f"{c}_rollmean_t{w}"] = pa.array(
-                np.where(cnts > 0, sums / np.maximum(cnts, 1), np.nan), pa.float64()
-            )
+            # time-range trailing mean (SQL RANGE INTERVAL PRECEDING frame,
+            # peer rows at the current ts included)
+            x = _f64(block.column(c))
+            out = np.empty(n)
+            for st, size in zip(seg_first, seg_sizes):
+                sl = slice(st, st + size)
+                xs = x[sl]
+                tss = tsv[sl]
+                valid = ~np.isnan(xs)
+                cs = np.concatenate(([0.0], np.cumsum(np.where(valid, xs, 0.0))))
+                cc = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+                lo = np.searchsorted(tss, tss - w, side="left")
+                hi = np.searchsorted(tss, tss, side="right")
+                sums = cs[hi] - cs[lo]
+                cnts = cc[hi] - cc[lo]
+                out[sl] = np.where(cnts > 0, sums / np.maximum(cnts, 1), np.nan)
+            cols[f"{c}_rollmean_t{w}"] = pa.array(out, pa.float64(), from_pandas=True)
         if session_gap_us is not None:
-            gaps = np.diff(tsv, prepend=tsv[0] if len(tsv) else 0)
-            new_sess = gaps > session_gap_us
-            cols["session_id"] = pa.array(np.cumsum(new_sess).astype(np.int64), pa.int64())
-        # NaN → null for Arrow float columns
-        for name in list(cols):
-            if isinstance(cols[name], pa.Array) and pa.types.is_float64(cols[name].type):
-                arr = cols[name].to_numpy(zero_copy_only=False)
-                cols[name] = pa.array(arr, pa.float64(), from_pandas=True)
+            gaps = np.diff(tsv, prepend=tsv[0] if n else 0)
+            new_sess = (gaps > session_gap_us) & (pos != seg_start_of)
+            incl = np.cumsum(new_sess.astype(np.int64))
+            cols["session_id"] = pa.array(incl - incl[seg_start_of], pa.int64())
         return pa.table(cols, schema=out_schema)
 
     if assume_partitioned:
-
-        def per_block(block: pa.Table) -> pa.Table:
-            if block.num_rows == 0:
-                return out_schema.empty_table()
-            keys = block.column(key).to_numpy(zero_copy_only=False)
-            order = np.argsort(keys, kind="stable")
-            block = block.take(pa.array(order, pa.int64()))
-            keys = keys[order]
-            bounds = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
-            bounds = np.append(bounds, len(keys))
-            parts = [
-                per_group(block.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i])))
-                for i in range(len(bounds) - 1)
-            ]
-            return pa.concat_tables(parts)
-
         return ds.map_batches(
-            per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            vector_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         )
 
-    return ds.groupby(key).map_groups(per_group, batch_format="pyarrow")
+    n_partitions = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import polars as _pl
+
+        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
+        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby("__part").map_groups(
+        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
+    )
 
 
 def window_features_bucketed(
