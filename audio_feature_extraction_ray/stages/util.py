@@ -77,6 +77,86 @@ def grouped_topk(
     )
 
 
+def coarse_partitioned(
+    ds: ray.data.Dataset,
+    key: str,
+    fn,
+    n_partitions: int = 64,
+    seed: int = 29,
+) -> ray.data.Dataset:
+    """Co-locate every row of each ``key`` value and run ``fn`` ONCE per
+    coarse hash partition (not once per key): keys hash into ``n_partitions``
+    buckets via polars ``hash_rows`` (columnar, cross-process deterministic),
+    so ``fn`` sees whole partitions and can vectorize ACROSS keys with
+    segment scans — the pattern that replaced per-group ``map_groups``
+    dispatch (a measured ~0.2 ms of Python per group) in the as-of joins.
+    ``fn`` receives the partition table without the partition column.
+    """
+    import numpy as np
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import polars as _pl
+
+        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=seed).to_numpy()
+        return t.append_column("__gs_part", pa.array((h % n_partitions).astype(np.int32)))
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__gs_part")
+        .map_groups(
+            lambda t: fn(t.drop_columns(["__gs_part"])), batch_format="pyarrow"
+        )
+    )
+
+
+def grouped_segments(
+    ds: ray.data.Dataset,
+    key: str,
+    fn,
+    out_schema: pa.Schema,
+    n_partitions: int = 64,
+    seed: int = 29,
+) -> ray.data.Dataset:
+    """``groupby(key).map_groups(fn)`` without the per-group dispatch
+    overhead: one :func:`coarse_partitioned` task per partition sorts by key
+    code and hands ``fn`` each key's rows as a zero-copy table slice — same
+    per-group inputs, much cheaper dispatch (though a ``fn`` doing heavy
+    per-call pyarrow work still pays that per group; fully cross-key
+    vectorized partition functions go through :func:`coarse_partitioned`
+    directly).
+
+    ``fn`` must return tables of exactly ``out_schema`` (or empty tables);
+    group order within a partition is not defined, matching ``groupby``.
+    """
+    import numpy as np
+
+    def run_part(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        t = t.combine_chunks()
+        codes = (
+            t.column(key).combine_chunks().dictionary_encode().indices
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        order = np.argsort(codes, kind="stable")
+        t = t.take(pa.array(order, pa.int64()))
+        codes = codes[order]
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(codes)) + 1, [n]))
+        parts = [
+            fn(t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i])))
+            for i in range(len(bounds) - 1)
+        ]
+        parts = [p for p in parts if p.num_rows > 0]
+        if not parts:
+            return out_schema.empty_table()
+        return pa.concat_tables(parts)
+
+    return coarse_partitioned(ds, key, run_part, n_partitions=n_partitions, seed=seed)
+
+
 def arrow_schema_of(ds: ray.data.Dataset) -> tuple[ray.data.Dataset, pa.Schema]:
     """Return ``(ds, arrow schema)``, normalizing pandas-backed blocks.
 
