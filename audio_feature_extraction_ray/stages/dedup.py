@@ -31,6 +31,7 @@ from ..functions.textfx import (
     ngram_jaccard,
     simhash_batch,
 )
+from .util import coarse_partitioned
 
 
 def dedup_exact(
@@ -39,14 +40,31 @@ def dedup_exact(
     """Keep exactly one row per key group: the row with min (or max)
     ``order_col`` — deterministic, SQL-oracle-friendly."""
 
-    def first(group: pa.Table) -> pa.Table:
-        vals = group.column(order_col).to_numpy(zero_copy_only=False)
-        idx = int(np.argmin(vals) if keep == "min" else np.argmax(vals))
-        return group.slice(idx, 1)
+    order = [(k, "ascending") for k in keys] + [
+        (order_col, "ascending" if keep == "min" else "descending")
+    ]
 
-    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
-        first, batch_format="pyarrow"
-    )
+    def first_per_run(t: pa.Table) -> pa.Table:
+        # one vectorized pass per coarse partition: sort (keys, order_col),
+        # take each key run's first row — per-group dispatch would cost
+        # ~0.2 ms x (distinct keys), corpus-scale for a dedup operator
+        n = t.num_rows
+        if n == 0:
+            return t
+        t = t.take(pc.sort_indices(t, sort_keys=order))
+        new_run = np.zeros(n, dtype=bool)
+        new_run[0] = True
+        for kcol in keys:
+            arr = t.column(kcol).combine_chunks()
+            neq = pc.fill_null(
+                pc.invert(pc.equal(arr.slice(1), arr.slice(0, n - 1))), True
+            )
+            new_run[1:] |= np.asarray(
+                neq.to_numpy(zero_copy_only=False), dtype=bool
+            )
+        return t.take(pa.array(np.flatnonzero(new_run), pa.int64()))
+
+    return coarse_partitioned(ds, keys, first_per_run)
 
 
 def _mat_to_binary(m: np.ndarray) -> pa.LargeBinaryArray:

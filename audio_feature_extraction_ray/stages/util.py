@@ -72,14 +72,15 @@ def grouped_topk(
         return t.filter(pa.array(rank < k))
 
     partial = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
-    return partial.groupby(key).map_groups(
-        lambda g: local(g), batch_format="pyarrow"
-    )
+    # final merge: `local` already vectorizes ACROSS keys (sorted run
+    # selection), so one call per coarse partition replaces one Ray dispatch
+    # per key — the per-group overhead would dominate at real key cardinality
+    return coarse_partitioned(partial, key, local)
 
 
 def coarse_partitioned(
     ds: ray.data.Dataset,
-    key: str,
+    key: str | list[str],
     fn,
     n_partitions: int = 64,
     seed: int = 29,
@@ -94,10 +95,12 @@ def coarse_partitioned(
     """
     import numpy as np
 
+    key_cols = [key] if isinstance(key, str) else list(key)
+
     def add_part(t: pa.Table) -> pa.Table:
         import polars as _pl
 
-        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=seed).to_numpy()
+        h = _pl.from_arrow(t.select(key_cols)).hash_rows(seed=seed).to_numpy()
         return t.append_column("__gs_part", pa.array((h % n_partitions).astype(np.int32)))
 
     return (

@@ -1139,46 +1139,62 @@ def grouped_rank(
     out_schema = pa.schema(out_fields)
     order = [(c, "descending" if d else "ascending") for c, d in zip(sort_keys, descending)]
 
-    def per_group(group: pa.Table) -> pa.Table:
-        idx = pa.compute.sort_indices(group, sort_keys=order)
-        group = group.take(idx)
-        n = group.num_rows
-        r = np.arange(n, dtype=np.int64)
-        cols = {name: group.column(name) for name in group.column_names}
+    def _adjacent_neq(arr: pa.Array, n: int) -> np.ndarray:
+        neq = pa.compute.fill_null(
+            pa.compute.invert(pa.compute.equal(arr.slice(1), arr.slice(0, n - 1))),
+            True,
+        )
+        return np.asarray(neq.to_numpy(zero_copy_only=False), dtype=bool)
+
+    def vector_part(t: pa.Table) -> pa.Table:
+        # one vectorized pass per coarse partition: sort (key, sort_keys),
+        # rank every key run at once — per-group dispatch would cost ~0.2 ms
+        # x (distinct keys), which dominates at real entity cardinality
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        t = t.take(pa.compute.sort_indices(t, sort_keys=[(key, "ascending")] + order))
+        new_key = np.zeros(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] |= _adjacent_neq(t.column(key).combine_chunks(), n)
+        kstarts = np.flatnonzero(new_key)
+        ksizes = np.diff(np.append(kstarts, n))
+        kstart_of = np.repeat(kstarts, ksizes)
+        ksize_of = np.repeat(ksizes, ksizes)
+        pos = np.arange(n, dtype=np.int64)
+        r = pos - kstart_of
+        cols = {name: t.column(name) for name in t.column_names}
         if tie_aware:
-            new_run = np.ones(n, dtype=bool)
+            new_tie = new_key.copy()
             for c in sort_keys:
-                arr = group.column(c)
-                arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-                neq = pa.compute.invert(
-                    pa.compute.equal(arr.slice(1), arr.slice(0, n - 1))
-                ).to_numpy(zero_copy_only=False)
-                if c == sort_keys[0]:
-                    new_run[1:] = np.where(np.asarray(neq, dtype=bool), True, False)
-                else:
-                    new_run[1:] |= np.asarray(neq, dtype=bool)
-            new_run[0] = True
-            starts = np.flatnonzero(new_run)
-            run_id = np.cumsum(new_run) - 1
-            cols["rank"] = pa.array(starts[run_id] + 1, pa.int64())
-            cols["dense_rank"] = pa.array(run_id + 1, pa.int64())
+                new_tie[1:] |= _adjacent_neq(t.column(c).combine_chunks(), n)
+            tstarts = np.flatnonzero(new_tie)
+            trun = np.cumsum(new_tie) - 1
+            cols["rank"] = pa.array(tstarts[trun] - kstart_of + 1, pa.int64())
+            cols["dense_rank"] = pa.array(trun - trun[kstart_of] + 1, pa.int64())
             return pa.table(cols, schema=out_schema)
         cols["row_number"] = pa.array(r + 1, pa.int64())
         cols["percent_rank"] = pa.array(
-            r / (n - 1) if n > 1 else np.zeros(n), pa.float64()
+            np.where(ksize_of > 1, r / np.maximum(ksize_of - 1, 1), 0.0), pa.float64()
         )
         if n_tiles is not None:
-            small = n // n_tiles
-            big = n % n_tiles
+            small = ksize_of // n_tiles
+            big = ksize_of % n_tiles
             thr = big * (small + 1)
-            if small == 0:
-                tile = r  # fewer rows than tiles: one row per leading bucket
-            else:
-                tile = np.where(r < thr, r // (small + 1), big + (r - thr) // small)
+            # fewer rows than tiles: one row per leading bucket
+            tile = np.where(
+                small == 0,
+                r,
+                np.where(
+                    r < thr,
+                    r // np.maximum(small + 1, 1),
+                    big + (r - thr) // np.maximum(small, 1),
+                ),
+            )
             cols["ntile"] = pa.array(tile + 1, pa.int64())
         return pa.table(cols, schema=out_schema)
 
-    return ds.groupby(key).map_groups(per_group, batch_format="pyarrow")
+    return coarse_partitioned(ds, key, vector_part)
 
 
 def sessionize(
@@ -1197,31 +1213,45 @@ def sessionize(
     ds, schema = arrow_schema_of(ds)
     out_schema = pa.schema(list(schema) + [pa.field("session_id", pa.int64())])
 
-    def per_group(group: pa.Table) -> pa.Table:
-        tsv = _ts_i64(group.column(ts))
-        order = np.argsort(tsv, kind="stable")
-        group = group.take(pa.array(order, pa.int64()))
+    def vector_part(t: pa.Table) -> pa.Table:
+        # one vectorized segment scan per coarse partition: session ids are
+        # exact segment-local integer cumsums, session-length filters run on
+        # (key, session) run boundaries — no per-entity dispatch
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        t = t.combine_chunks()
+        g = (
+            t.column(key).combine_chunks().dictionary_encode().indices
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        tsv = _ts_i64(t.column(ts))
+        order = np.lexsort((tsv, g))
+        t = t.take(pa.array(order, pa.int64()))
+        g = g[order]
         tsv = tsv[order]
-        gaps = np.diff(tsv, prepend=tsv[0] if len(tsv) else 0)
-        sess = np.cumsum(gaps > gap_us).astype(np.int64)
-        out = group.append_column("session_id", pa.array(sess, pa.int64()))
-        if (min_events > 1 or min_duration_us > 0) and len(tsv):
-            # sessions are contiguous runs of the (sorted) time axis —
-            # per-run length/duration via run boundaries, no per-session loop
-            starts = np.flatnonzero(np.concatenate(([True], np.diff(sess) != 0)))
-            counts = np.diff(np.append(starts, len(sess)))
+        pos = np.arange(n)
+        seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
+        seg_sizes = np.diff(np.concatenate((seg_first, [n])))
+        seg_start_of = np.repeat(seg_first, seg_sizes)
+        gaps = np.diff(tsv, prepend=tsv[0] if n else 0)
+        new_sess = (gaps > gap_us) & (pos != seg_start_of)
+        inc = np.cumsum(new_sess.astype(np.int64))
+        sess = inc - inc[seg_start_of]
+        out = t.append_column("session_id", pa.array(sess, pa.int64()))
+        if min_events > 1 or min_duration_us > 0:
+            run_start = new_sess | (pos == seg_start_of)
+            starts = np.flatnonzero(run_start)
+            counts = np.diff(np.append(starts, n))
             ends = starts + counts - 1
             durs = tsv[ends] - tsv[starts]
             ok_runs = (counts >= min_events) & (durs >= min_duration_us)
             keep = np.repeat(ok_runs, counts)
             if not keep.all():
-                return out.filter(pa.array(keep))
-        return out
+                out = out.filter(pa.array(keep))
+        return out.cast(out_schema)
 
-    out = ds.groupby(key).map_groups(per_group, batch_format="pyarrow")
-    return out.map_batches(
-        lambda t: t.cast(out_schema), batch_format="pyarrow", zero_copy_batch=True
-    )
+    return coarse_partitioned(ds, key, vector_part)
 
 
 def time_bucket(
