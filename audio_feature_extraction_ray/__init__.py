@@ -18,3 +18,26 @@ The package never calls ``ray.init()`` — sessions are owned by the caller
 """
 
 __version__ = "0.1.0"
+
+import logging as _logging
+
+
+class _EmptyBlockSchemaNoise(_logging.Filter):
+    """Drop ONE benign Ray warning: shuffle stages (sort-based groupby /
+    repartition) legitimately emit zero-row blocks whose schema is EMPTY,
+    and the streaming executor then warns "produced a RefBundle with a
+    different schema ... new schema: ." once per such block — dozens of
+    times per bench run. Only the empty-new-schema form is dropped; real
+    schema divergence (non-empty mismatching schemas) still warns."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # noqa: A003
+        msg = record.getMessage()
+        return not (
+            "RefBundle with a different schema" in msg
+            and "new schema: ." in msg
+        )
+
+
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptyBlockSchemaNoise())

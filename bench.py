@@ -53,6 +53,7 @@ HEADLINE = [
     "chunk_documents",
     # round 3 additions
     "fingerprint_documents",
+    "rolling_time_mean_bucketed",
 ]
 
 
