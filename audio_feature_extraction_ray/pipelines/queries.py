@@ -2640,6 +2640,126 @@ def q_compare_preprocess_reports(sf_dir: str):
     return _one_row(flat)
 
 
+# ------------------------------------------------------------------ interval join
+
+def q_interval_join_events(sf_dir: str):
+    """Interval (range-containment) join: EVERY purchase inside the 7-day
+    attribution window after each click of the same user — the all-matches
+    sibling of the as-of join's nearest-one (the reference's tolerance-window
+    frame scan, 05_dtw_alignment_experiment/dtw_alignment.py:1410-1460,
+    generalized to data-driven per-row windows). One (user, time-bucket)
+    co-partitioned exchange; pairs aggregate per anchor without leaving the
+    cluster."""
+    from ..stages.interval import interval_join
+
+    W = 7 * 24 * 3600 * 1_000_000  # 7 days in µs
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    clicks = (
+        ev.filter(expr="event_type == 'click'")
+        .map_batches(
+            lambda t: t.append_column(
+                "end_ts", pc.add(t.column("ts"), pa.scalar(W, pa.duration("us")))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .select_columns(["event_id", "user_id", "ts", "end_ts"])
+    )
+    purchases = (
+        ev.filter(expr="event_type == 'purchase'")
+        .map_batches(
+            lambda t: t.filter(pc.is_valid(t.column("value"))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .select_columns(["user_id", "ts", "value"])
+    )
+    pairs = interval_join(
+        clicks,
+        purchases,
+        on="user_id",
+        start_col="ts",
+        end_col="end_ts",
+        ts_col="ts",
+        value_cols=["value"],
+        bucket_us=W,
+    )
+    agg = grouped_agg_fast(
+        pairs,
+        keys=["event_id"],
+        specs=[("n_within", "value_pt", "count"), ("sum_value", "value_pt", "sum")],
+    )
+    return _round_cols(agg, ["sum_value"], digits=6)
+
+
+SQL_INTERVAL_JOIN_EVENTS = """
+SELECT a.event_id, COUNT(b.value) AS n_within, ROUND(SUM(b.value), 6) AS sum_value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.event_type = 'purchase' AND b.value IS NOT NULL
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 604800 SECOND
+WHERE a.event_type = 'click'
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------------ substring dup pairs
+
+def q_substring_pairs_documents(sf_dir: str):
+    """Exact substring-overlap dedup pairs: docs sharing >= 1 full 8-token
+    n-gram, scored by distinct shared n-gram hashes (``stages.dedup.
+    substring_dup_pairs``). Oracle: DuckDB replays the md5-prefix token hash
+    and the base-1000003 fold ITERATIVELY (mod 2^63 between steps — the
+    window-4 closed form used by the fingerprint oracle would overflow
+    HUGEINT at window 8) and self-joins the distinct (doc, hash) set.
+    ``max_group`` is lifted far above the corpus dup-cluster size so the
+    capped engine path and the uncapped SQL agree exactly."""
+    from ..stages.dedup import substring_dup_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return substring_dup_pairs(ds, "doc_id", window=8, max_group=100_000)
+
+
+SQL_SUBSTRING_PAIRS_DOCUMENTS = r"""
+WITH tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM tl
+),
+h AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(lower(toks[pos])), 1, 8))::UBIGINT::HUGEINT AS hv
+  FROM pos
+),
+win AS (
+  SELECT doc_id, hv,
+         lead(hv, 1) OVER w AS h1, lead(hv, 2) OVER w AS h2,
+         lead(hv, 3) OVER w AS h3, lead(hv, 4) OVER w AS h4,
+         lead(hv, 5) OVER w AS h5, lead(hv, 6) OVER w AS h6,
+         lead(hv, 7) OVER w AS h7
+  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+wh AS (
+  SELECT DISTINCT doc_id,
+    ((((((((((((((hv * 1000003 + h1) % 9223372036854775808::HUGEINT)
+       * 1000003 + h2) % 9223372036854775808::HUGEINT)
+       * 1000003 + h3) % 9223372036854775808::HUGEINT)
+       * 1000003 + h4) % 9223372036854775808::HUGEINT)
+       * 1000003 + h5) % 9223372036854775808::HUGEINT)
+       * 1000003 + h6) % 9223372036854775808::HUGEINT)
+       * 1000003 + h7) % 9223372036854775808::HUGEINT)::BIGINT AS wh
+  FROM win WHERE h7 IS NOT NULL
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM wh a JOIN wh b ON a.wh = b.wh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------ registry
 #
 # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 registered
@@ -2658,19 +2778,18 @@ QUERIES = {
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
     "approx_distinct_parts": (q_approx_distinct_parts, SQL_APPROX_DISTINCT_PARTS),
     "approx_percentiles_events": (q_approx_percentiles_events, SQL_APPROX_PERCENTILES_EVENTS),
-    "approx_percentiles_by_type": (q_approx_percentiles_by_type, SQL_APPROX_PERCENTILES_BY_TYPE),
     "top10_order_revenue": (q_top10_order_revenue, SQL_TOP10_ORDER_REVENUE),
     "grouped_topk_events": (q_grouped_topk_events, SQL_GROUPED_TOPK_EVENTS),
     "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
     "set_ops_orders": (q_set_ops_orders, SQL_SET_OPS_ORDERS),
     "hash_split_documents": (q_hash_split_documents, SQL_HASH_SPLIT_DOCUMENTS),
-    "weighted_sample_documents": (q_weighted_sample_documents, SQL_WEIGHTED_SAMPLE_DOCUMENTS),
     # -- 15-19: joins
     "join_customer_orders": (q_join_customer_orders, SQL_JOIN_CUSTOMER_ORDERS),
     "anti_join_customers": (q_anti_join_customers, SQL_ANTI_JOIN_CUSTOMERS),
     "bloom_semi_orders": (q_bloom_semi_orders, SQL_BLOOM_SEMI_ORDERS),
     "native_hash_join": (q_native_hash_join, SQL_NATIVE_HASH_JOIN),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
+    "interval_join_events": (q_interval_join_events, SQL_INTERVAL_JOIN_EVENTS),
     # -- 20-29: as-of + windows + sessionize + registry + checkpoint
     "asof_events": (q_asof_events, SQL_ASOF_EVENTS),
     "asof_events_bucketed": (q_asof_events_bucketed, SQL_ASOF_EVENTS_BUCKETED),
@@ -2693,6 +2812,7 @@ QUERIES = {
     "dedup_exact_documents": (q_dedup_exact_documents, SQL_DEDUP_EXACT_DOCUMENTS),
     "dedup_keep_documents": (q_dedup_keep_documents, SQL_DEDUP_KEEP_DOCUMENTS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "substring_pairs_documents": (q_substring_pairs_documents, SQL_SUBSTRING_PAIRS_DOCUMENTS),
     "corpus_pipeline_documents": (q_corpus_pipeline_documents, SQL_CORPUS_PIPELINE_DOCUMENTS),
     "minhash_pairs_documents": (q_minhash_pairs_documents, None),
     "neardup_embeddings": (q_neardup_embeddings, SQL_NEARDUP_EMBEDDINGS),
@@ -2732,6 +2852,8 @@ QUERIES = {
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
     "rolling_time_mean_events": (q_rolling_time_mean_events, SQL_ROLLING_TIME_MEAN_EVENTS),
+    "approx_percentiles_by_type": (q_approx_percentiles_by_type, SQL_APPROX_PERCENTILES_BY_TYPE),
+    "weighted_sample_documents": (q_weighted_sample_documents, SQL_WEIGHTED_SAMPLE_DOCUMENTS),
     "interp_events_cubic": (q_interp_events_cubic, None),
     "token_count_documents": (q_token_count_documents, SQL_TOKEN_COUNT_DOCUMENTS),
     "minhash_pairs_prefix_documents": (q_minhash_pairs_prefix_documents, None),

@@ -828,3 +828,101 @@ def embedding_dedup_pairs(
 
     pairs = bucketed.groupby("bucket").map_groups(candidates, batch_format="pyarrow")
     return dedup_exact(pairs, ["id_a", "id_b"], order_col="cosine", keep="max")
+
+
+def substring_dup_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 8,
+    max_group: int = 200,
+    n_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Exact substring-overlap pairs: documents sharing at least one FULL
+    ``window``-token n-gram, scored by the number of DISTINCT shared n-gram
+    hashes — the n-gram-bucket formulation of exact-substring training-data
+    dedup (the suffix-array method's distributed-friendly sibling), and the
+    doc↔doc counterpart of the benchmark-decontamination scan
+    (``stages.text.decontaminate``).
+
+    Shape: one pass emits each doc's DISTINCT window hashes (md5-prefix
+    token hashes, base-1000003 polynomial fold mod 2^63 — the exact kernel a
+    DuckDB oracle replays), so only ``(hash, id)`` rows ever shuffle, never
+    texts; a coarse hash-partitioned exchange co-locates equal hashes and
+    emits in-run pairs (runs capped at ``max_group`` ids, deterministic by
+    sorted id — a boilerplate n-gram shared by the whole corpus cannot
+    produce O(n²) pairs in one task); a partial+final grouped count then
+    folds duplicate (pair, hash) rows into ``n_shared``.
+
+    Output: ``(id_a, id_b, n_shared)`` with ``id_a < id_b``.
+    """
+    from ..functions.textfx import _token_hash_stream, _window_fold
+
+    def emit_hashes(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"wh": pa.array([], pa.int64()), id_col: pa.array([], pa.int64())}
+        )
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        stream = _token_hash_stream(batch.column(text_col))
+        if stream is None:
+            return empty
+        h, starts, counts = stream
+        if len(h) < window:
+            return empty
+        acc = _window_fold(h, window)
+        long_rows = np.flatnonzero(counts >= window)
+        if not len(long_rows):
+            return empty
+        seg_start = starts[long_rows]
+        seg_len = counts[long_rows] - window + 1
+        ends = np.cumsum(seg_len)
+        offs = np.arange(int(ends[-1]), dtype=np.int64) - np.repeat(ends - seg_len, seg_len)
+        flat_pos = np.repeat(seg_start, seg_len) + offs
+        wh = acc[flat_pos].view(np.int64)
+        doc = ids[np.repeat(long_rows, seg_len)]
+        # per-doc distinct hashes: lexsort then first-occurrence mask
+        order = np.lexsort((wh, doc))
+        d2, w2 = doc[order], wh[order]
+        first = np.concatenate(([True], (d2[1:] != d2[:-1]) | (w2[1:] != w2[:-1])))
+        return pa.table({"wh": pa.array(w2[first], pa.int64()),
+                         id_col: pa.array(d2[first], pa.int64())})
+
+    hashes = ds.map_batches(emit_hashes, batch_format="pyarrow", zero_copy_batch=True)
+
+    def in_run_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        n = t.num_rows
+        if n < 2:
+            return empty
+        wh = t.column("wh").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, wh))
+        wh, ids = wh[order], ids[order]
+        bounds = np.concatenate(([0], np.flatnonzero(wh[1:] != wh[:-1]) + 1, [n]))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        # only runs of a SHARED hash (length >= 2) survive — loops over the
+        # duplicated-gram runs only, each pair block fully vectorized
+        for i in range(len(bounds) - 1):
+            g = int(bounds[i + 1] - bounds[i])
+            if g < 2:
+                continue
+            run_ids = ids[bounds[i] : bounds[i] + min(g, max_group)]
+            iu, ju = np.triu_indices(len(run_ids), k=1)
+            out_a.append(run_ids[iu])
+            out_b.append(run_ids[ju])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    pairs = coarse_partitioned(hashes, "wh", in_run_pairs, n_partitions=n_partitions)
+    from .aggregates import grouped_agg_fast
+
+    return grouped_agg_fast(pairs, keys=["id_a", "id_b"], specs=[], count_alias="n_shared")
