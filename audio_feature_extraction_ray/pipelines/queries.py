@@ -2760,6 +2760,69 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------------------ scaling / binning
+
+def q_group_standardize_events(sf_dir: str):
+    """Per-group feature standardization: z-score each event's value against
+    ITS event_type's population stats (two-phase: grouped_agg_fast moments →
+    broadcast stats join → vectorized map; ``stages/scaling.py``). Oracle
+    replays the same moment formula (sqrt(E[x²]−E[x]²), not STDDEV_POP's
+    different accumulation) so both engines snap to the same 6-decimal
+    grid."""
+    from ..stages.scaling import group_standardize
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = group_standardize(ev, "event_type", ["value"]).select_columns(
+        ["event_id", "event_type", "value", "value_z"]
+    )
+    return _round_cols(out, ["value_z"], digits=6)
+
+
+SQL_GROUP_STANDARDIZE_EVENTS = """
+SELECT event_id, event_type, value,
+       ROUND((value - AVG(value) OVER w)
+             / NULLIF(sqrt(GREATEST(AVG(value * value) OVER w
+                                    - (AVG(value) OVER w) * (AVG(value) OVER w), 0)), 0),
+             6) AS value_z
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+"""
+
+
+def q_quantile_bucket_orders(sf_dir: str):
+    """Distribution-aware feature binning: global o_totalprice quartile
+    boundaries (exact distributed quantiles — driver holds 3 floats, never
+    the column) → per-row searchsorted bucket → per-bucket totals. Safe
+    equality semantics: an interpolated boundary either IS a data value
+    (both engines bit-identical) or sits ≥0.25×(adjacent gap) from every
+    data value, so the >= comparisons agree."""
+    from ..stages.scaling import quantile_bucketize
+
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+    b = quantile_bucketize(orders, "o_totalprice", [0.25, 0.5, 0.75])
+    agg = grouped_agg_fast(
+        b, keys=["bucket"],
+        specs=[("sum_price", "o_totalprice", "sum")],
+        count_alias="n", num_final_partitions=1,
+    )
+    return _round_cols(agg, ["sum_price"], digits=2)
+
+
+SQL_QUANTILE_BUCKET_ORDERS = """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.5)  AS q2,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders
+)
+SELECT ((o_totalprice >= q1)::BIGINT + (o_totalprice >= q2)::BIGINT
+        + (o_totalprice >= q3)::BIGINT) AS bucket,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders, b
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ registry
 #
 # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 registered
@@ -2780,7 +2843,8 @@ QUERIES = {
     "approx_percentiles_events": (q_approx_percentiles_events, SQL_APPROX_PERCENTILES_EVENTS),
     "top10_order_revenue": (q_top10_order_revenue, SQL_TOP10_ORDER_REVENUE),
     "grouped_topk_events": (q_grouped_topk_events, SQL_GROUPED_TOPK_EVENTS),
-    "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
+    "quantile_bucket_orders": (q_quantile_bucket_orders, SQL_QUANTILE_BUCKET_ORDERS),
+    "group_standardize_events": (q_group_standardize_events, SQL_GROUP_STANDARDIZE_EVENTS),
     "set_ops_orders": (q_set_ops_orders, SQL_SET_OPS_ORDERS),
     "hash_split_documents": (q_hash_split_documents, SQL_HASH_SPLIT_DOCUMENTS),
     # -- 15-19: joins
@@ -2792,7 +2856,6 @@ QUERIES = {
     "interval_join_events": (q_interval_join_events, SQL_INTERVAL_JOIN_EVENTS),
     # -- 20-29: as-of + windows + sessionize + registry + checkpoint
     "asof_events": (q_asof_events, SQL_ASOF_EVENTS),
-    "asof_events_bucketed": (q_asof_events_bucketed, SQL_ASOF_EVENTS_BUCKETED),
     "lag_lead_events": (q_lag_lead_events, SQL_LAG_LEAD_EVENTS),
     "interp_events": (q_interp_events, SQL_INTERP_EVENTS),
     "rolling_mean_events": (q_rolling_mean_events, SQL_ROLLING_MEAN_EVENTS),
@@ -2844,7 +2907,9 @@ QUERIES = {
     "except_order_keys": (q_except_order_keys, SQL_EXCEPT_ORDER_KEYS),
     "sample_lineitem": (q_sample_lineitem, SQL_SAMPLE_LINEITEM),
     "asof_events_forward": (q_asof_events_forward, SQL_ASOF_EVENTS_FORWARD),
+    "asof_events_bucketed": (q_asof_events_bucketed, SQL_ASOF_EVENTS_BUCKETED),
     "asof_events_tolerance": (q_asof_events_tolerance, SQL_ASOF_EVENTS_TOLERANCE),
+    "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
     "ffill_events": (q_ffill_events, SQL_FFILL_EVENTS),
     "cumulative_events": (q_cumulative_events, SQL_CUMULATIVE_EVENTS),
     "rank_events": (q_rank_events, SQL_RANK_EVENTS),

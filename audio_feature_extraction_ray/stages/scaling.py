@@ -1,0 +1,126 @@
+"""Feature-scaling transforms: per-group standardization and global
+quantile bucketizing.
+
+The reference normalizes per-signal (z-score/robust scalers,
+02_audio_preprocessing_experiment/.../processor.py preprocessing chain);
+these are the corpus-level siblings a feature-engineering pipeline needs:
+scale a column against ITS GROUP's statistics, or discretize it against the
+GLOBAL distribution — both as two-phase streaming shapes (tiny stats pass →
+broadcast → vectorized map), never a per-row Python loop and never a
+driver-side collect of data rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .aggregates import exact_quantiles, grouped_agg_fast
+from .joins import broadcast_join, bucket_hash_join
+
+
+def group_standardize(
+    ds: ray.data.Dataset,
+    key: str,
+    cols: list[str],
+    suffix: str = "_z",
+    method: str = "broadcast",
+) -> ray.data.Dataset:
+    """Append ``{c}{suffix} = (c - mean_g(c)) / stddev_pop_g(c)`` per group.
+
+    Phase 1 computes per-group mean and mean-of-squares through
+    :func:`grouped_agg_fast` (map-side combine; partials bounded by
+    #blocks x #keys-per-block, never rows). Phase 2 joins the |keys|-row
+    stats table back: ``method='broadcast'`` ships it once via ``ray.put``
+    (right for up to ~millions of keys); ``method='shuffle'`` routes through
+    :func:`bucket_hash_join` when the key set itself is corpus-scale.
+    Zero-variance groups yield null (SQL ``/ NULLIF(stddev_pop, 0)``), null
+    inputs stay null, and the population std matches ``STDDEV_POP`` — the
+    oracle-checked convention.
+    """
+    if method not in ("broadcast", "shuffle"):
+        raise ValueError(method)
+
+    def add_squares(t: pa.Table) -> pa.Table:
+        for c in cols:
+            x = pc.cast(t.column(c), pa.float64())
+            t = t.append_column("__sq_" + c, pc.multiply(x, x))
+        return t
+
+    specs = []
+    for c in cols:
+        specs.append((f"__m1_{c}", c, "mean"))
+        specs.append((f"__m2_{c}", "__sq_" + c, "mean"))
+    stats = grouped_agg_fast(
+        ds.map_batches(add_squares, batch_format="pyarrow", zero_copy_batch=True),
+        keys=[key],
+        specs=specs,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = {c: t.column(c) for c in t.column_names}
+        for c in cols:
+            m1 = t.column(f"__m1_{c}").to_numpy(zero_copy_only=False)
+            m2 = t.column(f"__m2_{c}").to_numpy(zero_copy_only=False)
+            var = np.maximum(m2 - m1 * m1, 0.0)
+            x = pc.cast(t.column(c), pa.float64()).to_numpy(zero_copy_only=False)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                z = (x - m1) / np.sqrt(var)
+            out[c + suffix] = pa.array(np.where(np.isfinite(z), z, np.nan), pa.float64())
+        drop = [f"__m1_{c}" for c in cols] + [f"__m2_{c}" for c in cols]
+        tbl = pa.table(out)
+        # nan -> null so zero-variance / null-input rows read as SQL nulls
+        for c in cols:
+            i = tbl.schema.get_field_index(c + suffix)
+            arr = tbl.column(i)
+            tbl = tbl.set_column(
+                i, c + suffix, pc.if_else(pc.is_nan(arr), pa.nulls(len(arr), pa.float64()), arr)
+            )
+        return tbl.drop_columns(drop + ["__sq_" + c for c in cols if "__sq_" + c in tbl.column_names])
+
+    with_sq = ds.map_batches(add_squares, batch_format="pyarrow", zero_copy_batch=True)
+    if method == "broadcast":
+        joined = broadcast_join(with_sq, stats, keys=key, join_type="left outer")
+    else:
+        joined = bucket_hash_join(with_sq, stats, on=key, join_type="left outer")
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quantile_bucketize(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    out_col: str = "bucket",
+) -> ray.data.Dataset:
+    """Append ``out_col`` = the number of global ``qs``-quantile boundaries
+    at or below ``col`` (0 .. len(qs)) — distribution-aware discretization
+    (quartile/decile feature binning).
+
+    Boundaries come from :func:`exact_quantiles` (distributed single-column
+    sort + streaming rank scan; the driver holds ``len(qs)`` floats, never
+    the column) and are applied with one ``searchsorted`` per batch. Null
+    inputs get a null bucket. Swap in ``approx_quantiles`` boundaries for
+    the sketch path at extreme scale; the exact path is the oracle-checked
+    one (DuckDB ``quantile_cont`` agrees bit-for-bit on the gate data).
+    """
+    # SQL quantile_cont ignores nulls; exact_quantiles ranks over every row,
+    # so drop nulls before the boundary pass
+    nonnull = ds.map_batches(
+        lambda t: t.filter(t.column(col).is_valid()),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    bounds = np.asarray(exact_quantiles(nonnull, col, qs), dtype=np.float64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        x = pc.cast(t.column(col), pa.float64()).to_numpy(zero_copy_only=False)
+        b = np.searchsorted(bounds, x, side="right").astype(np.int64)
+        valid = t.column(col).is_valid()
+        arr = pc.if_else(valid, pa.array(b, pa.int64()), pa.nulls(t.num_rows, pa.int64()))
+        return t.append_column(out_col, arr)
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
