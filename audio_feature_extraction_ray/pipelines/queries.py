@@ -2823,6 +2823,56 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------------------------------ reshape
+
+def q_melt_lineitem(sf_dir: str):
+    """Wide→long melt (the pivot shape's inverse — pure per-batch
+    restructuring, zero shuffle): three lineitem measures unpivoted to
+    (id, variable, value) rows, value-exact vs a UNION ALL oracle."""
+    from ..stages.reshape import melt
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    ).filter(expr="l_orderkey < 200")
+    return melt(li, ["l_orderkey", "l_linenumber"],
+                ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+SQL_MELT_LINEITEM = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity::DOUBLE AS value
+FROM lineitem WHERE l_orderkey < 200
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice::DOUBLE
+FROM lineitem WHERE l_orderkey < 200
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount::DOUBLE
+FROM lineitem WHERE l_orderkey < 200
+"""
+
+
+def q_one_hot_events(sf_dir: str):
+    """One-hot encoding of event_type: a distributed distinct pass fixes the
+    (bounded, sorted) category set, then a pure vectorized indicator map —
+    int8 columns, nulls encode as 0 everywhere."""
+    from ..stages.reshape import one_hot
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    return one_hot(ev, "event_type")
+
+
+SQL_ONE_HOT_EVENTS = """
+SELECT event_id, event_type,
+       (event_type = 'click')::TINYINT    AS event_type_click,
+       (event_type = 'error')::TINYINT    AS event_type_error,
+       (event_type = 'purchase')::TINYINT AS event_type_purchase,
+       (event_type = 'signup')::TINYINT   AS event_type_signup,
+       (event_type = 'view')::TINYINT     AS event_type_view
+FROM events
+"""
+
+
 # ------------------------------------------------------------------ registry
 #
 # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 registered
@@ -2837,7 +2887,6 @@ QUERIES = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "global_summaries": (q_global_summaries, SQL_GLOBAL_SUMMARIES),
-    "percentiles_by_type": (q_percentiles_by_type, SQL_PERCENTILES_BY_TYPE),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
     "approx_distinct_parts": (q_approx_distinct_parts, SQL_APPROX_DISTINCT_PARTS),
     "approx_percentiles_events": (q_approx_percentiles_events, SQL_APPROX_PERCENTILES_EVENTS),
@@ -2845,6 +2894,8 @@ QUERIES = {
     "grouped_topk_events": (q_grouped_topk_events, SQL_GROUPED_TOPK_EVENTS),
     "quantile_bucket_orders": (q_quantile_bucket_orders, SQL_QUANTILE_BUCKET_ORDERS),
     "group_standardize_events": (q_group_standardize_events, SQL_GROUP_STANDARDIZE_EVENTS),
+    "one_hot_events": (q_one_hot_events, SQL_ONE_HOT_EVENTS),
+    "melt_lineitem": (q_melt_lineitem, SQL_MELT_LINEITEM),
     "set_ops_orders": (q_set_ops_orders, SQL_SET_OPS_ORDERS),
     "hash_split_documents": (q_hash_split_documents, SQL_HASH_SPLIT_DOCUMENTS),
     # -- 15-19: joins
@@ -2883,7 +2934,6 @@ QUERIES = {
     "decontaminate_documents": (q_decontaminate_documents, SQL_DECONTAMINATE_DOCUMENTS),
     # -- 45-50: image / flagship pipelines + A7 report
     "flagship_images": (q_flagship_images, None),
-    "images_asof": (q_images_asof, None),
     "preprocess_images": (q_preprocess_images, None),
     "image_phash_neardups": (q_image_phash_neardups, None),
     "image_pair_report": (q_image_pair_report, None),
@@ -2891,6 +2941,8 @@ QUERIES = {
     # ---- 51+: tail — variants of families already represented above;
     # ---- exercised by the local sf0.001 oracle gate every pytest run
     "checkpoint_manifest_events": (q_checkpoint_manifest_events, None),
+    "images_asof": (q_images_asof, None),
+    "percentiles_by_type": (q_percentiles_by_type, SQL_PERCENTILES_BY_TYPE),
     "align_image_pairs": (q_align_image_pairs, None),
     "pairwise_quality_images": (q_pairwise_quality_images, None),
     "global_stats": (q_global_stats, SQL_GLOBAL_STATS),

@@ -1,0 +1,82 @@
+"""Reshape transforms: wide→long melt and one-hot encoding.
+
+Complements the pivot shape (conditional aggregation through the combiner,
+``q_pivot_event_counts``): ``melt`` is its inverse — pure per-batch
+restructuring, ZERO shuffle — and ``one_hot`` is the categorical
+feature-engineering staple (indicator columns against a bounded, globally
+agreed category set). The reference reshapes per-file feature dicts into
+flat rows (04_feature_extraction_experiment/feature_extraction.py:200-260);
+these are the columnar corpus-level equivalents.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def melt(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_col: str = "variable",
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """Wide→long: one output row per (input row, value column), with the
+    column name in ``var_col`` and its value cast to float64 in
+    ``value_col``. Pure map_batches — each batch melts independently, no
+    shuffle, streaming-safe at any scale."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {k: t.column(k) for k in id_cols}
+            cols[var_col] = pa.array([c] * t.num_rows, pa.string())
+            cols[value_col] = pc.cast(t.column(c), pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def one_hot(
+    ds: ray.data.Dataset,
+    col: str,
+    categories: list[str] | None = None,
+    prefix: str | None = None,
+    max_categories: int = 1000,
+) -> ray.data.Dataset:
+    """Append one int8 indicator column per category of ``col``
+    (``{prefix}{category}``, prefix defaults to ``{col}_``).
+
+    When ``categories`` is None a distributed distinct pass fixes the
+    category set (sorted — every task agrees on the output schema); the set
+    must be BOUNDED because it becomes schema width, so more than
+    ``max_categories`` raises instead of silently fanning out thousands of
+    columns. Null values get 0 in every indicator (SQL ``CASE WHEN x = c``
+    semantics). The encode itself is a pure vectorized map — no shuffle
+    beyond the one distinct pass."""
+    if categories is None:
+        u = ds.select_columns([col]).unique(col)
+        cats = sorted(c for c in u if c is not None)
+        if len(cats) > max_categories:
+            raise ValueError(
+                f"{col} has {len(cats)} distinct values (> {max_categories}); "
+                f"pass an explicit category subset for one-hot encoding"
+            )
+    else:
+        cats = list(categories)
+    p = prefix if prefix is not None else col + "_"
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = t.column(col)
+        for c in cats:
+            ind = pc.cast(
+                pc.fill_null(pc.equal(x, pa.scalar(c)), False), pa.int8()
+            )
+            t = t.append_column(p + str(c), ind)
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

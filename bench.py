@@ -54,6 +54,8 @@ HEADLINE = [
     # round 3 additions
     "fingerprint_documents",
     "rolling_time_mean_bucketed",
+    "interval_join_events",
+    "substring_pairs_documents",
 ]
 
 

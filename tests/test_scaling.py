@@ -76,3 +76,28 @@ def test_quantile_bucketize_exact_boundaries_no_nulls():
     bounds = np.quantile(df["v"], [0.25, 0.5, 0.75])
     want = np.searchsorted(bounds, df["v"].to_numpy(), side="right")
     np.testing.assert_array_equal(out["bucket"].to_numpy(), want)
+
+
+def test_melt_and_one_hot():
+    from audio_feature_extraction_ray.stages.reshape import melt, one_hot
+
+    df = pd.DataFrame(
+        {
+            "rid": [0, 1, 2],
+            "a": [1.5, 2.5, np.nan],
+            "b": [10, 20, 30],
+            "cat": ["x", None, "y"],
+        }
+    )
+    long = melt(ray.data.from_pandas(df), ["rid"], ["a", "b"]).to_pandas()
+    assert len(long) == 6 and set(long["variable"]) == {"a", "b"}
+    assert long[(long.rid == 1) & (long.variable == "b")]["value"].iloc[0] == 20.0
+    assert long[(long.rid == 2) & (long.variable == "a")]["value"].isna().all()
+
+    oh = one_hot(ray.data.from_pandas(df), "cat").to_pandas().sort_values("rid")
+    assert list(oh.columns[-2:]) == ["cat_x", "cat_y"]  # sorted, null excluded
+    assert oh["cat_x"].tolist() == [1, 0, 0]
+    assert oh["cat_y"].tolist() == [0, 0, 1]  # null row -> 0 everywhere
+
+    with pytest.raises(ValueError, match="distinct"):
+        one_hot(ray.data.from_pandas(df), "cat", max_categories=1)
