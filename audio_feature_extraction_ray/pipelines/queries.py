@@ -2873,6 +2873,35 @@ FROM events
 """
 
 
+# ------------------------------------------------------------------ stratified sampling
+
+def q_stratified_sample_documents(sf_dir: str):
+    """Per-stratum deterministic sampling: 5 docs per (lang, source) cell by
+    smallest md5(doc_id) prefix — equal-depth stratification, reproducible
+    on any cluster size, shuffle moves ≤ blocks×k rows per cell."""
+    from ..stages.sampling import stratified_sample
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    cell = docs.map_batches(
+        lambda t: t.append_column(
+            "cell",
+            pc.binary_join_element_wise(t.column("lang"), t.column("source"), "|"),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = stratified_sample(cell, "cell", ["doc_id"], k=5)
+    return out.select_columns(["cell", "doc_id", "h"])
+
+
+SQL_STRATIFIED_SAMPLE_DOCUMENTS = """
+SELECT lang || '|' || source AS cell, doc_id,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS h
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY cell ORDER BY h, doc_id) <= 5
+"""
+
+
 # ------------------------------------------------------------------ registry
 #
 # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 registered
@@ -2962,6 +2991,7 @@ QUERIES = {
     "asof_events_bucketed": (q_asof_events_bucketed, SQL_ASOF_EVENTS_BUCKETED),
     "asof_events_tolerance": (q_asof_events_tolerance, SQL_ASOF_EVENTS_TOLERANCE),
     "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
+    "stratified_sample_documents": (q_stratified_sample_documents, SQL_STRATIFIED_SAMPLE_DOCUMENTS),
     "ffill_events": (q_ffill_events, SQL_FFILL_EVENTS),
     "cumulative_events": (q_cumulative_events, SQL_CUMULATIVE_EVENTS),
     "rank_events": (q_rank_events, SQL_RANK_EVENTS),

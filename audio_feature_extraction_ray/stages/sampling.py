@@ -121,3 +121,35 @@ def hash_split(
         return t.append_column(out_col, pa.array(out, pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_cols: list[str],
+    k: int,
+    sep: str = "-",
+    hash_col: str = "h",
+    digits: int = 16,
+) -> ray.data.Dataset:
+    """Deterministic per-GROUP sampling: the ``k`` rows of each group with
+    the smallest md5-prefix of their key — equal-depth stratification with
+    no RNG state, identical on any cluster size, SQL-replayable as
+    ``QUALIFY row_number() OVER (PARTITION BY g ORDER BY substr(md5(key),
+    1, digits), key) <= k``.
+
+    Rides :func:`~.util.grouped_topk`'s map-side combine: every batch keeps
+    at most ``k`` rows per group it sees, so the shuffle moves ≤ blocks×k
+    rows per group, never the stratum's full population."""
+    from .util import grouped_topk
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        keys = _row_keys(t, key_cols, sep)
+        h = [hashlib.md5(s.encode()).hexdigest()[:digits] for s in keys]
+        return t.append_column(hash_col, pa.array(h, pa.string()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_topk(
+        hashed, group_col, [hash_col] + key_cols, k,
+        descending=[False] * (1 + len(key_cols)),
+    )
