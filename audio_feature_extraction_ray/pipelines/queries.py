@@ -2902,6 +2902,61 @@ QUALIFY row_number() OVER (PARTITION BY cell ORDER BY h, doc_id) <= 5
 """
 
 
+# ------------------------------------------------------------------ grouped collect / mode
+
+def q_array_agg_events(sf_dir: str):
+    """SQL array_agg parity: each user's event ids collected in (ts, id)
+    order — one vectorized ListArray build per coarse partition, no
+    per-group dispatch — projected to a csv string so the oracle compares
+    content AND intra-group order exactly."""
+    from ..stages.aggregates import grouped_collect
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    collected = grouped_collect(
+        ev, "user_id", "event_id", order_cols=["ts", "event_id"], out_col="ids"
+    )
+
+    def to_csv(t: pa.Table) -> pa.Table:
+        lists = t.column("ids")
+        as_str = pc.cast(lists, pa.list_(pa.string()))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ids_csv": pc.binary_join(as_str, ","),
+                "n": pc.cast(pc.list_value_length(lists), pa.int64()),
+            }
+        )
+
+    return collected.map_batches(to_csv, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ARRAY_AGG_EVENTS = """
+SELECT user_id,
+       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id) AS ids_csv,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_mode_events(sf_dir: str):
+    """Grouped mode (most frequent user per event_type, ties → smallest
+    user): (key, value) counts through the map-side combiner, per-key top-1
+    via grouped_topk — partials only, never rows."""
+    from ..stages.aggregates import grouped_mode
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_mode(ev, "event_type", "user_id")
+
+
+SQL_MODE_EVENTS = """
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2
+)
+SELECT event_type, user_id AS mode, n FROM c
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) = 1
+"""
+
+
 # ------------------------------------------------------------------ registry
 #
 # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 registered
@@ -2992,6 +3047,8 @@ QUERIES = {
     "asof_events_tolerance": (q_asof_events_tolerance, SQL_ASOF_EVENTS_TOLERANCE),
     "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
     "stratified_sample_documents": (q_stratified_sample_documents, SQL_STRATIFIED_SAMPLE_DOCUMENTS),
+    "array_agg_events": (q_array_agg_events, SQL_ARRAY_AGG_EVENTS),
+    "mode_events": (q_mode_events, SQL_MODE_EVENTS),
     "ffill_events": (q_ffill_events, SQL_FFILL_EVENTS),
     "cumulative_events": (q_cumulative_events, SQL_CUMULATIVE_EVENTS),
     "rank_events": (q_rank_events, SQL_RANK_EVENTS),

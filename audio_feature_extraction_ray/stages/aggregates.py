@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
@@ -431,3 +432,76 @@ def exact_quantiles(ds: ray.data.Dataset, col: str, qs: list[float]) -> list[flo
         frac = p - lo
         out.append(need[lo] * (1 - frac) + need[hi] * frac)
     return out
+
+
+def grouped_collect(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+    out_col: str | None = None,
+    n_partitions: int = 64,
+) -> ray.data.Dataset:
+    """SQL ``array_agg(value ORDER BY ...)``: one row per group with the
+    group's values as a list column, deterministically ordered.
+
+    One coarse-partitioned exchange; inside a partition the collect is a
+    single vectorized pass — sort by (key, order), find run boundaries,
+    wrap the value column in a ``ListArray`` via offsets (zero value
+    copies beyond the sort's take). Output is one row per group, so the
+    shuffle's receive side is bounded by group payloads — a hot group's
+    list inherently lives in one task, the operator's contract (chunk via
+    an upstream bucketed key when a single group's payload exceeds a
+    worker)."""
+    from .util import coarse_partitioned
+
+    out_name = out_col or (value_col + "_list")
+    order_cols = order_cols or []
+
+    def run_part(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = t.num_rows
+        vtype = t.schema.field(value_col).type
+        if n == 0:
+            return pa.table(
+                {key: t.column(key), out_name: pa.array([], pa.list_(vtype))}
+            )
+        sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_cols]
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        codes = (
+            t.column(key).combine_chunks().dictionary_encode().indices
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        starts = np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1])))
+        offsets = np.concatenate((starts, [n])).astype(np.int32)
+        values = t.column(value_col).combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+        keys = t.column(key).take(pa.array(starts, pa.int64()))
+        return pa.table({key: keys, out_name: lists})
+
+    return coarse_partitioned(ds, key, run_part, n_partitions=n_partitions)
+
+
+def grouped_mode(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    out_col: str = "mode",
+    count_col: str = "n",
+) -> ray.data.Dataset:
+    """Most frequent ``value_col`` per group (ties → smallest value,
+    deterministic): a (key, value) grouped count through the map-side
+    combiner, then per-key top-1 by (count desc, value asc) via
+    :func:`~.util.grouped_topk` — both phases shuffle only partials,
+    never rows."""
+    from .util import grouped_topk
+
+    counts = grouped_agg_fast(ds, keys=[key, value_col], specs=[], count_alias=count_col)
+    top = grouped_topk(counts, key, [count_col, value_col], 1, descending=[True, False])
+    return top.map_batches(
+        lambda t: t.rename_columns(
+            [out_col if c == value_col else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
