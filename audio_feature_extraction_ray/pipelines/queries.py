@@ -2957,6 +2957,48 @@ QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) = 1
 """
 
 
+# ------------------------------------------------------------------ corr / entropy
+
+def q_corr_events(sf_dir: str):
+    """Per-group Pearson correlation + population covariance from streaming
+    sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) — map-side-combinable
+    moments; only O(#keys) partials shuffle. Rounded to 6 decimals on both
+    sides (DuckDB's single-pass co-moment recursion differs from the naive
+    moment formula in the last ~4 ulps)."""
+    from ..stages.aggregates import grouped_corr
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value", "user_id"])
+    out = grouped_corr(ev, "event_type", "value", "user_id")
+    return _round_cols(out, ["cov_pop", "corr"], digits=6)
+
+
+SQL_CORR_EVENTS = """
+SELECT event_type,
+       CAST(regr_count(user_id, value) AS BIGINT) AS n,
+       ROUND(covar_pop(value, user_id), 6) AS cov_pop,
+       ROUND(corr(value, user_id), 6) AS corr
+FROM events GROUP BY 1
+"""
+
+
+def q_entropy_events(sf_dir: str):
+    """Shannon entropy (log₂, DuckDB ``entropy()`` semantics) of each
+    event_type's user distribution: (key,value) counts through the map-side
+    combiner, then per-key Σc·log₂c — two partial-only exchanges, rows never
+    shuffle."""
+    from ..stages.aggregates import grouped_entropy
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    out = grouped_entropy(ev, "event_type", "user_id")
+    return _round_cols(out, ["entropy"], digits=6)
+
+
+SQL_ENTROPY_EVENTS = """
+SELECT event_type, COUNT(user_id) AS n, ROUND(entropy(user_id), 6) AS entropy
+FROM events GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ registry
 #
 # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 registered
@@ -3049,6 +3091,8 @@ QUERIES = {
     "stratified_sample_documents": (q_stratified_sample_documents, SQL_STRATIFIED_SAMPLE_DOCUMENTS),
     "array_agg_events": (q_array_agg_events, SQL_ARRAY_AGG_EVENTS),
     "mode_events": (q_mode_events, SQL_MODE_EVENTS),
+    "corr_events": (q_corr_events, SQL_CORR_EVENTS),
+    "entropy_events": (q_entropy_events, SQL_ENTROPY_EVENTS),
     "ffill_events": (q_ffill_events, SQL_FFILL_EVENTS),
     "cumulative_events": (q_cumulative_events, SQL_CUMULATIVE_EVENTS),
     "rank_events": (q_rank_events, SQL_RANK_EVENTS),

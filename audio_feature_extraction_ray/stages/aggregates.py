@@ -505,3 +505,140 @@ def grouped_mode(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+def grouped_corr(
+    ds: ray.data.Dataset,
+    key: str,
+    x: str,
+    y: str,
+    num_final_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-group Pearson correlation + population covariance via sufficient
+    statistics (n, Σx, Σy, Σx², Σy², Σxy) — the textbook map-side-combinable
+    moments, so only O(#blocks × #keys-per-block) partials ever shuffle.
+
+    SQL ``corr``/``covar_pop`` semantics: only rows where BOTH x and y are
+    non-null contribute (pairwise deletion). Reference analog: the serial
+    per-file correlation stats the evaluation step computes in RAM
+    (03_feature_comparison_experiment/feature_comparison.py:1 region);
+    here the moments stream and combine associatively — the shape that
+    holds at 100 TB where the reference's value lists cannot.
+
+    Output: one row per group — key, ``n`` (pair count), ``cov_pop``,
+    ``corr`` (null when either variance is 0 or n == 0).
+    """
+
+    def add_moments(t: pa.Table) -> pa.Table:
+        xs = pc.cast(t.column(x), pa.float64())
+        ys = pc.cast(t.column(y), pa.float64())
+        both = pc.and_kleene(pc.is_valid(xs), pc.is_valid(ys))
+        # pairwise deletion: null either coordinate when its partner is null
+        xs = pc.if_else(both, xs, pa.scalar(None, pa.float64()))
+        ys = pc.if_else(both, ys, pa.scalar(None, pa.float64()))
+        return pa.table(
+            {
+                key: t.column(key),
+                "__x": xs,
+                "__y": ys,
+                "__xx": pc.multiply(xs, xs),
+                "__yy": pc.multiply(ys, ys),
+                "__xy": pc.multiply(xs, ys),
+            }
+        )
+
+    moments = ds.map_batches(add_moments, batch_format="pyarrow", zero_copy_batch=True)
+    sums = grouped_agg_fast(
+        moments,
+        keys=[key],
+        specs=[
+            ("n", "__x", "count"),
+            ("sx", "__x", "sum"),
+            ("sy", "__y", "sum"),
+            ("sxx", "__xx", "sum"),
+            ("syy", "__yy", "sum"),
+            ("sxy", "__xy", "sum"),
+        ],
+        num_final_partitions=num_final_partitions,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t.column("sx").to_numpy(zero_copy_only=False)
+        sy = t.column("sy").to_numpy(zero_copy_only=False)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False)
+        syy = t.column("syy").to_numpy(zero_copy_only=False)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mx, my = sx / n, sy / n
+            cov = sxy / n - mx * my
+            vx = sxx / n - mx * mx
+            vy = syy / n - my * my
+            corr = cov / np.sqrt(vx * vy)
+        corr = np.where((vx > 0) & (vy > 0), corr, np.nan)
+        return pa.table(
+            {
+                key: t.column(key),
+                "n": pc.cast(t.column("n"), pa.int64()),
+                "cov_pop": pa.array(np.where(n > 0, cov, np.nan), pa.float64()),
+                "corr": pa.array(corr, pa.float64()),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_entropy(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    out_col: str = "entropy",
+    num_final_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Shannon entropy (log base 2, DuckDB ``entropy()`` semantics) of the
+    ``value_col`` distribution per group.
+
+    Two partial-only exchanges: (key, value) counts through the map-side
+    combiner, then per-key Σc·log₂c + Σc — H = log₂(N) − Σc·log₂c / N.
+    Neither phase ever shuffles rows, only (distinct-pair, count) partials,
+    so a 100 TB corpus with bounded per-block distinct pairs streams
+    through untouched. Nulls are excluded (SQL aggregate semantics).
+    """
+    nonnull = ds.map_batches(
+        lambda t: t.filter(t.column(value_col).is_valid()),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    counts = grouped_agg_fast(nonnull, keys=[key, value_col], specs=[], count_alias="__c")
+
+    def add_clog(t: pa.Table) -> pa.Table:
+        c = pc.cast(t.column("__c"), pa.float64())
+        return pa.table(
+            {
+                key: t.column(key),
+                "__c": c,
+                "__clog": pc.multiply(c, pc.log2(c)),
+            }
+        )
+
+    partials = counts.map_batches(add_clog, batch_format="pyarrow", zero_copy_batch=True)
+    sums = grouped_agg_fast(
+        partials,
+        keys=[key],
+        specs=[("n", "__c", "sum"), ("s_clog", "__clog", "sum")],
+        num_final_partitions=num_final_partitions,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        s = t.column("s_clog").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            h = np.log2(n) - s / n
+        return pa.table(
+            {
+                key: t.column(key),
+                "n": pc.cast(pa.array(n), pa.int64()),
+                out_col: pa.array(np.where(n > 0, h, np.nan), pa.float64()),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

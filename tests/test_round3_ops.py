@@ -425,3 +425,98 @@ def test_contamination_batch_matches_serial():
         assert hits[i] == cnt and flag[i] == (cnt > 0), (i, txt[:40])
     assert flag[-2] and flag[60]  # the planted copies are caught
     assert not flag[-1]
+
+
+# ------------------------------------------------------------------ grouped corr / entropy / collect / mode
+
+def test_grouped_corr_pairwise_nulls_and_degenerate():
+    from audio_feature_extraction_ray.stages.aggregates import grouped_corr
+
+    rows = {
+        # group "a": clean positive correlation, plus a half-null pair that
+        # SQL corr() must drop (pairwise deletion)
+        "k": ["a"] * 5 + ["b"] * 3 + ["c"] * 2,
+        "x": [1.0, 2.0, 3.0, 4.0, None, 5.0, 5.0, 5.0, 1.0, 2.0],
+        "y": [2.0, 4.0, 6.0, 8.0, 9.0, 1.0, 2.0, 3.0, None, None],
+    }
+    ds = ray.data.from_arrow(pa.table(rows))
+    out = {r["k"]: r for r in grouped_corr(ds, "k", "x", "y").take_all()}
+    # a: perfect linear y=2x on the 4 complete pairs
+    assert out["a"]["n"] == 4
+    assert abs(out["a"]["corr"] - 1.0) < 1e-12
+    assert abs(out["a"]["cov_pop"] - np.cov([1, 2, 3, 4], [2, 4, 6, 8], bias=True)[0, 1]) < 1e-12
+    # b: zero variance in x -> corr null, cov 0
+    assert out["b"]["n"] == 3
+    assert out["b"]["corr"] is None or (
+        isinstance(out["b"]["corr"], float) and np.isnan(out["b"]["corr"])
+    )
+    assert abs(out["b"]["cov_pop"]) < 1e-12
+    # c: no complete pairs -> n 0, both null/nan
+    assert out["c"]["n"] == 0
+
+
+def test_grouped_corr_matches_numpy_on_random():
+    from audio_feature_extraction_ray.stages.aggregates import grouped_corr
+
+    rng = np.random.default_rng(7)
+    k = rng.integers(0, 5, 4000)
+    x = rng.normal(size=4000) * 10
+    y = 0.5 * x + rng.normal(size=4000)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(k, pa.int64()), "x": x, "y": y})
+    ).repartition(8)
+    out = {r["k"]: r for r in grouped_corr(ds, "k", "x", "y").take_all()}
+    for g in range(5):
+        m = k == g
+        assert out[g]["n"] == int(m.sum())
+        assert abs(out[g]["corr"] - np.corrcoef(x[m], y[m])[0, 1]) < 1e-9
+        assert abs(out[g]["cov_pop"] - np.cov(x[m], y[m], bias=True)[0, 1]) < 1e-9
+
+
+def test_grouped_entropy_known_values():
+    from audio_feature_extraction_ray.stages.aggregates import grouped_entropy
+
+    rows = {
+        "k": ["u"] * 4 + ["s"] * 4 + ["n"] * 3,
+        "v": ["a", "b", "c", "d",      # uniform over 4 -> H = 2 bits
+              "a", "a", "a", "a",      # single value -> H = 0
+              "a", None, "b"],         # null excluded -> uniform over 2 -> H = 1
+    }
+    ds = ray.data.from_arrow(pa.table(rows)).repartition(3)
+    out = {r["k"]: r for r in grouped_entropy(ds, "k", "v").take_all()}
+    assert out["u"]["n"] == 4 and abs(out["u"]["entropy"] - 2.0) < 1e-12
+    assert out["s"]["n"] == 4 and abs(out["s"]["entropy"] - 0.0) < 1e-12
+    assert out["n"]["n"] == 2 and abs(out["n"]["entropy"] - 1.0) < 1e-12
+
+
+def test_grouped_collect_order_and_offsets_across_partitions():
+    from audio_feature_extraction_ray.stages.aggregates import grouped_collect
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    k = rng.integers(0, 40, n)
+    ts = rng.permutation(n)
+    v = np.arange(n)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(k, pa.int64()), "ts": pa.array(ts, pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    ).repartition(7)
+    out = {r["k"]: r["vals"] for r in
+           grouped_collect(ds, "k", "v", order_cols=["ts"], out_col="vals").take_all()}
+    assert len(out) == len(np.unique(k))
+    for g in np.unique(k):
+        m = k == g
+        expect = v[m][np.argsort(ts[m], kind="stable")].tolist()
+        assert list(out[g]) == expect, g
+
+
+def test_grouped_mode_tie_breaks_deterministically():
+    from audio_feature_extraction_ray.stages.aggregates import grouped_mode
+
+    rows = {"k": ["a"] * 4 + ["b"] * 3,
+            "v": [2, 1, 2, 1,      # tie 2x each -> smallest value wins: 1
+                  9, 9, 3]}        # 9 wins outright
+    ds = ray.data.from_arrow(pa.table(rows)).repartition(4)
+    out = {r["k"]: r for r in grouped_mode(ds, "k", "v").take_all()}
+    assert out["a"]["mode"] == 1 and out["a"]["n"] == 2
+    assert out["b"]["mode"] == 9 and out["b"]["n"] == 2
