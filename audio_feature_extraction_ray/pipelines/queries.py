@@ -33,18 +33,11 @@ from ..stages.window import sessionize, time_bucket, window_features
 HOUR_US = 3_600_000_000
 
 
-def _round_half_away(x, digits: int = 6):
-    """Round-half-away-from-zero — bit-exact with DuckDB ROUND (numpy/pyarrow
-    round are half-even and disagree with SQL on .5 ties).
-
-    Digits are chosen per column so the rounding boundary sits far above
-    cross-engine summation noise: big price sums (1e-2 input grid, ~1e8
-    magnitude at sf0.01 → noise ~1e-6) round at 2; revenue sums (1e-4 grid)
-    and averages round at 4; bounded values (cosines, rates) round at 6.
-    """
-    x = np.asarray(x, dtype=np.float64)
-    scale = 10.0 ** digits
-    return np.where(x >= 0, np.floor(x * scale + 0.5), np.ceil(x * scale - 0.5)) / scale
+# Digits are chosen per column so the rounding boundary sits far above
+# cross-engine summation noise: big price sums (1e-2 input grid, ~1e8
+# magnitude at sf0.01 → noise ~1e-6) round at 2; revenue sums (1e-4 grid)
+# and averages round at 4; bounded values (cosines, rates) round at 6.
+from ..stages.util import round_half_away as _round_half_away
 
 
 def _round6(x):
@@ -2999,6 +2992,38 @@ FROM events GROUP BY 1
 """
 
 
+# ------------------------------------------------------------------ tf-idf
+
+def q_tfidf_documents(sf_dir: str):
+    """Top-3 TF-IDF terms per document (sklearn smooth-idf, whitespace
+    tokens): document frequencies are the only exchange (per-batch partial
+    df), idf broadcast once, scoring + per-doc top-k fully in-batch."""
+    from ..stages.text import tfidf_top_terms
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_top_terms(docs, id_col="doc_id", text_col="text", k=3)
+
+
+SQL_TFIDF_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+), total AS (SELECT COUNT(*) AS n FROM documents)
+SELECT doc_id, token, tf,
+       ROUND(tf * (ln((1.0 + n) / (1.0 + df)) + 1.0), 6) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN total
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id
+  ORDER BY ROUND(tf * (ln((1.0 + n) / (1.0 + df)) + 1.0), 6) DESC, token
+) <= 3
+"""
+
+
 # ------------------------------------------------------------------ registry
 #
 # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 registered
@@ -3093,6 +3118,7 @@ QUERIES = {
     "mode_events": (q_mode_events, SQL_MODE_EVENTS),
     "corr_events": (q_corr_events, SQL_CORR_EVENTS),
     "entropy_events": (q_entropy_events, SQL_ENTROPY_EVENTS),
+    "tfidf_documents": (q_tfidf_documents, SQL_TFIDF_DOCUMENTS),
     "ffill_events": (q_ffill_events, SQL_FFILL_EVENTS),
     "cumulative_events": (q_cumulative_events, SQL_CUMULATIVE_EVENTS),
     "rank_events": (q_rank_events, SQL_RANK_EVENTS),

@@ -284,3 +284,151 @@ def decontaminate(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+def _doc_token_tf(t: pa.Table, id_col: str, text_col: str):
+    """Vectorized per-batch (doc, token, tf) expansion: whitespace tokens
+    (``_flat_tokens``), empties dropped, counted with Arrow's C++ hash
+    group-by — never a Python loop over rows or tokens."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    flat, off, _ = _flat_tokens(t.column(text_col))
+    n = t.num_rows
+    if n == 0 or len(flat) == 0:
+        return pa.table(
+            {
+                "__did": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+    did = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+    nonempty = pc.not_equal(pc.utf8_length(flat), 0)
+    pairs = pa.table(
+        {"__did": pa.array(did), "token": flat}
+    ).filter(nonempty)
+    counts = pairs.group_by(["__did", "token"]).aggregate([([], "count_all")])
+    return counts.rename_columns(["__did", "token", "tf"])
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_docs: int | None = None,
+    max_vocab: int | None = None,
+    digits: int = 6,
+) -> ray.data.Dataset:
+    """Top-``k`` TF-IDF terms per document (sklearn smooth-idf:
+    ``idf = ln((1+N)/(1+df)) + 1``, ``N`` = corpus size, ``df`` = number of
+    documents containing the token; whitespace tokens, case-sensitive).
+
+    Scale shape: document frequencies are the ONLY exchange — per-batch
+    distinct (doc, token) pairs collapse to per-batch (token, partial-df)
+    before the shuffle (partials bounded by #blocks × distinct-tokens-per-
+    block, never token occurrences). The idf table is broadcast once
+    (``ray.put``); the scoring pass is fully in-batch — a document is one
+    row, so per-doc top-k needs no shuffle at all. ``max_vocab`` bounds the
+    broadcast (top df, ties → token asc) for open-vocabulary corpora; OOV
+    tokens then score 0 and the truncation is logged, never silent.
+
+    tfidf is rounded half-away-from-zero to ``digits`` BEFORE the top-k
+    ordering (ties then break token-asc) so the selection is stable on the
+    rounding grid — replayable in SQL with ``ROUND``.
+
+    Reference analog: the per-recording feature-selection ranking
+    (04_feature_extraction_experiment/feature_extraction.py:290-340) recast
+    as corpus-level term weighting.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+
+    from .aggregates import grouped_agg_fast
+
+    if n_docs is None:
+        n_docs = ds.count()
+
+    def batch_df(t: pa.Table) -> pa.Table:
+        pairs = _doc_token_tf(t, id_col, text_col)
+        part = pairs.group_by(["token"]).aggregate([([], "count_all")])
+        return part.rename_columns(["token", "df_part"])
+
+    df_ds = grouped_agg_fast(
+        ds.map_batches(batch_df, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["token"],
+        specs=[("df", "df_part", "sum")],
+    )
+    if max_vocab is not None:
+        from .util import topk
+
+        total_vocab = df_ds.count()
+        df_ds = topk(df_ds, ["df", "token"], k=max_vocab, descending=[True, False])
+        if total_vocab > max_vocab:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "tfidf_top_terms: vocab truncated %d -> %d (OOV tokens score 0)",
+                total_vocab,
+                max_vocab,
+            )
+    # empty shuffle blocks can carry a degenerate schema — drop them
+    blocks = [b for b in ray.get(df_ds.to_arrow_refs()) if b.num_rows > 0]
+    if not blocks:
+        blocks = [pa.table({"token": pa.array([], pa.string()),
+                            "df": pa.array([], pa.int64())})]
+    df_tbl = pa.concat_tables(blocks).combine_chunks()
+    vocab = df_tbl.column("token").combine_chunks()
+    dfv = df_tbl.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+    idf = np.log((1.0 + n_docs) / (1.0 + dfv)) + 1.0
+    broadcast = ray.put((vocab, idf))
+
+    from .util import round_half_away  # shared DuckDB-compatible half-away kernel
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab_a, idf_a = ray.get(broadcast)
+        pairs = _doc_token_tf(t, id_col, text_col)
+        if pairs.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], t.schema.field(id_col).type),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "tfidf": pa.array([], pa.float64()),
+                }
+            )
+        idx = pc.index_in(pairs.column("token"), value_set=vocab_a)
+        idxn = idx.to_numpy(zero_copy_only=False).astype(np.float64)
+        found = ~np.isnan(idxn)
+        idf_per = np.where(found, idf_a[np.where(found, idxn, 0).astype(np.int64)], 0.0)
+        tf = pairs.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        tfidf = round_half_away(tf * idf_per, digits)
+        did = pairs.column("__did").to_numpy(zero_copy_only=False)
+        # per-doc top-k: one native multi-key sort (did asc, tfidf desc,
+        # token asc), then rank-within-run < k — no per-doc dispatch
+        sort_tbl = pa.table(
+            {"d": pa.array(did), "s": pa.array(tfidf), "t": pairs.column("token")}
+        )
+        order = pc.sort_indices(
+            sort_tbl,
+            sort_keys=[("d", "ascending"), ("s", "descending"), ("t", "ascending")],
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        did_s = did[order]
+        starts = np.concatenate(([True], did_s[1:] != did_s[:-1]))
+        run_id = np.cumsum(starts) - 1
+        rank = np.arange(len(did_s)) - np.flatnonzero(starts)[run_id]
+        keep = order[rank < k]
+        keep.sort()
+        ids = t.column(id_col).take(pa.array(did[keep]))
+        return pa.table(
+            {
+                id_col: ids,
+                "token": pairs.column("token").take(pa.array(keep)),
+                "tf": pc.cast(pairs.column("tf").take(pa.array(keep)), pa.int64()),
+                "tfidf": pa.array(tfidf[keep], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -184,3 +184,13 @@ def arrow_schema_of(ds: ray.data.Dataset) -> tuple[ray.data.Dataset, pa.Schema]:
         ds = ds.map_batches(lambda t: t, batch_format="pyarrow", zero_copy_batch=True)
         s = ds.schema()
         return ds, pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
+
+
+def round_half_away(x, digits: int = 6):
+    """Round-half-away-from-zero — bit-exact with DuckDB ROUND (numpy/pyarrow
+    round are half-even and disagree with SQL on .5 ties)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    scale = 10.0 ** digits
+    return np.where(x >= 0, np.floor(x * scale + 0.5), np.ceil(x * scale - 0.5)) / scale

@@ -520,3 +520,43 @@ def test_grouped_mode_tie_breaks_deterministically():
     out = {r["k"]: r for r in grouped_mode(ds, "k", "v").take_all()}
     assert out["a"]["mode"] == 1 and out["a"]["n"] == 2
     assert out["b"]["mode"] == 9 and out["b"]["n"] == 2
+
+
+def test_tfidf_top_terms_matches_serial_and_vocab_cap():
+    from audio_feature_extraction_ray.stages.text import tfidf_top_terms
+
+    texts = [
+        "apple banana apple",        # tf apple=2
+        "banana cherry",
+        "apple cherry cherry date",
+        "",                          # empty doc -> no output rows
+        "   ",                       # whitespace-only -> no output rows
+        "unique solo",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(3)
+    out = tfidf_top_terms(ds, "doc_id", "text", k=2).take_all()
+    n = 6
+    import math
+
+    def idf(df):
+        return math.log((1 + n) / (1 + df)) + 1
+
+    dfs = {"apple": 2, "banana": 2, "cherry": 2, "date": 1, "unique": 1, "solo": 1}
+    # doc 0: apple tf=2 beats banana tf=1
+    d0 = sorted([r for r in out if r["doc_id"] == 0], key=lambda r: -r["tfidf"])
+    assert [r["token"] for r in d0] == ["apple", "banana"]
+    assert abs(d0[0]["tfidf"] - round(2 * idf(2), 6)) < 1e-9
+    # empty/whitespace docs emit nothing
+    assert not [r for r in out if r["doc_id"] in (3, 4)]
+    # doc 5: tie on tfidf (both tf=1, df=1) -> token-asc wins first
+    d5 = [r["token"] for r in sorted(
+        (r for r in out if r["doc_id"] == 5), key=lambda r: (-r["tfidf"], r["token"]))]
+    assert d5 == ["solo", "unique"]
+    # vocab cap: keep top-2 df tokens (apple, banana by df desc, token asc);
+    # OOV tokens score 0 but still occupy output slots deterministically
+    capped = tfidf_top_terms(ds, "doc_id", "text", k=1, max_vocab=2).take_all()
+    c2 = [r for r in capped if r["doc_id"] == 2]
+    assert len(c2) == 1 and c2[0]["token"] == "apple"  # cherry/date are OOV -> 0
