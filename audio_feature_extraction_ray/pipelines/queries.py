@@ -2992,6 +2992,45 @@ FROM events GROUP BY 1
 """
 
 
+def q_linreg_events(sf_dir: str):
+    """Per-group OLS fit of value on user_id from the same streaming
+    sufficient statistics as ``corr_events`` (SQL regr_slope /
+    regr_intercept / regr_r2 semantics)."""
+    from ..stages.aggregates import grouped_linreg
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value", "user_id"])
+    out = grouped_linreg(ev, "event_type", x="user_id", y="value")
+    return _round_cols(out, ["slope", "intercept", "r2"], digits=6)
+
+
+SQL_LINREG_EVENTS = """
+SELECT event_type,
+       CAST(regr_count(value, user_id) AS BIGINT) AS n,
+       ROUND(regr_slope(value, user_id), 6) AS slope,
+       ROUND(regr_intercept(value, user_id), 6) AS intercept,
+       ROUND(regr_r2(value, user_id), 6) AS r2
+FROM events GROUP BY 1
+"""
+
+
+def q_heavy_hitter_customers(sf_dir: str):
+    """EXACT φ-heavy hitters (customers placing ≥0.1% of all orders) via
+    candidate-prune + verify: per-block φ-filter bounds the exchange at
+    1/φ partials per block (guaranteed-superset by the averaging argument),
+    exact counts only for broadcast candidates on a pruned second scan."""
+    from ..stages.aggregates import heavy_hitters
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+    return heavy_hitters(orders, "o_custkey", phi=0.001)
+
+
+SQL_HEAVY_HITTER_CUSTOMERS = """
+SELECT o_custkey, COUNT(*) AS n
+FROM orders GROUP BY 1
+HAVING COUNT(*) >= 0.001 * (SELECT COUNT(o_custkey) FROM orders)
+"""
+
+
 # ------------------------------------------------------------------ tf-idf
 
 def q_tfidf_documents(sf_dir: str):
@@ -3119,6 +3158,8 @@ QUERIES = {
     "corr_events": (q_corr_events, SQL_CORR_EVENTS),
     "entropy_events": (q_entropy_events, SQL_ENTROPY_EVENTS),
     "tfidf_documents": (q_tfidf_documents, SQL_TFIDF_DOCUMENTS),
+    "linreg_events": (q_linreg_events, SQL_LINREG_EVENTS),
+    "heavy_hitter_customers": (q_heavy_hitter_customers, SQL_HEAVY_HITTER_CUSTOMERS),
     "ffill_events": (q_ffill_events, SQL_FFILL_EVENTS),
     "cumulative_events": (q_cumulative_events, SQL_CUMULATIVE_EVENTS),
     "rank_events": (q_rank_events, SQL_RANK_EVENTS),

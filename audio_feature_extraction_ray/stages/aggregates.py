@@ -506,27 +506,17 @@ def grouped_mode(
         zero_copy_batch=True,
     )
 
-def grouped_corr(
+def _pair_moment_sums(
     ds: ray.data.Dataset,
     key: str,
     x: str,
     y: str,
     num_final_partitions: int = 16,
 ) -> ray.data.Dataset:
-    """Per-group Pearson correlation + population covariance via sufficient
-    statistics (n, Σx, Σy, Σx², Σy², Σxy) — the textbook map-side-combinable
-    moments, so only O(#blocks × #keys-per-block) partials ever shuffle.
-
-    SQL ``corr``/``covar_pop`` semantics: only rows where BOTH x and y are
-    non-null contribute (pairwise deletion). Reference analog: the serial
-    per-file correlation stats the evaluation step computes in RAM
-    (03_feature_comparison_experiment/feature_comparison.py:1 region);
-    here the moments stream and combine associatively — the shape that
-    holds at 100 TB where the reference's value lists cannot.
-
-    Output: one row per group — key, ``n`` (pair count), ``cov_pop``,
-    ``corr`` (null when either variance is 0 or n == 0).
-    """
+    """Per-group bivariate sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy)
+    with SQL pairwise-deletion semantics — the shared kernel behind
+    :func:`grouped_corr` and :func:`grouped_linreg`. Map-side-combinable, so
+    only O(#blocks × #keys-per-block) partials ever shuffle."""
 
     def add_moments(t: pa.Table) -> pa.Table:
         xs = pc.cast(t.column(x), pa.float64())
@@ -547,7 +537,7 @@ def grouped_corr(
         )
 
     moments = ds.map_batches(add_moments, batch_format="pyarrow", zero_copy_batch=True)
-    sums = grouped_agg_fast(
+    return grouped_agg_fast(
         moments,
         keys=[key],
         specs=[
@@ -560,6 +550,29 @@ def grouped_corr(
         ],
         num_final_partitions=num_final_partitions,
     )
+
+
+def grouped_corr(
+    ds: ray.data.Dataset,
+    key: str,
+    x: str,
+    y: str,
+    num_final_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-group Pearson correlation + population covariance via streaming
+    sufficient statistics (see :func:`_pair_moment_sums`).
+
+    SQL ``corr``/``covar_pop`` semantics: only rows where BOTH x and y are
+    non-null contribute (pairwise deletion). Reference analog: the serial
+    per-file correlation stats the evaluation step computes in RAM
+    (03_feature_comparison_experiment/feature_comparison.py:1 region);
+    here the moments stream and combine associatively — the shape that
+    holds at 100 TB where the reference's value lists cannot.
+
+    Output: one row per group — key, ``n`` (pair count), ``cov_pop``,
+    ``corr`` (null when either variance is 0 or n == 0).
+    """
+    sums = _pair_moment_sums(ds, key, x, y, num_final_partitions)
 
     def finalize(t: pa.Table) -> pa.Table:
         n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -642,3 +655,144 @@ def grouped_entropy(
         )
 
     return sums.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+def grouped_linreg(
+    ds: ray.data.Dataset,
+    key: str,
+    x: str,
+    y: str,
+    num_final_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-group ordinary-least-squares fit of ``y`` on ``x`` from the same
+    streaming moments as :func:`grouped_corr` — SQL ``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2`` semantics (pairwise deletion; slope
+    null when x has zero variance).
+
+    Output: key, ``n``, ``slope``, ``intercept``, ``r2``.
+    """
+    sums = _pair_moment_sums(ds, key, x, y, num_final_partitions)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t.column("sx").to_numpy(zero_copy_only=False)
+        sy = t.column("sy").to_numpy(zero_copy_only=False)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False)
+        syy = t.column("syy").to_numpy(zero_copy_only=False)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mx, my = sx / n, sy / n
+            cov = sxy / n - mx * my
+            vx = sxx / n - mx * mx
+            vy = syy / n - my * my
+            slope = cov / vx
+            intercept = my - slope * mx
+            # SQL regr_r2: squared sample correlation (1.0 when y is
+            # constant and x varies, per DuckDB/Postgres)
+            r2 = np.where(vy > 0, (cov * cov) / (vx * vy), 1.0)
+        ok = (n > 0) & (vx > 0)
+        return pa.table(
+            {
+                key: t.column(key),
+                "n": pc.cast(t.column("n"), pa.int64()),
+                "slope": pa.array(np.where(ok, slope, np.nan), pa.float64()),
+                "intercept": pa.array(np.where(ok, intercept, np.nan), pa.float64()),
+                "r2": pa.array(np.where(ok, r2, np.nan), pa.float64()),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str,
+    phi: float,
+    n_total: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT φ-heavy hitters: every distinct ``col`` value whose frequency is
+    ≥ ``phi`` × total rows, with its exact count — via candidate-prune +
+    verify, never a full-cardinality exchange.
+
+    Pass 1 (one streaming scan): per-block counts; a value is a candidate iff
+    its in-block frequency ≥ φ × block rows. The averaging argument makes
+    this a guaranteed superset — a value below φ in EVERY block sums below
+    φN — and bounds candidates at 1/φ per block, so the exchange ships at
+    most (#blocks / φ) tiny (value, count) partials instead of full key
+    cardinality. Block sizes ride along in a null-key row, so the same pass
+    yields N. The deduped candidate list (≤ 1/φ typically, heavy-tailed
+    corpora collapse hard) is broadcast once via ``ray.put``.
+
+    Pass 2 re-scans with an ``is_in`` prune and exact-counts ONLY candidates
+    (map-side combined), then filters count ≥ φN. Output is exact — unlike
+    one-pass Misra–Gries this answers with true counts, at the price of a
+    second scan (cheap for columnar sources with column pruning).
+    """
+    import math
+
+    import ray
+
+    def pass1(t: pa.Table) -> pa.Table:
+        vals = t.column(col)
+        # nulls are excluded (they'd collide with the null block-size
+        # sentinel; SQL callers count nulls separately if they care)
+        vals = vals.filter(vals.is_valid())
+        counts = pa.table({col: vals}).group_by([col]).aggregate([([], "count_all")])
+        c = counts.column("count_all")
+        n_b = len(vals)  # non-null rows: N and per-block φ share a basis
+        keep = pc.greater_equal(pc.cast(c, pa.float64()), pa.scalar(phi * n_b))
+        cand = counts.filter(keep)
+        # null-key row carries the block size so one pass yields N
+        return pa.table(
+            {
+                col: pa.concat_arrays(
+                    [cand.column(col).combine_chunks().cast(vals.type),
+                     pa.nulls(1, vals.type)]
+                ),
+                "c": pa.concat_arrays(
+                    [pc.cast(cand.column("count_all"), pa.int64()).combine_chunks(),
+                     pa.array([n_b], pa.int64())]
+                ),
+            }
+        )
+
+    p1 = ds.map_batches(pass1, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_agg_fast(p1, keys=[col], specs=[("c", "c", "sum")])
+    blocks = [b for b in ray.get(agg.to_arrow_refs()) if b.num_rows > 0]
+    cand_tbl = pa.concat_tables(blocks).combine_chunks() if blocks else pa.table(
+        {col: pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+    )
+    null_mask = pc.is_null(cand_tbl.column(col))
+    n_from_pass = pc.sum(
+        pc.if_else(null_mask, cand_tbl.column("c"), pa.scalar(0, pa.int64()))
+    ).as_py() or 0
+    total = n_total if n_total is not None else n_from_pass
+    candidates = cand_tbl.filter(pc.invert(null_mask)).column(col).combine_chunks()
+    threshold = phi * total
+    bcast = ray.put(candidates)
+
+    def pass2(t: pa.Table) -> pa.Table:
+        cands = ray.get(bcast)
+        kept = t.filter(pc.is_in(t.column(col), value_set=cands))
+        counts = (
+            pa.table({col: kept.column(col)})
+            .group_by([col])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                col: counts.column(col),
+                "n": pc.cast(counts.column("count_all"), pa.int64()),
+            }
+        )
+
+    exact = grouped_agg_fast(
+        ds.map_batches(pass2, batch_format="pyarrow", zero_copy_batch=True),
+        keys=[col],
+        specs=[("n", "n", "sum")],
+    )
+    return exact.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(pc.cast(t.column("n"), pa.float64()), pa.scalar(float(threshold)))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

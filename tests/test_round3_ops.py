@@ -560,3 +560,43 @@ def test_tfidf_top_terms_matches_serial_and_vocab_cap():
     capped = tfidf_top_terms(ds, "doc_id", "text", k=1, max_vocab=2).take_all()
     c2 = [r for r in capped if r["doc_id"] == 2]
     assert len(c2) == 1 and c2[0]["token"] == "apple"  # cherry/date are OOV -> 0
+
+
+def test_grouped_linreg_known_fits():
+    from audio_feature_extraction_ray.stages.aggregates import grouped_linreg
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=500)
+    rows = {
+        "k": ["fit"] * 500 + ["flat"] * 3,
+        "x": np.concatenate([x, [2.0, 2.0, 2.0]]),
+        "y": np.concatenate([3.0 * x + 1.0, [5.0, 6.0, 7.0]]),
+    }
+    ds = ray.data.from_arrow(pa.table(rows)).repartition(5)
+    out = {r["k"]: r for r in grouped_linreg(ds, "k", "x", "y").take_all()}
+    assert abs(out["fit"]["slope"] - 3.0) < 1e-9
+    assert abs(out["fit"]["intercept"] - 1.0) < 1e-9
+    assert abs(out["fit"]["r2"] - 1.0) < 1e-12
+    # zero variance in x -> slope/intercept/r2 null
+    flat = out["flat"]
+    for c in ("slope", "intercept", "r2"):
+        assert flat[c] is None or np.isnan(flat[c])
+
+
+def test_heavy_hitters_exact_and_prunes():
+    from audio_feature_extraction_ray.stages.aggregates import heavy_hitters
+
+    rng = np.random.default_rng(5)
+    # zipf-ish: two hot keys + a long unique tail, plus nulls (excluded)
+    vals = (["hot"] * 300 + ["warm"] * 120
+            + [f"tail{i}" for i in range(580)] + [None] * 40)
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(vals, pa.string())})).repartition(6)
+    n = 1000  # non-null rows
+    out = {r["k"]: r["n"] for r in heavy_hitters(ds, "k", phi=0.1).take_all()}
+    assert out == {"hot": 300, "warm": 120}
+    # phi above every frequency -> empty, no crash
+    assert heavy_hitters(ds, "k", phi=0.5).take_all() == []
+    # exactness at the boundary: phi*N == exact count of 'warm'
+    out2 = {r["k"]: r["n"] for r in heavy_hitters(ds, "k", phi=0.12).take_all()}
+    assert out2 == {"hot": 300, "warm": 120}
