@@ -3031,6 +3031,29 @@ HAVING COUNT(*) >= 0.001 * (SELECT COUNT(o_custkey) FROM orders)
 """
 
 
+def q_target_encode_events(sf_dir: str):
+    """Smoothed mean-target encoding of event_type against value (m=10):
+    per-category sums through the map-side combiner, global mean from the
+    same partials, |categories|-row table broadcast back — rows never
+    shuffle."""
+    from ..stages.scaling import target_encode
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = target_encode(ev, "event_type", "value", smoothing=10.0)
+    out = out.select_columns(["event_id", "event_type", "event_type_te"])
+    return _round_cols(out, ["event_type_te"], digits=6)
+
+
+SQL_TARGET_ENCODE_EVENTS = """
+WITH g AS (
+  SELECT event_type, SUM(value) AS s, COUNT(value) AS n FROM events GROUP BY 1
+), gm AS (SELECT SUM(s) / SUM(n) AS mu FROM g)
+SELECT e.event_id, e.event_type,
+       ROUND((g.s + 10.0 * gm.mu) / (g.n + 10.0), 6) AS event_type_te
+FROM events e JOIN g USING (event_type) CROSS JOIN gm
+"""
+
+
 # ------------------------------------------------------------------ tf-idf
 
 def q_tfidf_documents(sf_dir: str):
@@ -3060,6 +3083,35 @@ QUALIFY row_number() OVER (
   PARTITION BY doc_id
   ORDER BY ROUND(tf * (ln((1.0 + n) / (1.0 + df)) + 1.0), 6) DESC, token
 ) <= 3
+"""
+
+
+def q_hashvec_documents(sf_dir: str):
+    """Hashing-trick vectorizer (dim=64, signed md5 buckets): sparse
+    (doc, bucket, weight) rows, one in-batch pass, NO shuffle at any scale
+    (a document is one row)."""
+    from ..stages.text import hashing_vectorizer
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return hashing_vectorizer(docs, id_col="doc_id", text_col="text", dim=64)
+
+
+SQL_HASHVEC_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
+), h AS (
+  SELECT doc_id, tf,
+         CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS UBIGINT) % 64 AS BIGINT) AS bucket,
+         CASE WHEN CAST(concat('0x', substr(md5(token), 9, 1)) AS UBIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS sign
+  FROM tf
+)
+SELECT doc_id, bucket, CAST(SUM(sign * tf) AS BIGINT) AS weight
+FROM h GROUP BY 1, 2
 """
 
 
@@ -3160,6 +3212,8 @@ QUERIES = {
     "tfidf_documents": (q_tfidf_documents, SQL_TFIDF_DOCUMENTS),
     "linreg_events": (q_linreg_events, SQL_LINREG_EVENTS),
     "heavy_hitter_customers": (q_heavy_hitter_customers, SQL_HEAVY_HITTER_CUSTOMERS),
+    "target_encode_events": (q_target_encode_events, SQL_TARGET_ENCODE_EVENTS),
+    "hashvec_documents": (q_hashvec_documents, SQL_HASHVEC_DOCUMENTS),
     "ffill_events": (q_ffill_events, SQL_FFILL_EVENTS),
     "cumulative_events": (q_cumulative_events, SQL_CUMULATIVE_EVENTS),
     "rank_events": (q_rank_events, SQL_RANK_EVENTS),

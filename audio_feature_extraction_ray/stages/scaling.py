@@ -124,3 +124,66 @@ def quantile_bucketize(
         return t.append_column(out_col, arr)
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+def target_encode(
+    ds: ray.data.Dataset,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 10.0,
+    out_col: str | None = None,
+    method: str = "broadcast",
+) -> ray.data.Dataset:
+    """Smoothed mean-target encoding: append
+    ``(Σ_g target + m·μ) / (n_g + m)`` per category — the classic
+    categorical-to-numeric feature transform, with additive smoothing toward
+    the global mean so rare categories don't memorize their targets.
+
+    Phase 1: per-category (Σ target, non-null count) via
+    :func:`~.aggregates.grouped_agg_fast` map-side combine. The global mean
+    μ = ΣΣ/Σn falls out of the SAME partials (no second data pass). Phase 2
+    joins the |categories|-row encoding table back — broadcast for
+    broadcastable cardinalities, :func:`bucket_hash_join` when the category
+    set is itself corpus-scale. Rows whose category can't be joined (null
+    category — SQL joins don't match nulls — or never seen with a non-null
+    target) get the smoothed prior μ, the n_g→0 limit of the formula.
+    """
+    if method not in ("broadcast", "shuffle"):
+        raise ValueError(method)
+    out_name = out_col or (cat_col + "_te")
+
+    stats = grouped_agg_fast(
+        ds.select_columns([cat_col, target_col]),
+        keys=[cat_col],
+        specs=[("__s", target_col, "sum"), ("__n", target_col, "count")],
+    )
+    blocks = [b for b in ray.get(stats.to_arrow_refs()) if b.num_rows > 0]
+    if blocks:
+        stat_tbl = pa.concat_tables(blocks).combine_chunks()
+        s = pc.cast(stat_tbl.column("__s"), pa.float64()).to_numpy(zero_copy_only=False)
+        n = pc.cast(stat_tbl.column("__n"), pa.float64()).to_numpy(zero_copy_only=False)
+        total_n = float(n.sum())
+        mu = float(s.sum() / total_n) if total_n > 0 else 0.0
+        enc = (s + smoothing * mu) / (n + smoothing)
+        enc_tbl = pa.table({cat_col: stat_tbl.column(cat_col),
+                            out_name: pa.array(enc, pa.float64())})
+    else:
+        mu = 0.0
+        enc_tbl = pa.table({cat_col: pa.array([], pa.string()),
+                            out_name: pa.array([], pa.float64())})
+    enc_ds = ray.data.from_arrow(enc_tbl)
+
+    if method == "broadcast":
+        joined = broadcast_join(ds, enc_ds, keys=cat_col, join_type="left outer")
+    else:
+        joined = bucket_hash_join(ds, enc_ds, on=cat_col, join_type="left outer")
+
+    prior = mu  # smoothed limit for unseen categories (n_g -> 0)
+
+    def fill_prior(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index(out_name)
+        arr = pc.cast(t.column(i), pa.float64())
+        return t.set_column(
+            i, out_name, pc.fill_null(arr, pa.scalar(prior, pa.float64()))
+        )
+
+    return joined.map_batches(fill_prior, batch_format="pyarrow", zero_copy_batch=True)

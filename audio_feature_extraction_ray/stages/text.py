@@ -432,3 +432,80 @@ def tfidf_top_terms(
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+# per-worker memo: token -> (bucket-hash int, sign) so each distinct token
+# is md5'd once per worker process, not once per occurrence
+_HASHVEC_CACHE: dict = {}
+
+
+def hashing_vectorizer(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> ray.data.Dataset:
+    """Hashing-trick text vectorizer (sklearn ``HashingVectorizer`` shape):
+    sparse (doc, bucket, weight) rows with ``bucket = md5(token) mod dim``
+    and a signed count (sign from the 9th md5 hex digit's parity) so bucket
+    collisions cancel in expectation instead of accumulating bias.
+
+    Stateless per document — a document is ONE row, so the whole transform
+    is a single in-batch pass with NO shuffle at any scale: tokenize
+    (vectorized), md5 only the batch's DISTINCT tokens (dictionary-encode +
+    per-worker memo), signed-sum per (doc, bucket) with Arrow's C++ hash
+    aggregation. md5-derived buckets are engine-portable: DuckDB replays
+    them exactly (``CAST(concat('0x', substr(md5(token),1,8)) AS UBIGINT)``),
+    so the gate oracle-checks values, not just shapes.
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def vectorize(t: pa.Table) -> pa.Table:
+        pairs = _doc_token_tf(t, id_col, text_col)
+        if pairs.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], t.schema.field(id_col).type),
+                    "bucket": pa.array([], pa.int64()),
+                    "weight": pa.array([], pa.int64()),
+                }
+            )
+        toks = pairs.column("token").combine_chunks().dictionary_encode()
+        vocab = toks.dictionary.to_pylist()
+        buckets_v = np.empty(len(vocab), dtype=np.int64)
+        signs_v = np.empty(len(vocab), dtype=np.int64)
+        for i, tok in enumerate(vocab):
+            memo = _HASHVEC_CACHE.get(tok)
+            if memo is None:
+                hx = hashlib.md5(tok.encode("utf-8", "surrogatepass")).hexdigest()
+                memo = (int(hx[:8], 16), 1 if int(hx[8], 16) % 2 == 0 else -1)
+                _HASHVEC_CACHE[tok] = memo
+            buckets_v[i] = memo[0]
+            signs_v[i] = memo[1]
+        idx = toks.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = buckets_v[idx] % dim
+        signed = signs_v[idx] * pairs.column("tf").to_numpy(zero_copy_only=False)
+        did = pairs.column("__did")
+        agg = (
+            pa.table(
+                {
+                    "__did": did,
+                    "bucket": pa.array(bucket, pa.int64()),
+                    "w": pa.array(signed, pa.int64()),
+                }
+            )
+            .group_by(["__did", "bucket"])
+            .aggregate([("w", "sum")])
+        )
+        ids = t.column(id_col).take(agg.column("__did"))
+        return pa.table(
+            {
+                id_col: ids,
+                "bucket": agg.column("bucket"),
+                "weight": pc.cast(agg.column("w_sum"), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(vectorize, batch_format="pyarrow", zero_copy_batch=True)

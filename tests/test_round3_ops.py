@@ -600,3 +600,56 @@ def test_heavy_hitters_exact_and_prunes():
     # exactness at the boundary: phi*N == exact count of 'warm'
     out2 = {r["k"]: r["n"] for r in heavy_hitters(ds, "k", phi=0.12).take_all()}
     assert out2 == {"hot": 300, "warm": 120}
+
+
+def test_target_encode_smoothing_and_unseen():
+    from audio_feature_extraction_ray.stages.scaling import target_encode
+
+    rows = {
+        "cat": ["a"] * 4 + ["b"] * 2 + ["c"] + [None],
+        "y": [1.0, 2.0, 3.0, 4.0, 10.0, None, 7.0, 5.0],
+    }
+    ds = ray.data.from_arrow(pa.table(rows)).repartition(3)
+    out = target_encode(ds, "cat", "y", smoothing=2.0, out_col="te").take_all()
+    # global mean over non-null targets: (1+2+3+4+10+7+5)/7
+    mu = 32.0 / 7.0
+    by_cat = {}
+    for r in out:
+        by_cat.setdefault(r["cat"], []).append(r["te"])
+    assert all(abs(v - (10.0 + 2 * mu) / (4 + 2)) < 1e-12 for v in by_cat["a"])
+    assert abs(by_cat["c"][0] - (7.0 + 2 * mu) / (1 + 2)) < 1e-12
+    # 'b' has one null target: n counts non-null only (SQL COUNT(col))
+    assert all(abs(v - (10.0 + 2 * mu) / (1 + 2)) < 1e-12 for v in by_cat["b"])
+    # null category -> smoothed prior mu
+    assert abs(by_cat[None][0] - mu) < 1e-12
+    assert len(out) == 8
+
+
+def test_hashing_vectorizer_serial_parity_and_cancellation():
+    import hashlib
+
+    from audio_feature_extraction_ray.stages.text import hashing_vectorizer
+
+    texts = ["apple banana apple", "", "  ", "cherry", "apple apple apple"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(2)
+    out = hashing_vectorizer(ds, "doc_id", "text", dim=8).take_all()
+
+    def serial(text, dim=8):
+        acc = {}
+        for tok in text.split():
+            hx = hashlib.md5(tok.encode()).hexdigest()
+            b = int(hx[:8], 16) % dim
+            s = 1 if int(hx[8], 16) % 2 == 0 else -1
+            acc[b] = acc.get(b, 0) + s
+        return acc
+
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], {})[r["bucket"]] = r["weight"]
+    for i, txt in enumerate(texts):
+        assert got.get(i, {}) == serial(txt), (i, txt)
+    # empty docs emit nothing
+    assert 1 not in got and 2 not in got
