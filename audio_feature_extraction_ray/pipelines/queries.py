@@ -3115,6 +3115,80 @@ FROM h GROUP BY 1, 2
 """
 
 
+def q_chi_square_events(sf_dir: str):
+    """χ² independence test between event_type and the value's 100-band —
+    feature-relevance screening. Only the (a,b) contingency counts shuffle
+    (map-side combined); the |A|·|B| cell grid finalizes in one task with
+    zero-observed cells contributing their expected mass."""
+    from ..stages.aggregates import chi_square
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def band(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "band": pc.cast(
+                    pc.floor(pc.divide(pc.cast(t.column("value"), pa.float64()), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = chi_square(ev.map_batches(band, batch_format="pyarrow", zero_copy_batch=True),
+                     "event_type", "band")
+    return _round_cols(out, ["chi2", "cramers_v"], digits=6)
+
+
+SQL_CHI_SQUARE_EVENTS = """
+WITH t AS (
+  SELECT event_type AS a, CAST(floor(value / 100.0) AS BIGINT) AS b FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+), c AS (SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS n FROM t GROUP BY 1, 2),
+ra AS (SELECT a, SUM(n) AS na FROM c GROUP BY 1),
+rb AS (SELECT b, SUM(n) AS nb FROM c GROUP BY 1),
+tot AS (SELECT SUM(n) AS n FROM c),
+cell AS (
+  SELECT COALESCE(c.n, 0) AS o, ra.na * rb.nb / (SELECT n FROM tot) AS e
+  FROM ra CROSS JOIN rb LEFT JOIN c ON c.a = ra.a AND c.b = rb.b
+)
+SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+       CAST(((SELECT COUNT(*) FROM ra) - 1) * ((SELECT COUNT(*) FROM rb) - 1) AS BIGINT) AS dof,
+       CAST((SELECT n FROM tot) AS BIGINT) AS n,
+       ROUND(sqrt(SUM((o - e) * (o - e) / e)
+             / ((SELECT n FROM tot)
+                * least((SELECT COUNT(*) FROM ra) - 1, (SELECT COUNT(*) FROM rb) - 1))), 6)
+         AS cramers_v
+FROM cell
+"""
+
+
+def q_cohort_retention_events(sf_dir: str):
+    """Weekly cohort-retention matrix (first-seen week × week offset →
+    distinct active users): first-seen via map-side min-combiner, |users|-row
+    broadcast back, distinct triples collapsed map-side before the final
+    cell count — rows never concentrate."""
+    from ..stages.aggregates import cohort_retention
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(ev, "user_id", "ts")
+
+
+SQL_COHORT_RETENTION_EVENTS = """
+WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1),
+j AS (
+  SELECT e.user_id,
+         date_trunc('week', f.first_ts) AS cohort_week,
+         CAST((epoch(date_trunc('week', e.ts)) - epoch(date_trunc('week', f.first_ts)))
+              / 604800 AS BIGINT) AS week_offset
+  FROM events e JOIN f USING (user_id)
+)
+SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_offset,
+       COUNT(DISTINCT user_id) AS active_users
+FROM j GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------ registry
 #
 # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 registered
@@ -3214,6 +3288,8 @@ QUERIES = {
     "heavy_hitter_customers": (q_heavy_hitter_customers, SQL_HEAVY_HITTER_CUSTOMERS),
     "target_encode_events": (q_target_encode_events, SQL_TARGET_ENCODE_EVENTS),
     "hashvec_documents": (q_hashvec_documents, SQL_HASHVEC_DOCUMENTS),
+    "chi_square_events": (q_chi_square_events, SQL_CHI_SQUARE_EVENTS),
+    "cohort_retention_events": (q_cohort_retention_events, SQL_COHORT_RETENTION_EVENTS),
     "ffill_events": (q_ffill_events, SQL_FFILL_EVENTS),
     "cumulative_events": (q_cumulative_events, SQL_CUMULATIVE_EVENTS),
     "rank_events": (q_rank_events, SQL_RANK_EVENTS),

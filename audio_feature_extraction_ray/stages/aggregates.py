@@ -796,3 +796,118 @@ def heavy_hitters(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+def chi_square(
+    ds: ray.data.Dataset,
+    a_col: str,
+    b_col: str,
+) -> ray.data.Dataset:
+    """Pearson χ² test of independence between two categorical columns —
+    the feature-relevance screen (is feature ``a`` informative about label
+    ``b``?): one-row output ``(chi2, dof, n, cramers_v)``.
+
+    The only exchange is the (a, b) contingency count through the map-side
+    combiner; the cell table (|A|·|B| — categorical by assumption, so tiny)
+    is finalized in one task. Zero-observed cells contribute their full
+    expected mass, matching the textbook statistic. Extends the reference's
+    per-category comparison report (03_feature_comparison_experiment/
+    feature_comparison.py grouped deltas) with an actual dependence test.
+    """
+    counts = grouped_agg_fast(ds.select_columns([a_col, b_col]),
+                              keys=[a_col, b_col], specs=[], count_alias="__n")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # null categories are excluded from the test (no meaningful margin)
+        t = t.filter(pc.and_(t.column(a_col).is_valid(), t.column(b_col).is_valid()))
+        if t.num_rows == 0:
+            return pa.table({
+                "chi2": pa.array([None], pa.float64()),
+                "dof": pa.array([0], pa.int64()),
+                "n": pa.array([0], pa.int64()),
+                "cramers_v": pa.array([None], pa.float64()),
+            })
+        a_codes = t.column(a_col).combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        b_codes = t.column(b_col).combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("__n").to_numpy(zero_copy_only=False).astype(np.float64)
+        ka, kb = a_codes.max() + 1, b_codes.max() + 1
+        obs = np.zeros((ka, kb))
+        obs[a_codes, b_codes] = n
+        na, nb, total = obs.sum(1), obs.sum(0), obs.sum()
+        exp = np.outer(na, nb) / total
+        chi2 = float(((obs - exp) ** 2 / exp).sum())
+        dof = int((ka - 1) * (kb - 1))
+        denom = total * min(ka - 1, kb - 1)
+        v = float(np.sqrt(chi2 / denom)) if denom > 0 else None
+        return pa.table({
+            "chi2": pa.array([chi2], pa.float64()),
+            "dof": pa.array([dof], pa.int64()),
+            "n": pa.array([int(total)], pa.int64()),
+            "cramers_v": pa.array([v], pa.float64()),
+        })
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+def cohort_retention(
+    ds: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+    method: str = "broadcast",
+) -> ray.data.Dataset:
+    """Weekly cohort-retention matrix: users bucketed by first-seen week,
+    distinct active users counted per (cohort_week, week_offset) — the
+    classic engagement/retention rollup over an event log.
+
+    Three partial-only exchanges, rows never concentrate: (1) first-seen
+    per user through the map-side min-combiner; (2) the |users|-row firsts
+    table joins back (broadcast, or ``method='shuffle'`` via
+    ``bucket_hash_join`` when the user set is corpus-scale); (3) distinct
+    (cohort, offset, user) triples collapse map-side before the final
+    per-cell count. Week truncation is Monday-based (DuckDB
+    ``date_trunc('week')`` parity).
+    """
+    from .joins import broadcast_join, bucket_hash_join
+
+    if method not in ("broadcast", "shuffle"):
+        raise ValueError(method)
+
+    ev = ds.select_columns([user_col, ts_col])
+    firsts = grouped_agg_fast(
+        ev, keys=[user_col], specs=[("__first_ts", ts_col, "min")]
+    )
+    if method == "broadcast":
+        joined = broadcast_join(ev, firsts, keys=user_col, join_type="inner")
+    else:
+        joined = bucket_hash_join(ev, firsts, on=user_col, join_type="inner")
+
+    WEEK_US = 7 * 86400 * 1_000_000
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column(ts_col), pa.timestamp("us"))
+        first = pc.cast(t.column("__first_ts"), pa.timestamp("us"))
+        cw = pc.floor_temporal(first, unit="week", week_starts_monday=True)
+        ew = pc.floor_temporal(ts, unit="week", week_starts_monday=True)
+        cw_i = pc.cast(cw, pa.int64()).to_numpy(zero_copy_only=False)
+        ew_i = pc.cast(ew, pa.int64()).to_numpy(zero_copy_only=False)
+        off = (ew_i - cw_i) // WEEK_US
+        return pa.table(
+            {
+                "cohort_week": cw,
+                "week_offset": pa.array(off, pa.int64()),
+                user_col: t.column(user_col),
+            }
+        )
+
+    cells = joined.map_batches(to_cells, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = grouped_agg_fast(
+        cells, keys=["cohort_week", "week_offset", user_col], specs=[]
+    )
+    return grouped_agg_fast(
+        distinct.select_columns(["cohort_week", "week_offset"]),
+        keys=["cohort_week", "week_offset"],
+        specs=[],
+        count_alias="active_users",
+    )

@@ -653,3 +653,56 @@ def test_hashing_vectorizer_serial_parity_and_cancellation():
         assert got.get(i, {}) == serial(txt), (i, txt)
     # empty docs emit nothing
     assert 1 not in got and 2 not in got
+
+
+def test_chi_square_hand_computed_and_independence():
+    from audio_feature_extraction_ray.stages.aggregates import chi_square
+
+    # 2x2 with known chi2: obs [[10, 20], [30, 40]]
+    rows = {"a": ["x"] * 30 + ["y"] * 70,
+            "b": ["p"] * 10 + ["q"] * 20 + ["p"] * 30 + ["q"] * 40}
+    ds = ray.data.from_arrow(pa.table(rows)).repartition(4)
+    out = chi_square(ds, "a", "b").take_all()[0]
+    obs = np.array([[10.0, 20.0], [30.0, 40.0]])
+    exp = np.outer(obs.sum(1), obs.sum(0)) / obs.sum()
+    want = float(((obs - exp) ** 2 / exp).sum())
+    assert abs(out["chi2"] - want) < 1e-9
+    assert out["dof"] == 1 and out["n"] == 100
+    assert abs(out["cramers_v"] - np.sqrt(want / 100.0)) < 1e-9
+    # perfectly independent table -> chi2 == 0
+    rows2 = {"a": ["x", "x", "y", "y"] * 25, "b": ["p", "q", "p", "q"] * 25}
+    out2 = chi_square(ray.data.from_arrow(pa.table(rows2)), "a", "b").take_all()[0]
+    assert abs(out2["chi2"]) < 1e-12
+    # nulls excluded, zero-observed cells carry expected mass (no div-by-0)
+    rows3 = {"a": ["x", "x", "y", None], "b": ["p", "q", "p", "p"]}
+    out3 = chi_square(ray.data.from_arrow(pa.table(rows3)), "a", "b").take_all()[0]
+    assert out3["n"] == 3 and np.isfinite(out3["chi2"])
+
+
+def test_cohort_retention_hand_case():
+    import datetime as dt
+
+    from audio_feature_extraction_ray.stages.aggregates import cohort_retention
+
+    # week1 = Mon 2024-01-01; week2 = Mon 2024-01-08
+    w1, w2 = dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 10)
+    rows = {
+        "u": [1, 1, 1, 2, 3, 3],
+        "ts": [w1, w1, w2, w2, w1, w1 + dt.timedelta(days=1)],
+    }
+    ds = ray.data.from_arrow(
+        pa.table({"u": pa.array(rows["u"], pa.int64()),
+                  "ts": pa.array(rows["ts"], pa.timestamp("us"))})
+    ).repartition(3)
+    out = {(r["cohort_week"], r["week_offset"]): r["active_users"]
+           for r in cohort_retention(ds, "u", "ts").take_all()}
+    mon1 = dt.datetime(2024, 1, 1)
+    mon1 = __import__("pandas").Timestamp(mon1)
+    k = {(c.to_pydatetime() if hasattr(c, "to_pydatetime") else c, o): v
+         for (c, o), v in out.items()}
+    # cohort week1: users 1 & 3 active in offset 0 (2 users); user 1 also in offset 1
+    assert k[(dt.datetime(2024, 1, 1), 0)] == 2
+    assert k[(dt.datetime(2024, 1, 1), 1)] == 1
+    # cohort week2: user 2 only
+    assert k[(dt.datetime(2024, 1, 8), 0)] == 1
+    assert len(k) == 3
