@@ -3189,6 +3189,59 @@ FROM j GROUP BY 1, 2
 """
 
 
+def q_bigram_frequencies(sf_dir: str):
+    """Corpus top-30 bigrams (document-bounded, whitespace tokens):
+    columnar n-gram build, one (gram, count) partial exchange, partial
+    top-k merge — no global sort, grams never shuffle as rows."""
+    from ..stages.text import ngram_frequencies
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return ngram_frequencies(docs, text_col="text", n=2, k=30)
+
+
+SQL_BIGRAM_FREQUENCIES = r"""
+WITH arrs AS (
+  SELECT string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+') AS arr
+  FROM documents
+  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
+), bi AS (
+  SELECT UNNEST(list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i+1])) AS gram
+  FROM arrs
+)
+SELECT gram, COUNT(*) AS n FROM bi GROUP BY 1 ORDER BY n DESC, gram LIMIT 30
+"""
+
+
+def q_funnel_events(sf_dir: str):
+    """3-step sequential funnel click → view → purchase (first-touch
+    chaining, strict-after): one user-hash exchange, k vectorized passes
+    per partition, k-row partials combined."""
+    from ..stages.aggregates import funnel
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel(ev, "user_id", "ts", "event_type",
+                  steps=["click", "view", "purchase"])
+
+
+SQL_FUNNEL_EVENTS = """
+WITH u0 AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'click' THEN ts END) AS t
+  FROM events GROUP BY 1
+), u1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN u0 USING (user_id)
+  WHERE e.event_type = 'view' AND u0.t IS NOT NULL AND e.ts > u0.t GROUP BY 1
+), u2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN u1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > u1.t GROUP BY 1
+)
+SELECT 'click' AS step, (SELECT COUNT(t) FROM u0) AS users
+UNION ALL SELECT 'view', (SELECT COUNT(*) FROM u1)
+UNION ALL SELECT 'purchase', (SELECT COUNT(*) FROM u2)
+"""
+
+
 # ------------------------------------------------------------------ registry
 #
 # ORDER MATTERS: the driver's correctness gate checks the FIRST 50 registered
@@ -3290,6 +3343,8 @@ QUERIES = {
     "hashvec_documents": (q_hashvec_documents, SQL_HASHVEC_DOCUMENTS),
     "chi_square_events": (q_chi_square_events, SQL_CHI_SQUARE_EVENTS),
     "cohort_retention_events": (q_cohort_retention_events, SQL_COHORT_RETENTION_EVENTS),
+    "bigram_frequencies": (q_bigram_frequencies, SQL_BIGRAM_FREQUENCIES),
+    "funnel_events": (q_funnel_events, SQL_FUNNEL_EVENTS),
     "ffill_events": (q_ffill_events, SQL_FFILL_EVENTS),
     "cumulative_events": (q_cumulative_events, SQL_CUMULATIVE_EVENTS),
     "rank_events": (q_rank_events, SQL_RANK_EVENTS),

@@ -911,3 +911,66 @@ def cohort_retention(
         specs=[],
         count_alias="active_users",
     )
+
+def funnel(
+    ds: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    n_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Sequential k-step funnel: for each step i, count users who reached
+    it — step 0 is "has an event of type steps[0]", step i is "has a
+    steps[i] event STRICTLY AFTER their first qualifying steps[i-1] event"
+    (first-touch chaining, the standard product-analytics funnel).
+
+    One user-hash exchange (``coarse_partitioned``); inside a partition the
+    whole chain is k vectorized passes (per-user first-qualifying timestamp
+    via ``np.minimum.at`` on dictionary codes — no per-user dispatch). Each
+    partition emits k partial counts; the final combine sums k rows. Output:
+    (step, users), one row per step.
+    """
+    from .util import coarse_partitioned
+
+    ev = ds.select_columns([user_col, ts_col, type_col])
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "step": pa.array(list(steps), pa.string()),
+                    "users": pa.array([0] * len(steps), pa.int64()),
+                }
+            )
+        t = t.combine_chunks()
+        codes = (
+            t.column(user_col).combine_chunks().dictionary_encode().indices
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        # us-precision timestamps (~1.7e15) sit far below 2^53: float64 is exact
+        ts = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        n_users = int(codes.max()) + 1
+        t_prev = np.full(n_users, -np.inf)
+        out_counts = []
+        for step in steps:
+            m = pc.fill_null(
+                pc.equal(t.column(type_col), pa.scalar(step)), False
+            ).to_numpy(zero_copy_only=False).astype(bool)
+            m &= ts > t_prev[codes]
+            t_i = np.full(n_users, np.inf)
+            np.minimum.at(t_i, codes[m], ts[m])
+            out_counts.append(int(np.isfinite(t_i).sum()))
+            t_prev = t_i
+        return pa.table(
+            {
+                "step": pa.array(list(steps), pa.string()),
+                "users": pa.array(out_counts, pa.int64()),
+            }
+        )
+
+    parts = coarse_partitioned(ds=ev, key=user_col, fn=per_part, n_partitions=n_partitions)
+    return grouped_agg_fast(
+        parts, keys=["step"], specs=[("users", "users", "sum")], num_final_partitions=1
+    )

@@ -509,3 +509,48 @@ def hashing_vectorizer(
         )
 
     return ds.map_batches(vectorize, batch_format="pyarrow", zero_copy_batch=True)
+
+def ngram_frequencies(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 50,
+) -> ray.data.Dataset:
+    """Corpus top-``k`` word n-grams (whitespace tokens, document-bounded):
+    per-batch n-gram build + in-batch count partials, one partial-only
+    exchange, partial top-k merge — the vocabulary/collocation sibling of
+    ``token_frequencies`` (grams never shuffle as rows, only (gram, count)
+    partials bounded by per-block distinct grams).
+
+    n-gram strings are built columnar: one ``binary_join_element_wise``
+    over n shifted slices of the non-empty token stream, masked to rows
+    whose n tokens all sit in the same document.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .util import topk
+    from ..stages.aggregates import grouped_agg_fast
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def to_grams(t: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string())})
+        flat, off, _ = _flat_tokens(t.column(text_col))
+        if t.num_rows == 0 or len(flat) == 0:
+            return empty
+        mask = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        kept = flat.filter(pa.array(mask))
+        m = len(kept)
+        if m < n:
+            return empty
+        did = np.repeat(np.arange(t.num_rows, dtype=np.int64), np.diff(off))[mask]
+        same_doc = did[: m - n + 1] == did[n - 1 :]
+        slices = [kept.slice(j, m - n + 1) for j in range(n)]
+        grams = slices[0] if n == 1 else pc.binary_join_element_wise(*slices, " ")
+        return pa.table({"gram": grams.filter(pa.array(same_doc))})
+
+    grams = ds.map_batches(to_grams, batch_format="pyarrow", zero_copy_batch=True)
+    counts = grouped_agg_fast(grams, keys=["gram"], specs=[], count_alias="n")
+    return topk(counts, ["n", "gram"], k=k, descending=[True, False])

@@ -706,3 +706,55 @@ def test_cohort_retention_hand_case():
     # cohort week2: user 2 only
     assert k[(dt.datetime(2024, 1, 8), 0)] == 1
     assert len(k) == 3
+
+
+def test_ngram_frequencies_doc_bounded():
+    from audio_feature_extraction_ray.stages.text import ngram_frequencies
+
+    texts = ["a b c", "c a b", "solo", "", "  a   b  "]  # runs collapse
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    ds = ds.repartition(2)
+    out = {r["gram"]: r["n"] for r in ngram_frequencies(ds, "text", n=2, k=10).take_all()}
+    # "a b" appears in docs 0, 1, 4; "b c" in doc 0; "c a" in doc 1.
+    # No cross-document grams ("c c" etc.), no grams from "solo"/empty docs.
+    assert out == {"a b": 3, "b c": 1, "c a": 1}
+    # trigram
+    out3 = {r["gram"]: r["n"] for r in ngram_frequencies(ds, "text", n=3, k=10).take_all()}
+    assert out3 == {"a b c": 1, "c a b": 1}
+
+
+def test_funnel_sequential_chaining():
+    import datetime as dt
+
+    from audio_feature_extraction_ray.stages.aggregates import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows = [
+        # user 1: full ordered chain
+        (1, ts(0), "click"), (1, ts(1), "view"), (1, ts(2), "purchase"),
+        # user 2: purchase BEFORE view -> stops at view
+        (2, ts(0), "click"), (2, ts(2), "view"), (2, ts(1), "purchase"),
+        # user 3: view only, never clicked -> counts nowhere
+        (3, ts(0), "view"), (3, ts(1), "purchase"),
+        # user 4: click then simultaneous view (strict-after excludes it)
+        (4, ts(0), "click"), (4, ts(0), "view"),
+        # user 5: click, later chain via SECOND view (first-touch on view
+        # at t1, purchase after it)
+        (5, ts(0), "click"), (5, ts(1), "view"), (5, ts(3), "view"),
+        (5, ts(2), "purchase"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({
+            "u": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "typ": pa.array([r[2] for r in rows], pa.string()),
+        })
+    ).repartition(3)
+    out = {r["step"]: r["users"] for r in
+           funnel(ds, "u", "ts", "typ", ["click", "view", "purchase"]).take_all()}
+    # click: users 1,2,4,5; view-after-click: 1,2,5; purchase-after-first-view: 1,5
+    assert out == {"click": 4, "view": 3, "purchase": 2}
