@@ -2532,6 +2532,33 @@ def q_knn_lsh_embeddings(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"]).sort(["query_id", "rank"])
 
 
+def q_label_centroids(sf_dir: str):
+    """Class-separation diagnostic: pairwise cosine between per-label
+    embedding centroids. Partial (label, dim) sums combine map-side; only
+    |labels|·d tiny rows shuffle, and the |labels|² upper triangle
+    finalizes in one task."""
+    from ..stages.similarity import label_centroids_cosine
+
+    emb = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+    out = label_centroids_cosine(emb, "label")
+    return _round_cols(out, ["cosine"], digits=6)
+
+
+SQL_LABEL_CENTROIDS = """
+WITH e AS (
+  SELECT label, g.i AS dim, AVG(CAST(embedding[g.i] AS DOUBLE)) AS v
+  FROM embeddings, LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS i) g
+  GROUP BY label, g.i
+),
+c AS (
+  SELECT label, LIST(v ORDER BY dim) AS cent FROM e GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       ROUND(list_cosine_similarity(a.cent, b.cent), 6) AS cosine
+FROM c a JOIN c b ON a.label < b.label
+"""
+
+
 def q_dedup_clusters_documents(sf_dir: str):
     """Fuzzy-dedup endgame (rows-only): MinHash near-dup pairs → connected
     components (distributed min-label propagation) → per-cluster sizes.
@@ -3358,6 +3385,7 @@ QUERIES = {
     "token_count_documents": (q_token_count_documents, SQL_TOKEN_COUNT_DOCUMENTS),
     "minhash_pairs_prefix_documents": (q_minhash_pairs_prefix_documents, None),
     "dedup_clusters_documents": (q_dedup_clusters_documents, None),
+    "label_centroids_embeddings": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "knn_ivf_embeddings": (q_knn_ivf_embeddings, None),
     "knn_lsh_embeddings": (q_knn_lsh_embeddings, None),
     "image_phash_dupes": (q_image_phash_dupes, None),

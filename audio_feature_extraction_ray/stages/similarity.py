@@ -276,3 +276,96 @@ def knn_lsh(
         )
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+def label_centroids_cosine(
+    ds: ray.data.Dataset,
+    label_col: str,
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Pairwise cosine similarity between per-label embedding centroids —
+    the class-separation / cluster-compactness diagnostic for a labeled
+    embedding table.
+
+    Per batch, one matmul-free vectorized pass turns the list column into
+    per-(label, dim) partial sums (``np.add.at`` over label codes); the only
+    exchange ships |labels|·d tiny partials through the map-side combiner.
+    The |labels|·d centroid table finalizes in one task: cosine over the
+    upper triangle, ties ordered (label_a < label_b). Output:
+    (label_a, label_b, cosine).
+    """
+    import pyarrow.compute as pc
+
+    from .aggregates import grouped_agg_fast
+
+    def to_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    label_col: pa.array([], t.schema.field(label_col).type),
+                    "dim": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.float64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        m = _stack_embeddings(t.column(emb_col))
+        labels = t.column(label_col).combine_chunks()
+        de = labels.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k, d = int(codes.max()) + 1, m.shape[1]
+        sums = np.zeros((k, d))
+        np.add.at(sums, codes, m)
+        counts = np.bincount(codes, minlength=k)
+        lab = de.dictionary.take(pa.array(np.repeat(np.arange(k), d)))
+        return pa.table(
+            {
+                label_col: lab,
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                "v": pa.array(sums.ravel(), pa.float64()),
+                "cnt": pa.array(np.repeat(counts, d).astype(np.int64)),
+            }
+        )
+
+    partials = ds.select_columns([label_col, emb_col]).map_batches(
+        to_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    sums = grouped_agg_fast(
+        partials,
+        keys=[label_col, "dim"],
+        specs=[("v", "v", "sum"), ("cnt", "cnt", "sum")],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "label_a": pa.array([], t.schema.field(label_col).type),
+                "label_b": pa.array([], t.schema.field(label_col).type),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[(label_col, "ascending"),
+                                                 ("dim", "ascending")]))
+        labels = t.column(label_col).combine_chunks()
+        de = labels.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = int(codes.max()) + 1
+        d = t.num_rows // k
+        cent = (t.column("v").to_numpy(zero_copy_only=False)
+                / t.column("cnt").to_numpy(zero_copy_only=False)).reshape(k, d)
+        cn = _normalize(cent)
+        cos = cn @ cn.T
+        ia, ib = np.triu_indices(k, 1)
+        # dictionary order == ascending label order (the column is sorted)
+        uniq = de.dictionary
+        return pa.table(
+            {
+                "label_a": uniq.take(pa.array(ia)),
+                "label_b": uniq.take(pa.array(ib)),
+                "cosine": pa.array(cos[ia, ib], pa.float64()),
+            }
+        )
+
+    return sums.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )

@@ -758,3 +758,24 @@ def test_funnel_sequential_chaining():
            funnel(ds, "u", "ts", "typ", ["click", "view", "purchase"]).take_all()}
     # click: users 1,2,4,5; view-after-click: 1,2,5; purchase-after-first-view: 1,5
     assert out == {"click": 4, "view": 3, "purchase": 2}
+
+
+def test_label_centroids_cosine_hand_case():
+    import numpy as np
+
+    from audio_feature_extraction_ray.stages.similarity import label_centroids_cosine
+
+    # label a -> centroid (1,0); label b -> centroid (0,2); label c -> (1,1)
+    embs = [[2.0, 0.0], [0.0, 0.0], [0.0, 2.0], [1.0, 1.0]]
+    labs = ["a", "a", "b", "c"]
+    ds = ray.data.from_arrow(
+        pa.table({"label": pa.array(labs), "embedding": pa.array(embs,
+                  pa.list_(pa.float64()))})
+    ).repartition(3)
+    out = {(r["label_a"], r["label_b"]): r["cosine"]
+           for r in label_centroids_cosine(ds, "label").take_all()}
+    s2 = 1 / np.sqrt(2)
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert abs(out[("a", "b")] - 0.0) < 1e-12
+    assert abs(out[("a", "c")] - s2) < 1e-12
+    assert abs(out[("b", "c")] - s2) < 1e-12
