@@ -2532,6 +2532,57 @@ def q_knn_lsh_embeddings(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"]).sort(["query_id", "rank"])
 
 
+def q_rolling_median_events(sf_dir: str):
+    """Trailing 5-row median/min/max per user — the robust rolling family
+    (one entity-hash shuffle, (rows,k) nan-masked matrix reduction)."""
+    from ..stages.window import rolling_order_stats
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = rolling_order_stats(ds, "user_id", "ts", "value", k=5)
+    out = out.select_columns(
+        ["event_id", "user_id", "value_rollmedian_5", "value_rollmin_5", "value_rollmax_5"]
+    )
+    return _round_cols(out, ["value_rollmedian_5"], digits=6)
+
+
+SQL_ROLLING_MEDIAN_EVENTS = """
+SELECT event_id, user_id,
+       ROUND(median(value) OVER w, 6) AS value_rollmedian_5,
+       min(value) OVER w AS value_rollmin_5,
+       max(value) OVER w AS value_rollmax_5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_resample_events(sf_dir: str):
+    """Per-user hourly grid resample with as-of forward-fill: irregular
+    events → fixed-interval feature rows (one entity-hash shuffle, grids
+    built vectorized across all entities of a block)."""
+    from ..stages.window import resample_grid
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return resample_grid(ds, "user_id", "ts", ["value"], every_us=3_600_000_000)
+
+
+SQL_RESAMPLE_EVENTS = """
+WITH b AS (
+  SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1 FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT b.user_id, g.gts AS ts
+  FROM b, LATERAL (
+    SELECT UNNEST(generate_series(
+      time_bucket(INTERVAL 1 HOUR, t0 - INTERVAL 1 MICROSECOND) + INTERVAL 1 HOUR,
+      t1, INTERVAL 1 HOUR)) AS gts) g
+)
+SELECT grid.user_id, grid.ts, e.value AS value_ffill
+FROM grid ASOF LEFT JOIN events e
+  ON grid.user_id = e.user_id AND grid.ts >= e.ts
+"""
+
+
 def q_label_centroids(sf_dir: str):
     """Class-separation diagnostic: pairwise cosine between per-label
     embedding centroids. Partial (label, dim) sums combine map-side; only
@@ -3386,6 +3437,8 @@ QUERIES = {
     "minhash_pairs_prefix_documents": (q_minhash_pairs_prefix_documents, None),
     "dedup_clusters_documents": (q_dedup_clusters_documents, None),
     "label_centroids_embeddings": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "resample_events": (q_resample_events, SQL_RESAMPLE_EVENTS),
+    "rolling_median_events": (q_rolling_median_events, SQL_ROLLING_MEDIAN_EVENTS),
     "knn_ivf_embeddings": (q_knn_ivf_embeddings, None),
     "knn_lsh_embeddings": (q_knn_lsh_embeddings, None),
     "image_phash_dupes": (q_image_phash_dupes, None),

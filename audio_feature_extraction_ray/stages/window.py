@@ -1265,3 +1265,156 @@ def time_bucket(
         return t.append_column(out_col, pa.array((tsv - origin_us) // width_us, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def resample_grid(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    every_us: int,
+    n_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity regular-grid resampling with as-of forward-fill — the
+    irregular-events → fixed-interval-features step of a PIT pipeline
+    (reference analog: the hop-grid frame timeline the extractor emits,
+    `04_feature_extraction_experiment/.../feature_extractor.py`).
+
+    Grid points are epoch-aligned multiples of ``every_us`` in
+    ``[ceil(min_ts), max_ts]`` per entity; each carries ``{c}_ffill`` = the
+    last observation at-or-before it (never null by construction, since the
+    grid starts after the first event). One entity-hash shuffle co-locates
+    each entity, then one vectorized pass builds every entity's grid at once
+    (repeat/arange, no per-point Python) and a per-segment ``searchsorted``
+    maps grid → source row. Grid size is data-bounded: span/every per
+    entity; callers pick ``every_us`` so grid rows ≈ O(events).
+    """
+
+    def vector_block(block: pa.Table) -> pa.Table:
+        out_fields = [
+            pa.field(key, block.schema.field(key).type),
+            pa.field(ts, pa.timestamp("us")),
+        ] + [pa.field(f"{c}_ffill", pa.float64()) for c in value_cols]
+        out_schema = pa.schema(out_fields)
+        n = block.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        block = block.combine_chunks()
+        g = block.column(key).combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv_all = _ts_i64(block.column(ts))
+        order = np.lexsort((tsv_all, g))
+        block = block.take(pa.array(order, pa.int64()))
+        tsv = tsv_all[order]
+        g = g[order]
+        seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
+        seg_last = np.concatenate((seg_first[1:] - 1, [n - 1]))
+        t0 = tsv[seg_first]
+        t1 = tsv[seg_last]
+        g0 = -(-t0 // every_us)  # ceil to grid
+        g1 = t1 // every_us  # floor to grid
+        counts = np.maximum(g1 - g0 + 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        seg_of = np.repeat(np.arange(len(seg_first)), counts)
+        # within-segment 0..count-1 via global arange minus segment offsets
+        offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        local = np.arange(total) - offs[seg_of]
+        grid_ts = (g0[seg_of] + local) * every_us
+        # per-segment as-of: index of last source row with ts <= grid point
+        src = np.empty(total, dtype=np.int64)
+        for si, (st, en) in enumerate(zip(seg_first, seg_last)):
+            sl = slice(offs[si], offs[si] + counts[si])
+            src[sl] = st + np.searchsorted(
+                tsv[st:en + 1], grid_ts[sl], side="right") - 1
+        cols: dict[str, object] = {
+            key: block.column(key).take(pa.array(seg_first[seg_of], pa.int64())),
+            ts: pa.array(grid_ts, pa.timestamp("us")),
+        }
+        for c in value_cols:
+            x = _f64(block.column(c))
+            cols[f"{c}_ffill"] = pa.array(x[src], pa.float64(), from_pandas=True)
+        return pa.table(cols, schema=out_schema)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import polars as _pl
+
+        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
+        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
+
+    cols_needed = [key, ts] + value_cols
+    return ds.select_columns(cols_needed).map_batches(
+        add_part, batch_format="pyarrow"
+    ).groupby("__part").map_groups(
+        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+
+
+def rolling_order_stats(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str,
+    col: str,
+    k: int,
+    n_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Trailing k-row order statistics per entity: ``{col}_rollmedian_k`` /
+    ``_rollmin_k`` / ``_rollmax_k`` over ``ROWS k-1 PRECEDING .. CURRENT``
+    — the robust (outlier-insensitive) sibling of the rolling means in
+    :func:`window_features` (reference analog: the median smoother,
+    `04_feature_extraction_experiment/.../preprocessor.py` medfilt).
+
+    One entity-hash shuffle, then one vectorized pass per block: each
+    segment materializes its (rows, k) trailing-index matrix (clipped head
+    windows = smaller SQL frames), nan-masked, and reduces with
+    ``nanmedian``/``fmin``/``fmax`` — O(rows·k) work, no per-row Python.
+    """
+
+    def vector_block(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        med_f = pa.field(f"{col}_rollmedian_{k}", pa.float64())
+        min_f = pa.field(f"{col}_rollmin_{k}", pa.float64())
+        max_f = pa.field(f"{col}_rollmax_{k}", pa.float64())
+        out_schema = pa.schema(
+            [block.schema.field(i) for i in range(block.num_columns)]
+            + [med_f, min_f, max_f]
+        )
+        if n == 0:
+            return out_schema.empty_table()
+        block = block.combine_chunks()
+        g = block.column(key).combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv = _ts_i64(block.column(ts))
+        order = np.lexsort((tsv, g))
+        block = block.take(pa.array(order, pa.int64()))
+        g = g[order]
+        x = _f64(block.column(col))
+        pos = np.arange(n)
+        seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
+        seg_start_of = np.repeat(seg_first, np.diff(np.concatenate((seg_first, [n]))))
+        # (n, k) trailing window indices, clipped to the segment start
+        idx = pos[:, None] - np.arange(k - 1, -1, -1)[None, :]
+        valid = idx >= seg_start_of[:, None]
+        w = np.where(valid, x[np.maximum(idx, 0)], np.nan)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # all-nan windows
+            med = np.nanmedian(w, axis=1)
+        mn = np.fmin.reduce(w, axis=1)
+        mx = np.fmax.reduce(w, axis=1)
+        block = block.append_column(med_f, pa.array(med, pa.float64(), from_pandas=True))
+        block = block.append_column(min_f, pa.array(mn, pa.float64(), from_pandas=True))
+        block = block.append_column(max_f, pa.array(mx, pa.float64(), from_pandas=True))
+        return block
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import polars as _pl
+
+        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
+        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby("__part").map_groups(
+        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
+    )

@@ -779,3 +779,54 @@ def test_label_centroids_cosine_hand_case():
     assert abs(out[("a", "b")] - 0.0) < 1e-12
     assert abs(out[("a", "c")] - s2) < 1e-12
     assert abs(out[("b", "c")] - s2) < 1e-12
+
+
+def test_resample_grid_hand_case():
+    import datetime as dt
+
+    from audio_feature_extraction_ray.stages.window import resample_grid
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    # entity 1: events at 0:30, 2:15 -> grid points 1:00,2:00 (ffill 0:30's
+    # value), then nothing past 2:15 (max < 3:00)
+    # entity 2: single event exactly ON the grid at 1:00 -> one grid point
+    # carrying its own value
+    # entity 3: span shorter than one interval -> no grid points
+    tbl = pa.table({
+        "u": pa.array([1, 1, 2, 3, 3], pa.int64()),
+        "ts": pa.array([ts(30), ts(135), ts(60), ts(10), ts(20)], pa.timestamp("us")),
+        "v": pa.array([10.0, 20.0, 5.0, 1.0, 2.0], pa.float64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = resample_grid(ds, "u", "ts", ["v"], every_us=3_600_000_000).take_all()
+    got = {(r["u"], r["ts"]): r["v_ffill"] for r in out}
+    assert got == {
+        (1, ts(60)): 10.0,
+        (1, ts(120)): 10.0,
+        (2, ts(60)): 5.0,
+    }
+
+
+def test_rolling_order_stats_hand_case():
+    import datetime as dt
+
+    from audio_feature_extraction_ray.stages.window import rolling_order_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [5.0, 1.0, 3.0, 9.0]
+    tbl = pa.table({
+        "u": pa.array([1, 1, 1, 1], pa.int64()),
+        "ts": pa.array([t0 + dt.timedelta(minutes=m) for m in range(4)],
+                       pa.timestamp("us")),
+        "v": pa.array(vals, pa.float64()),
+    })
+    out = rolling_order_stats(ray.data.from_arrow(tbl).repartition(2),
+                              "u", "ts", "v", k=3).take_all()
+    out.sort(key=lambda r: r["ts"])
+    assert [r["v_rollmedian_3"] for r in out] == [5.0, 3.0, 3.0, 3.0]
+    assert [r["v_rollmin_3"] for r in out] == [5.0, 1.0, 1.0, 1.0]
+    assert [r["v_rollmax_3"] for r in out] == [5.0, 5.0, 5.0, 9.0]
