@@ -2532,6 +2532,95 @@ def q_knn_lsh_embeddings(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"]).sort(["query_id", "rank"])
 
 
+def q_pmi_documents(sf_dir: str):
+    """Top-50 bigram collocations by PMI (min count 5): unigram+bigram
+    counts through the map-side combiner, frequency-pruned broadcast count
+    lookups, partial top-k — grams never shuffle as rows."""
+    from ..stages.text import pmi_collocations
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return pmi_collocations(docs, "text", min_count=5, k=50, round_digits=6)
+
+
+SQL_PMI_DOCUMENTS = r"""
+WITH arrs AS (
+  SELECT string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+') AS arr
+  FROM documents
+  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
+), ucnt AS (
+  SELECT w, COUNT(*) AS c FROM (SELECT UNNEST(arr) AS w FROM arrs) GROUP BY 1
+), n1 AS (SELECT CAST(SUM(c) AS DOUBLE) AS v FROM ucnt),
+bcnt AS (
+  SELECT gram, COUNT(*) AS n FROM (
+    SELECT UNNEST(list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i+1])) AS gram
+    FROM arrs) GROUP BY 1
+), n2 AS (SELECT CAST(SUM(n) AS DOUBLE) AS v FROM bcnt)
+SELECT b.gram, b.n,
+       ROUND(log2((b.n / n2.v) / ((u1.c / n1.v) * (u2.c / n1.v))), 6) AS pmi
+FROM bcnt b, n1, n2
+JOIN ucnt u1 ON u1.w = string_split(b.gram, ' ')[1]
+JOIN ucnt u2 ON u2.w = string_split(b.gram, ' ')[2]
+WHERE b.n >= 5
+ORDER BY pmi DESC, b.gram
+LIMIT 50
+"""
+
+
+def q_ewma_events(sf_dir: str):
+    """Per-user EWMA (alpha=0.2, recursive pandas adjust=False semantics):
+    one entity-hash shuffle, then chunked closed-form evaluation — a 64×64
+    lower-triangular decay matmul per chunk instead of O(rows) Python.
+    Rounded to 6 (chunked form reassociates the recursion's floats)."""
+    from ..stages.window import ewma
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = ewma(ds, "user_id", "ts", "value", alpha=0.2)
+    out = out.select_columns(["user_id", "event_id", "value_ewma"])
+    return _round_cols(out, ["value_ewma"], digits=6)
+
+
+SQL_EWMA_EVENTS = """
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, event_id, rn, value AS ewma FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.rn, 0.2 * b.value + 0.8 * r.ewma
+  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, event_id, ROUND(ewma, 6) AS value_ewma FROM r
+"""
+
+
+def q_spearman_events(sf_dir: str):
+    """Per-group Spearman rank correlation (average-rank ties): one key-hash
+    shuffle co-locates each group, ranks + Pearson-on-ranks vectorized per
+    block segment. Rounded to 6 on both sides (DuckDB CORR's co-moment
+    recursion vs the moment formula differ in the last ulps)."""
+    from ..stages.aggregates import grouped_spearman
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value", "user_id"])
+    out = grouped_spearman(ev, "event_type", "value", "user_id")
+    return _round_cols(out, ["spearman"], digits=6)
+
+
+SQL_SPEARMAN_EVENTS = """
+WITH r AS (
+  SELECT event_type,
+         RANK() OVER (PARTITION BY event_type ORDER BY value)
+           + (COUNT(*) OVER (PARTITION BY event_type, value) - 1) / 2.0 AS rx,
+         RANK() OVER (PARTITION BY event_type ORDER BY user_id)
+           + (COUNT(*) OVER (PARTITION BY event_type, user_id) - 1) / 2.0 AS ry
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT event_type, COUNT(*) AS n, ROUND(CORR(rx, ry), 6) AS spearman
+FROM r GROUP BY 1
+"""
+
+
 def q_rolling_median_events(sf_dir: str):
     """Trailing 5-row median/min/max per user — the robust rolling family
     (one entity-hash shuffle, (rows,k) nan-masked matrix reduction)."""
@@ -3439,6 +3528,9 @@ QUERIES = {
     "label_centroids_embeddings": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "resample_events": (q_resample_events, SQL_RESAMPLE_EVENTS),
     "rolling_median_events": (q_rolling_median_events, SQL_ROLLING_MEDIAN_EVENTS),
+    "spearman_events": (q_spearman_events, SQL_SPEARMAN_EVENTS),
+    "ewma_events": (q_ewma_events, SQL_EWMA_EVENTS),
+    "pmi_documents": (q_pmi_documents, SQL_PMI_DOCUMENTS),
     "knn_ivf_embeddings": (q_knn_ivf_embeddings, None),
     "knn_lsh_embeddings": (q_knn_lsh_embeddings, None),
     "image_phash_dupes": (q_image_phash_dupes, None),

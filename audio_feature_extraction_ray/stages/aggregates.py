@@ -974,3 +974,86 @@ def funnel(
     return grouped_agg_fast(
         parts, keys=["step"], specs=[("users", "users", "sum")], num_final_partitions=1
     )
+
+
+def grouped_spearman(
+    ds: ray.data.Dataset,
+    key: str,
+    x: str,
+    y: str,
+    n_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-group Spearman rank correlation (average ranks for ties, SQL
+    pairwise deletion). Unlike :func:`grouped_corr`, ranks are a
+    whole-group order statistic, so each group must co-locate: one key-hash
+    shuffle, then every group of a block ranks in one vectorized pass
+    (argsort + tie-run averaging) and reduces to a single output row —
+    rows shuffle once, the result is |keys| rows.
+
+    Output: key, ``n`` (pair count), ``spearman`` (null when either rank
+    vector is constant or n == 0).
+    """
+
+    def _avg_ranks(v: np.ndarray) -> np.ndarray:
+        """Average ranks (1-based) with ties sharing the mean position."""
+        s = len(v)
+        order = np.argsort(v, kind="stable")
+        sv = v[order]
+        # run starts of equal values
+        starts = np.concatenate(([0], np.flatnonzero(sv[1:] != sv[:-1]) + 1))
+        sizes = np.diff(np.concatenate((starts, [s])))
+        # mean of positions start+1 .. start+size
+        avg = starts + (sizes + 1) / 2.0
+        ranks = np.empty(s)
+        ranks[order] = np.repeat(avg, sizes)
+        return ranks
+
+    def block_stats(block: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [pa.field(key, block.schema.field(key).type),
+             pa.field("n", pa.int64()),
+             pa.field("spearman", pa.float64())]
+        )
+        xs = pc.cast(block.column(x), pa.float64()).to_numpy(zero_copy_only=False)
+        ys = pc.cast(block.column(y), pa.float64()).to_numpy(zero_copy_only=False)
+        both = ~(np.isnan(xs) | np.isnan(ys))
+        block = block.filter(pa.array(both))
+        n = block.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        xs, ys = xs[both], ys[both]
+        de = block.column(key).combine_chunks().dictionary_encode()
+        g = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(g, kind="stable")
+        g, xs, ys = g[order], xs[order], ys[order]
+        seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
+        seg_sizes = np.diff(np.concatenate((seg_first, [n])))
+        out_n = seg_sizes.astype(np.int64)
+        rho = np.empty(len(seg_first))
+        for si, (st, size) in enumerate(zip(seg_first, seg_sizes)):
+            sl = slice(st, st + size)
+            rx, ry = _avg_ranks(xs[sl]), _avg_ranks(ys[sl])
+            mx, my = rx.mean(), ry.mean()
+            dx, dy = rx - mx, ry - my
+            vx, vy = (dx * dx).sum(), (dy * dy).sum()
+            rho[si] = (dx * dy).sum() / np.sqrt(vx * vy) if vx > 0 and vy > 0 else np.nan
+        return pa.table(
+            {
+                key: de.dictionary.take(pa.array(g[seg_first])),
+                "n": pa.array(out_n, pa.int64()),
+                "spearman": pa.array(rho, pa.float64(), from_pandas=True),
+            },
+            schema=out_schema,
+        )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import polars as _pl
+
+        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
+        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
+
+    return ds.select_columns([key, x, y]).map_batches(
+        add_part, batch_format="pyarrow"
+    ).groupby("__part").map_groups(
+        lambda t: block_stats(t.drop_columns(["__part"])), batch_format="pyarrow"
+    )

@@ -510,17 +510,15 @@ def hashing_vectorizer(
 
     return ds.map_batches(vectorize, batch_format="pyarrow", zero_copy_batch=True)
 
-def ngram_frequencies(
+def ngram_counts(
     ds: ray.data.Dataset,
     text_col: str = "text",
     n: int = 2,
-    k: int = 50,
 ) -> ray.data.Dataset:
-    """Corpus top-``k`` word n-grams (whitespace tokens, document-bounded):
-    per-batch n-gram build + in-batch count partials, one partial-only
-    exchange, partial top-k merge — the vocabulary/collocation sibling of
-    ``token_frequencies`` (grams never shuffle as rows, only (gram, count)
-    partials bounded by per-block distinct grams).
+    """Full corpus (gram, n) counts for word n-grams (whitespace tokens,
+    document-bounded) — the shared kernel behind :func:`ngram_frequencies`
+    and :func:`pmi_collocations`. Per-batch columnar n-gram build + in-batch
+    count partials, one partial-only exchange; grams never shuffle as rows.
 
     n-gram strings are built columnar: one ``binary_join_element_wise``
     over n shifted slices of the non-empty token stream, masked to rows
@@ -529,7 +527,6 @@ def ngram_frequencies(
     import numpy as np
     import pyarrow.compute as pc
 
-    from .util import topk
     from ..stages.aggregates import grouped_agg_fast
 
     if n < 1:
@@ -552,5 +549,95 @@ def ngram_frequencies(
         return pa.table({"gram": grams.filter(pa.array(same_doc))})
 
     grams = ds.map_batches(to_grams, batch_format="pyarrow", zero_copy_batch=True)
-    counts = grouped_agg_fast(grams, keys=["gram"], specs=[], count_alias="n")
+    return grouped_agg_fast(grams, keys=["gram"], specs=[], count_alias="n")
+
+
+def ngram_frequencies(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 50,
+) -> ray.data.Dataset:
+    """Corpus top-``k`` word n-grams: :func:`ngram_counts` + partial top-k
+    merge (only (gram, count) partials and k-row candidates move)."""
+    from .util import topk
+
+    counts = ngram_counts(ds, text_col, n)
     return topk(counts, ["n", "gram"], k=k, descending=[True, False])
+
+
+def pmi_collocations(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+    round_digits: int | None = None,
+) -> ray.data.Dataset:
+    """Top-``k`` bigram collocations by pointwise mutual information:
+    ``pmi = log2((c_xy / N2) / ((c_x / N1) · (c_y / N1)))`` over
+    document-bounded whitespace bigrams.
+
+    Scale shape: unigram and bigram counts stream through the map-side
+    combiner (never row-shuffling grams); both sides are then pruned to
+    ``n >= min_count`` — sound because any word inside a qualifying bigram
+    occurs at least as often as the bigram — so the joined vocabularies are
+    frequency-bounded, and the two count lookups broadcast. N1/N2 totals
+    come from the UNPRUNED counts. Output: (gram, n, pmi), top-k by
+    (pmi desc, gram asc).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .util import topk
+    from ..stages.joins import broadcast_join
+
+    uni = ngram_counts(ds, text_col, n=1).materialize()
+    bi = ngram_counts(ds, text_col, n=2).materialize()
+    n1 = uni.sum("n") or 0
+    n2 = bi.sum("n") or 0
+    if n2 == 0:
+        return ray.data.from_arrow(
+            pa.table({"gram": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "pmi": pa.array([], pa.float64())})
+        )
+    uni_f = uni.filter(expr=f"n >= {min_count}")
+    bi_f = bi.filter(expr=f"n >= {min_count}")
+
+    def split_words(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("gram"), " ")
+        return pa.table({
+            "gram": t.column("gram"),
+            "n": t.column("n"),
+            "w1": pc.list_element(parts, 0),
+            "w2": pc.list_element(parts, 1),
+        })
+
+    def _as_lookup(name: str, cnt: str) -> pa.Table:
+        tables = list(uni_f.iter_batches(batch_format="pyarrow", batch_size=None))
+        t = pa.concat_tables(tables) if tables else pa.table(
+            {"gram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        return t.rename_columns([name, cnt])
+
+    pairs = bi_f.map_batches(split_words, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = broadcast_join(pairs, _as_lookup("w1", "c1"), "w1")
+    pairs = broadcast_join(pairs, _as_lookup("w2", "c2"), "w2")
+
+    def score(t: pa.Table) -> pa.Table:
+        c_xy = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = t.column("c1").to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = t.column("c2").to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log2((c_xy / n2) / ((c1 / n1) * (c2 / n1)))
+        if round_digits is not None:
+            # round BEFORE the top-k so cutoff ties order on the same grid
+            # as a ROUND()ing SQL oracle
+            q = 10.0 ** round_digits
+            pmi = np.copysign(np.floor(np.abs(pmi) * q + 0.5) / q, pmi)
+        return pa.table({
+            "gram": t.column("gram"),
+            "n": t.column("n"),
+            "pmi": pa.array(pmi, pa.float64()),
+        })
+
+    scored = pairs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return topk(scored, ["pmi", "gram"], k=k, descending=[True, False])

@@ -1418,3 +1418,278 @@ def rolling_order_stats(
     return ds.map_batches(add_part, batch_format="pyarrow").groupby("__part").map_groups(
         lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
     )
+
+
+def ewma(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str,
+    col: str,
+    alpha: float,
+    n_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity exponentially weighted moving average, recursive
+    semantics (``y_0 = x_0``, ``y_i = a·x_i + (1-a)·y_{i-1}``, pandas
+    ``adjust=False``) — the decayed-trend feature of a PIT pipeline.
+
+    One entity-hash shuffle, then each segment evaluates the recursion in
+    fixed-size CHUNKS: within a chunk the closed form
+    ``y_i = (1-a)^{i+1}·y_prev + a·Σ(1-a)^{i-j}·x_j`` runs as one
+    vectorized dot against a precomputed decay kernel (exponents bounded by
+    the chunk size, so no overflow/precision blowup for long series), and
+    only the chunk boundary carries sequentially — O(rows/chunk) Python
+    steps instead of O(rows). Nulls carry the previous EWMA unchanged.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    chunk = 64
+    # lower-triangular decay kernel: T[j, i] = (1-a)^(j-i) for i <= j, and
+    # p[j] = (1-a)^(j+1) — all exponents >= 0, stable for any alpha
+    j = np.arange(chunk)
+    T = np.tril((1.0 - alpha) ** np.maximum(j[:, None] - j[None, :], 0))
+    T[np.triu_indices(chunk, 1)] = 0.0
+    p = (1.0 - alpha) ** (j + 1)
+
+    def seg_ewma(x: np.ndarray) -> np.ndarray:
+        n = len(x)
+        out = np.full(n, np.nan)
+        vidx = np.flatnonzero(~np.isnan(x))
+        if len(vidx) == 0:
+            return out
+        v = x[vidx]
+        yv = np.empty(len(v))
+        # y_0 = v_0 exactly == running the uniform recursion with y_{-1} = v_0
+        prev = v[0]
+        for st in range(0, len(v), chunk):
+            vs = v[st:st + chunk]
+            m = len(vs)
+            y = alpha * (T[:m, :m] @ vs) + p[:m] * prev
+            yv[st:st + m] = y
+            prev = y[-1]
+        out[vidx] = yv
+        # nulls carry the previous EWMA unchanged
+        pos = np.arange(n)
+        lv = np.maximum.accumulate(np.where(~np.isnan(out), pos, -1))
+        ok = lv >= 0
+        out[ok] = out[lv[ok]]
+        return out
+
+    def vector_block(block: pa.Table) -> pa.Table:
+        out_fields = [
+            pa.field(key, block.schema.field(key).type),
+            pa.field(ts, pa.timestamp("us")),
+        ] + [pa.field(f"{c}_ffill", pa.float64()) for c in value_cols]
+        out_schema = pa.schema(out_fields)
+        n = block.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        block = block.combine_chunks()
+        g = block.column(key).combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv_all = _ts_i64(block.column(ts))
+        order = np.lexsort((tsv_all, g))
+        block = block.take(pa.array(order, pa.int64()))
+        tsv = tsv_all[order]
+        g = g[order]
+        seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
+        seg_last = np.concatenate((seg_first[1:] - 1, [n - 1]))
+        t0 = tsv[seg_first]
+        t1 = tsv[seg_last]
+        g0 = -(-t0 // every_us)  # ceil to grid
+        g1 = t1 // every_us  # floor to grid
+        counts = np.maximum(g1 - g0 + 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        seg_of = np.repeat(np.arange(len(seg_first)), counts)
+        # within-segment 0..count-1 via global arange minus segment offsets
+        offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        local = np.arange(total) - offs[seg_of]
+        grid_ts = (g0[seg_of] + local) * every_us
+        # per-segment as-of: index of last source row with ts <= grid point
+        src = np.empty(total, dtype=np.int64)
+        for si, (st, en) in enumerate(zip(seg_first, seg_last)):
+            sl = slice(offs[si], offs[si] + counts[si])
+            src[sl] = st + np.searchsorted(
+                tsv[st:en + 1], grid_ts[sl], side="right") - 1
+        cols: dict[str, object] = {
+            key: block.column(key).take(pa.array(seg_first[seg_of], pa.int64())),
+            ts: pa.array(grid_ts, pa.timestamp("us")),
+        }
+        for c in value_cols:
+            x = _f64(block.column(c))
+            cols[f"{c}_ffill"] = pa.array(x[src], pa.float64(), from_pandas=True)
+        return pa.table(cols, schema=out_schema)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import polars as _pl
+
+        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
+        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
+
+    cols_needed = [key, ts] + value_cols
+    return ds.select_columns(cols_needed).map_batches(
+        add_part, batch_format="pyarrow"
+    ).groupby("__part").map_groups(
+        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+
+
+def rolling_order_stats(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str,
+    col: str,
+    k: int,
+    n_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Trailing k-row order statistics per entity: ``{col}_rollmedian_k`` /
+    ``_rollmin_k`` / ``_rollmax_k`` over ``ROWS k-1 PRECEDING .. CURRENT``
+    — the robust (outlier-insensitive) sibling of the rolling means in
+    :func:`window_features` (reference analog: the median smoother,
+    `04_feature_extraction_experiment/.../preprocessor.py` medfilt).
+
+    One entity-hash shuffle, then one vectorized pass per block: each
+    segment materializes its (rows, k) trailing-index matrix (clipped head
+    windows = smaller SQL frames), nan-masked, and reduces with
+    ``nanmedian``/``fmin``/``fmax`` — O(rows·k) work, no per-row Python.
+    """
+
+    def vector_block(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        med_f = pa.field(f"{col}_rollmedian_{k}", pa.float64())
+        min_f = pa.field(f"{col}_rollmin_{k}", pa.float64())
+        max_f = pa.field(f"{col}_rollmax_{k}", pa.float64())
+        out_schema = pa.schema(
+            [block.schema.field(i) for i in range(block.num_columns)]
+            + [med_f, min_f, max_f]
+        )
+        if n == 0:
+            return out_schema.empty_table()
+        block = block.combine_chunks()
+        g = block.column(key).combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv = _ts_i64(block.column(ts))
+        order = np.lexsort((tsv, g))
+        block = block.take(pa.array(order, pa.int64()))
+        g = g[order]
+        x = _f64(block.column(col))
+        pos = np.arange(n)
+        seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
+        seg_start_of = np.repeat(seg_first, np.diff(np.concatenate((seg_first, [n]))))
+        # (n, k) trailing window indices, clipped to the segment start
+        idx = pos[:, None] - np.arange(k - 1, -1, -1)[None, :]
+        valid = idx >= seg_start_of[:, None]
+        w = np.where(valid, x[np.maximum(idx, 0)], np.nan)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # all-nan windows
+            med = np.nanmedian(w, axis=1)
+        mn = np.fmin.reduce(w, axis=1)
+        mx = np.fmax.reduce(w, axis=1)
+        block = block.append_column(med_f, pa.array(med, pa.float64(), from_pandas=True))
+        block = block.append_column(min_f, pa.array(mn, pa.float64(), from_pandas=True))
+        block = block.append_column(max_f, pa.array(mx, pa.float64(), from_pandas=True))
+        return block
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import polars as _pl
+
+        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
+        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby("__part").map_groups(
+        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+
+
+def ewma(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str,
+    col: str,
+    alpha: float,
+    n_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity exponentially weighted moving average, recursive
+    semantics (``y_0 = x_0``, ``y_i = a·x_i + (1-a)·y_{i-1}``, pandas
+    ``adjust=False``) — the decayed-trend feature of a PIT pipeline.
+
+    One entity-hash shuffle, then each segment evaluates the recursion in
+    fixed-size CHUNKS: within a chunk the closed form
+    ``y_i = (1-a)^{i+1}·y_prev + a·Σ(1-a)^{i-j}·x_j`` runs as one
+    vectorized dot against a precomputed decay kernel (exponents bounded by
+    the chunk size, so no overflow/precision blowup for long series), and
+    only the chunk boundary carries sequentially — O(rows/chunk) Python
+    steps instead of O(rows). Nulls carry the previous EWMA unchanged.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    chunk = 64
+    decay = (1.0 - alpha) ** np.arange(chunk + 1)  # decay[k] = (1-a)^k
+
+    def seg_ewma(x: np.ndarray) -> np.ndarray:
+        out = np.empty(len(x))
+        prev = np.nan
+        for st in range(0, len(x), chunk):
+            xs = x[st:st + chunk]
+            m = len(xs)
+            valid = ~np.isnan(xs)
+            # per-position count of valid steps since chunk start — a null
+            # contributes no decay (carries y unchanged)
+            steps = np.cumsum(valid)
+            xz = np.where(valid, xs, 0.0)
+            # contribution of in-chunk xs: a * sum_j (1-a)^(steps_i - steps_j) x_j
+            # computed as a scaled cumsum; exponents bounded by chunk size
+            w = alpha * xz * decay[steps.max() - steps]  # (1-a)^(-steps_j) scaled
+            csum = np.cumsum(w)
+            y = csum * decay[steps.max() - steps.max() + 0]  # placeholder, fixed below
+            y = csum / decay[steps.max() - steps]
+            if not np.isnan(prev):
+                y = y + decay[steps] * prev
+            else:
+                # y_0 = x_0 exactly: the first VALID x contributes with full
+                # weight, so add (1-a)*its decayed value
+                first = np.flatnonzero(valid)
+                if len(first):
+                    f = first[0]
+                    y = y + decay[steps] * 0.0
+                    y[f:] = y[f:] + (1.0 - alpha) * xs[f] * decay[steps[f:] - steps[f]]
+                y[:first[0]] = np.nan if len(first) else np.nan
+            out[st:st + chunk] = y
+            prev = y[-1] if m and not np.isnan(y[-1]) else prev
+        return out
+
+    def vector_block(block: pa.Table) -> pa.Table:
+        out_field = pa.field(f"{col}_ewma", pa.float64())
+        out_schema = pa.schema(
+            [block.schema.field(i) for i in range(block.num_columns)] + [out_field]
+        )
+        n = block.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        block = block.combine_chunks()
+        g = block.column(key).combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv = _ts_i64(block.column(ts))
+        order = np.lexsort((tsv, g))
+        block = block.take(pa.array(order, pa.int64()))
+        g = g[order]
+        x = _f64(block.column(col))
+        seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
+        seg_sizes = np.diff(np.concatenate((seg_first, [n])))
+        out = np.empty(n)
+        for st, size in zip(seg_first, seg_sizes):
+            out[st:st + size] = seg_ewma(x[st:st + size])
+        return block.append_column(out_field, pa.array(out, pa.float64(), from_pandas=True))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import polars as _pl
+
+        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
+        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby("__part").map_groups(
+        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
+    )

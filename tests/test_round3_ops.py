@@ -830,3 +830,73 @@ def test_rolling_order_stats_hand_case():
     assert [r["v_rollmedian_3"] for r in out] == [5.0, 3.0, 3.0, 3.0]
     assert [r["v_rollmin_3"] for r in out] == [5.0, 1.0, 1.0, 1.0]
     assert [r["v_rollmax_3"] for r in out] == [5.0, 5.0, 5.0, 9.0]
+
+
+def test_grouped_spearman_ties_and_monotone():
+    from audio_feature_extraction_ray.stages.aggregates import grouped_spearman
+
+    # group a: perfectly monotone (nonlinear) -> rho 1; group b: reversed
+    # with a tie pair in x; group c: constant x -> null
+    tbl = pa.table({
+        "g": pa.array(["a"] * 4 + ["b"] * 4 + ["c"] * 3),
+        "x": pa.array([1.0, 2.0, 3.0, 4.0, 1.0, 1.0, 2.0, 3.0, 7.0, 7.0, 7.0]),
+        "y": pa.array([1.0, 10.0, 100.0, 1000.0, 4.0, 3.0, 2.0, 1.0, 1.0, 2.0, 3.0]),
+    })
+    out = {r["g"]: r for r in grouped_spearman(
+        ray.data.from_arrow(tbl).repartition(3), "g", "x", "y").take_all()}
+    assert out["a"]["spearman"] == 1.0 and out["a"]["n"] == 4
+    # b: rx = [1.5, 1.5, 3, 4], ry = [4, 3, 2, 1] -> scipy spearmanr = -0.948683...
+    assert abs(out["b"]["spearman"] - (-0.9486832980505138)) < 1e-12
+    assert out["c"]["spearman"] is None
+
+
+def test_ewma_matches_naive_recursion_with_nulls():
+    import datetime as dt
+
+    import numpy as np
+
+    from audio_feature_extraction_ray.stages.window import ewma
+
+    rng = np.random.default_rng(7)
+    n = 300  # spans several 64-chunks
+    vals = rng.normal(100, 20, n)
+    vals[[0, 5, 100, 101, 250]] = np.nan  # leading null + interior runs
+    t0 = dt.datetime(2024, 1, 1)
+    tbl = pa.table({
+        "u": pa.array([1] * n, pa.int64()),
+        "ts": pa.array([t0 + dt.timedelta(seconds=i) for i in range(n)],
+                       pa.timestamp("us")),
+        "v": pa.array(vals, pa.float64(), from_pandas=True),
+    })
+    out = ewma(ray.data.from_arrow(tbl).repartition(3), "u", "ts", "v",
+               alpha=0.3).take_all()
+    out.sort(key=lambda r: r["ts"])
+    got = np.array([np.nan if r["v_ewma"] is None else r["v_ewma"] for r in out])
+    exp = np.full(n, np.nan)
+    prev = None
+    for i, x in enumerate(vals):
+        if np.isnan(x):
+            if prev is not None:
+                exp[i] = prev
+            continue
+        prev = x if prev is None else 0.3 * x + 0.7 * prev
+        exp[i] = prev
+    assert (np.isnan(got) == np.isnan(exp)).all()
+    m = ~np.isnan(exp)
+    assert np.allclose(got[m], exp[m], rtol=0, atol=1e-10)
+
+
+def test_pmi_collocations_hand_case():
+    import math
+
+    from audio_feature_extraction_ray.stages.text import pmi_collocations
+
+    # "a b" always collocated (2 of 4 bigrams); "c d" independent-ish
+    texts = ["a b c", "a b d", "x", ""]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)})).repartition(2)
+    out = {r["gram"]: r for r in pmi_collocations(ds, min_count=2, k=10).take_all()}
+    # unigrams: a2 b2 c1 d1 x1 -> N1=7; bigrams: 'a b'x2,'b c','b d' -> N2=4
+    assert set(out) == {"a b"}  # only gram with count >= 2 and both words >= 2
+    exp = math.log2((2 / 4) / ((2 / 7) * (2 / 7)))
+    assert abs(out["a b"]["pmi"] - exp) < 1e-12
+    assert out["a b"]["n"] == 2
