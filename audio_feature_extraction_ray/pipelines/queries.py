@@ -2532,6 +2532,30 @@ def q_knn_lsh_embeddings(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"]).sort(["query_id", "rank"])
 
 
+def q_pca_embeddings(sf_dir: str):
+    """Exact distributed PCA (rows-only: eigendecomposition isn't SQL):
+    streaming (n, Σx, ΣXᵀX) partials folded in deterministic order, d×d
+    eigh on the driver, broadcast projection. Serial numpy parity is pinned
+    in pytest; the gate pins row count + determinism."""
+    from ..stages.decomp import pca_fit, pca_transform
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    mu, comps, _ = pca_fit(emb, "embedding", d=64, k=4)
+    out = pca_transform(emb, "embedding", mu, comps, id_col="vec_id")
+    return _round_cols(out, ["pc1", "pc2", "pc3", "pc4"], digits=6)
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Lloyd k-means, k=8, 10 iterations (rows-only: iterative): broadcast
+    centroids, per-batch matmul + packed k×d partial sums, deterministic
+    driver fold. Serial Lloyd parity is pinned in pytest."""
+    from ..stages.decomp import kmeans
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assign, _ = kmeans(emb, "embedding", "vec_id", k=8, iters=10)
+    return _round_cols(assign, ["dist"], digits=6)
+
+
 def q_pmi_documents(sf_dir: str):
     """Top-50 bigram collocations by PMI (min count 5): unigram+bigram
     counts through the map-side combiner, frequency-pruned broadcast count
@@ -3531,6 +3555,8 @@ QUERIES = {
     "spearman_events": (q_spearman_events, SQL_SPEARMAN_EVENTS),
     "ewma_events": (q_ewma_events, SQL_EWMA_EVENTS),
     "pmi_documents": (q_pmi_documents, SQL_PMI_DOCUMENTS),
+    "pca_embeddings": (q_pca_embeddings, None),
+    "kmeans_embeddings": (q_kmeans_embeddings, None),
     "knn_ivf_embeddings": (q_knn_ivf_embeddings, None),
     "knn_lsh_embeddings": (q_knn_lsh_embeddings, None),
     "image_phash_dupes": (q_image_phash_dupes, None),

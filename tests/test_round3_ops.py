@@ -900,3 +900,74 @@ def test_pmi_collocations_hand_case():
     exp = math.log2((2 / 4) / ((2 / 7) * (2 / 7)))
     assert abs(out["a b"]["pmi"] - exp) < 1e-12
     assert out["a b"]["n"] == 2
+
+
+def test_pca_matches_serial_numpy():
+    import numpy as np
+
+    from audio_feature_extraction_ray.stages.decomp import pca_fit, pca_transform
+
+    rng = np.random.default_rng(11)
+    d, n, k = 8, 400, 3
+    # anisotropic data so the spectrum is well separated
+    basis = rng.normal(size=(d, d))
+    x = rng.normal(size=(n, d)) * np.array([10, 5, 3, 1, 1, 1, 1, 1]) @ basis
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(x.tolist(), pa.list_(pa.float64())),
+    })).repartition(5)
+    mu, comps, var = pca_fit(ds, "embedding", d=d, k=k)
+    # serial reference
+    mu_s = x.mean(axis=0)
+    cov_s = (x - mu_s).T @ (x - mu_s) / n
+    w, v = np.linalg.eigh(cov_s)
+    idx = np.argsort(-w)[:k]
+    comps_s = v[:, idx].T
+    flip = comps_s[np.arange(k), np.argmax(np.abs(comps_s), axis=1)] < 0
+    comps_s[flip] *= -1
+    assert np.allclose(mu, mu_s, atol=1e-9)
+    assert np.allclose(comps, comps_s, atol=1e-8)
+    assert np.allclose(var, w[idx], atol=1e-8)
+    # projection parity + reconstruction sanity
+    out = pca_transform(ds, "embedding", mu, comps, id_col="vec_id").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    scores_s = (x - mu_s) @ comps_s.T
+    got = out[["pc1", "pc2", "pc3"]].to_numpy()
+    assert np.allclose(got, scores_s, atol=1e-8)
+    # determinism: second fit identical bitwise
+    mu2, comps2, var2 = pca_fit(ds, "embedding", d=d, k=k)
+    assert (mu == mu2).all() and (comps == comps2).all() and (var == var2).all()
+
+
+def test_kmeans_matches_serial_lloyd():
+    import numpy as np
+
+    from audio_feature_extraction_ray.stages.decomp import kmeans
+
+    rng = np.random.default_rng(5)
+    k, d = 3, 4
+    centers = np.array([[0, 0, 0, 0], [10, 10, 0, 0], [0, 0, 10, 10]], dtype=float)
+    x = np.concatenate([c + rng.normal(scale=0.5, size=(50, d)) for c in centers])
+    ids = np.arange(len(x))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(x.tolist(), pa.list_(pa.float64())),
+    })).repartition(4)
+    assign, cent = kmeans(ds, "embedding", "vec_id", k=k, iters=5)
+    got = assign.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    # serial Lloyd, same init (k smallest ids) and tie rule
+    c = x[:k].copy()
+    for _ in range(5):
+        d2 = ((x * x).sum(1)[:, None] - 2 * x @ c.T + (c * c).sum(1)[None, :])
+        a = np.argmin(d2, axis=1)
+        for j in range(k):
+            if (a == j).any():
+                c[j] = x[a == j].mean(axis=0)
+    d2 = ((x * x).sum(1)[:, None] - 2 * x @ c.T + (c * c).sum(1)[None, :])
+    a = np.argmin(d2, axis=1)
+    assert (got["cluster"].to_numpy() == a).all()
+    assert np.allclose(cent, c, atol=1e-9)
+    # the three true blobs are separated
+    assert len(set(got["cluster"][:50])) == 1
+    assert len(set(got["cluster"][50:100])) == 1
+    assert len(set(got["cluster"][100:])) == 1
