@@ -2532,6 +2532,76 @@ def q_knn_lsh_embeddings(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"]).sort(["query_id", "rank"])
 
 
+def q_group_share_events(sf_dir: str):
+    """Share-of-group transform (value / per-type total): grouped sums via
+    the map-side combiner, |keys|-row broadcast back, vectorized divide."""
+    from ..stages.scaling import group_share
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = group_share(ev, "event_type", ["value"])
+    return _round_cols(out, ["value_share"], digits=9)
+
+
+SQL_GROUP_SHARE_EVENTS = """
+SELECT event_id, event_type, value,
+       ROUND(value / SUM(value) OVER (PARTITION BY event_type), 9) AS value_share
+FROM events
+"""
+
+
+def q_winsorize_events(sf_dir: str):
+    """Per-group winsorization at the exact [p05, p95] quantile_cont bounds:
+    one grouped quantile pass, broadcast bounds, vectorized clip."""
+    from ..stages.scaling import winsorize
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = winsorize(ev, "event_type", "value", lo=0.05, hi=0.95)
+    out = out.select_columns(["event_id", "event_type", "value_wins"])
+    return _round_cols(out, ["value_wins"], digits=6)
+
+
+SQL_WINSORIZE_EVENTS = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS ql,
+         quantile_cont(value, 0.95) AS qh
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       ROUND(LEAST(GREATEST(e.value, q.ql), q.qh), 6) AS value_wins
+FROM events e JOIN q USING (event_type)
+"""
+
+
+def q_cooccurrence_events(sf_dir: str):
+    """Market-basket co-occurrence with lift over (user → event types):
+    rows collapse to distinct (basket, item) map-side; pairs enumerate
+    inside basket-co-located blocks (bounded by per-basket item sets);
+    marginals broadcast."""
+    from ..stages.aggregates import cooccurrence_lift
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    out = cooccurrence_lift(ev, "user_id", "event_type")
+    return _round_cols(out, ["lift"], digits=6)
+
+
+SQL_COOCCURRENCE_EVENTS = """
+WITH bi AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS v FROM events),
+cnt AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS c FROM bi GROUP BY 1),
+p AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b, COUNT(*) AS n_ab
+  FROM bi a JOIN bi b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, n_ab,
+       ROUND(n_ab * n.v / (ca.c * cb.c), 6) AS lift
+FROM p, n
+JOIN cnt ca ON ca.event_type = p.item_a
+JOIN cnt cb ON cb.event_type = p.item_b
+"""
+
+
 def q_pca_embeddings(sf_dir: str):
     """Exact distributed PCA (rows-only: eigendecomposition isn't SQL):
     streaming (n, Σx, ΣXᵀX) partials folded in deterministic order, d×d
@@ -3555,6 +3625,9 @@ QUERIES = {
     "spearman_events": (q_spearman_events, SQL_SPEARMAN_EVENTS),
     "ewma_events": (q_ewma_events, SQL_EWMA_EVENTS),
     "pmi_documents": (q_pmi_documents, SQL_PMI_DOCUMENTS),
+    "group_share_events": (q_group_share_events, SQL_GROUP_SHARE_EVENTS),
+    "winsorize_events": (q_winsorize_events, SQL_WINSORIZE_EVENTS),
+    "cooccurrence_events": (q_cooccurrence_events, SQL_COOCCURRENCE_EVENTS),
     "pca_embeddings": (q_pca_embeddings, None),
     "kmeans_embeddings": (q_kmeans_embeddings, None),
     "knn_ivf_embeddings": (q_knn_ivf_embeddings, None),

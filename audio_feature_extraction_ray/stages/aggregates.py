@@ -1057,3 +1057,94 @@ def grouped_spearman(
     ).groupby("__part").map_groups(
         lambda t: block_stats(t.drop_columns(["__part"])), batch_format="pyarrow"
     )
+
+
+def cooccurrence_lift(
+    ds: ray.data.Dataset,
+    basket: str,
+    item: str,
+    n_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Market-basket co-occurrence with lift: for every unordered item pair
+    (a < b), the number of baskets containing BOTH and
+    ``lift = n_ab · N / (n_a · n_b)`` (N = distinct baskets, n_x = baskets
+    containing x).
+
+    Scale shape: rows collapse to DISTINCT (basket, item) through the
+    map-side combiner first; pair enumeration then happens inside
+    basket-hash-co-located blocks, so the pair stream is bounded by
+    Σ_b |items_b|² — per-basket item sets, never the corpus item vocabulary
+    — and only (a, b, count) partials plus the |items|-row marginals move.
+    Output: (item_a, item_b, n_ab, lift).
+    """
+    import pyarrow.compute as pc
+
+    distinct = grouped_agg_fast(
+        ds.select_columns([basket, item]), keys=[basket, item], specs=[]
+    ).materialize()
+    marg = grouped_agg_fast(distinct, keys=[item], specs=[], count_alias="c")
+    n_baskets = grouped_agg_fast(distinct, keys=[basket], specs=[]).count()
+
+    def pairs_block(t: pa.Table) -> pa.Table:
+        it = t.schema.field(item).type
+        empty = pa.table({"item_a": pa.array([], it), "item_b": pa.array([], it)})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[(basket, "ascending"),
+                                                 (item, "ascending")]))
+        b = t.column(basket).combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        seg_first = np.concatenate(([0], np.flatnonzero(np.diff(b)) + 1))
+        seg_sizes = np.diff(np.concatenate((seg_first, [n])))
+        ia, ib = [], []
+        for st, size in zip(seg_first, seg_sizes):
+            if size < 2:
+                continue
+            u, v = np.triu_indices(size, 1)
+            ia.append(st + u)
+            ib.append(st + v)
+        if not ia:
+            return empty
+        ia = np.concatenate(ia)
+        ib = np.concatenate(ib)
+        items = t.column(item)
+        return pa.table({
+            "item_a": items.take(pa.array(ia, pa.int64())),
+            "item_b": items.take(pa.array(ib, pa.int64())),
+        })
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import polars as _pl
+
+        h = _pl.from_arrow(pa.table({"k": t.column(basket)})).hash_rows(seed=19).to_numpy()
+        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
+
+    pairs = distinct.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(
+            lambda t: pairs_block(t.drop_columns(["__part"])), batch_format="pyarrow")
+    counts = grouped_agg_fast(pairs, keys=["item_a", "item_b"], specs=[],
+                              count_alias="n_ab")
+
+    from .joins import broadcast_join
+
+    ma = pa.concat_tables(
+        list(marg.iter_batches(batch_format="pyarrow", batch_size=None))
+    ).rename_columns(["item_a", "__ca"])
+    mb = ma.rename_columns(["item_b", "__cb"])
+    counts = broadcast_join(counts, ma, keys="item_a")
+    counts = broadcast_join(counts, mb, keys="item_b")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_ab = t.column("n_ab").to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = t.column("__ca").to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = t.column("__cb").to_numpy(zero_copy_only=False).astype(np.float64)
+        lift = n_ab * float(n_baskets) / (ca * cb)
+        return pa.table({
+            "item_a": t.column("item_a"),
+            "item_b": t.column("item_b"),
+            "n_ab": pc.cast(t.column("n_ab"), pa.int64()),
+            "lift": pa.array(lift, pa.float64()),
+        })
+
+    return counts.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

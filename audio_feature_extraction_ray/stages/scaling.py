@@ -187,3 +187,91 @@ def target_encode(
         )
 
     return joined.map_batches(fill_prior, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def group_share(
+    ds: ray.data.Dataset,
+    key: str,
+    cols: list[str],
+    suffix: str = "_share",
+) -> ray.data.Dataset:
+    """Append ``{c}{suffix} = c / sum_g(c)`` — each row's share of its
+    group's total (SQL ``value / SUM(value) OVER (PARTITION BY key)``).
+    Same two-phase shape as :func:`group_standardize`: per-group sums
+    through the map-side combiner, |keys|-row stats broadcast back, one
+    vectorized divide. Zero/null group sums yield null."""
+    specs = [(f"__s_{c}", c, "sum") for c in cols]
+    stats = grouped_agg_fast(ds, keys=[key], specs=specs)
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = {c: t.column(c) for c in t.column_names}
+        for c in cols:
+            s = t.column(f"__s_{c}").to_numpy(zero_copy_only=False)
+            x = pc.cast(t.column(c), pa.float64()).to_numpy(zero_copy_only=False)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sh = x / s
+            out[c + suffix] = pa.array(
+                np.where(np.isfinite(sh), sh, np.nan), pa.float64(), from_pandas=True
+            )
+        tbl = pa.table(out)
+        for c in cols:
+            i = tbl.schema.get_field_index(c + suffix)
+            arr = tbl.column(i)
+            tbl = tbl.set_column(
+                i, c + suffix,
+                pc.if_else(pc.is_nan(arr), pa.nulls(len(arr), pa.float64()), arr),
+            )
+        return tbl.drop_columns([f"__s_{c}" for c in cols])
+
+    joined = broadcast_join(ds, stats, keys=key, join_type="left outer")
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def winsorize(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    suffix: str = "_wins",
+) -> ray.data.Dataset:
+    """Per-group winsorization: clip ``col`` to its group's exact
+    ``[lo, hi]`` quantiles (``quantile_cont`` interpolation — matches the
+    oracle-checked grouped-percentile convention). Phase 1: per-group sorted
+    interpolation (one groupby over values only); phase 2: |keys|-row bounds
+    broadcast back, vectorized clip. The outlier-taming step of a feature
+    pipeline (reference analog: the robust-IQR / clip normalizers,
+    02_audio_preprocessing_experiment processor chain)."""
+
+    def per_group(group: pa.Table) -> pa.Table:
+        v = group.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.sort(v[~np.isnan(v)])
+        out = {key: [group.column(key)[0].as_py()]}
+        for name, q in (("__qlo", lo), ("__qhi", hi)):
+            if len(v) == 0:
+                out[name] = [None]
+                continue
+            pos = q * (len(v) - 1)
+            l, h = int(np.floor(pos)), int(np.ceil(pos))
+            out[name] = [float(v[l] + (v[h] - v[l]) * (pos - l))]
+        return pa.table({
+            key: pa.array(out[key], group.schema.field(key).type),
+            "__qlo": pa.array(out["__qlo"], pa.float64()),
+            "__qhi": pa.array(out["__qhi"], pa.float64()),
+        })
+
+    bounds = ds.select_columns([key, col]).groupby(key).map_groups(
+        per_group, batch_format="pyarrow"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        x = pc.cast(t.column(col), pa.float64()).to_numpy(zero_copy_only=False)
+        ql = t.column("__qlo").to_numpy(zero_copy_only=False)
+        qh = t.column("__qhi").to_numpy(zero_copy_only=False)
+        w = np.minimum(np.maximum(x, ql), qh)
+        return t.drop_columns(["__qlo", "__qhi"]).append_column(
+            col + suffix, pa.array(w, pa.float64(), from_pandas=True)
+        )
+
+    joined = broadcast_join(ds, bounds, keys=key, join_type="left outer")
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

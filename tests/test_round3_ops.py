@@ -971,3 +971,42 @@ def test_kmeans_matches_serial_lloyd():
     assert len(set(got["cluster"][:50])) == 1
     assert len(set(got["cluster"][50:100])) == 1
     assert len(set(got["cluster"][100:])) == 1
+
+
+def test_group_share_and_winsorize_hand_cases():
+    from audio_feature_extraction_ray.stages.scaling import group_share, winsorize
+
+    tbl = pa.table({
+        "g": pa.array(["a", "a", "a", "b", "b"]),
+        "v": pa.array([1.0, 3.0, 6.0, 0.0, 0.0]),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    shares = sorted((r["g"], r["v"], r["v_share"]) for r in
+                    group_share(ds, "g", ["v"]).take_all())
+    assert shares == [("a", 1.0, 0.1), ("a", 3.0, 0.3), ("a", 6.0, 0.6),
+                      ("b", 0.0, None), ("b", 0.0, None)]  # zero-sum -> null
+
+    # winsorize at [0.25, 0.75]: group of 1..5 -> bounds 2.0 / 4.0
+    tbl2 = pa.table({
+        "g": pa.array(["a"] * 5),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+    })
+    out = sorted(r["v_wins"] for r in winsorize(
+        ray.data.from_arrow(tbl2).repartition(2), "g", "v",
+        lo=0.25, hi=0.75).take_all())
+    assert out == [2.0, 2.0, 3.0, 4.0, 4.0]
+
+
+def test_cooccurrence_lift_hand_case():
+    from audio_feature_extraction_ray.stages.aggregates import cooccurrence_lift
+
+    # baskets: 1:{x,y} 2:{x,y} 3:{x} 4:{z} -> N=4, cx=3, cy=2, cz=1
+    tbl = pa.table({
+        "b": pa.array([1, 1, 1, 2, 2, 3, 4], pa.int64()),  # dup (1,x) row
+        "i": pa.array(["x", "y", "x", "x", "y", "x", "z"]),
+    })
+    out = {(r["item_a"], r["item_b"]): r for r in cooccurrence_lift(
+        ray.data.from_arrow(tbl).repartition(3), "b", "i").take_all()}
+    assert set(out) == {("x", "y")}
+    assert out[("x", "y")]["n_ab"] == 2
+    assert abs(out[("x", "y")]["lift"] - (2 * 4 / (3 * 2))) < 1e-12
