@@ -2602,6 +2602,48 @@ JOIN cnt cb ON cb.event_type = p.item_b
 """
 
 
+def q_augment_images(sf_dir: str):
+    """Deterministic image augmentation (rows-only): 2 seeded
+    flip/crop/brightness variants per image through the actor-pool codec
+    stage; parameter lineage columns come back for audit. Returns the
+    per-variant dims + params (bytes dropped — the gate hashes metadata)."""
+    from ..sources.images import synth_images
+    from ..stages.augment import augment_stage
+
+    n = max(30, int(1500 * _sf_of(sf_dir)))
+    ds = synth_images(n)
+    out = augment_stage(ds, n_augs=2)
+    out = out.select_columns(
+        ["image_id", "aug_id", "h", "w", "flipped", "crop_frac", "gain", "status"]
+    )
+    return _round_cols(out, ["crop_frac", "gain"], digits=6)
+
+
+def q_quantize_embeddings(sf_dir: str):
+    """int8 quantize → dequantize round trip (rows-only): per-vector scale
+    + reconstructed-vector norm; reconstruction quality (cosine ≥ 0.999,
+    elementwise error ≤ scale/2) is pinned in pytest."""
+    from ..stages.similarity import dequantize_embeddings, quantize_embeddings
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    dq = dequantize_embeddings(quantize_embeddings(emb))
+
+    def norms(t: pa.Table) -> pa.Table:
+        from ..stages.similarity import _stack_embeddings
+
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "recon_norm": pa.array([], pa.float64())})
+        m = _stack_embeddings(t.column("embedding"))
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "recon_norm": pa.array(np.linalg.norm(m, axis=1), pa.float64()),
+        })
+
+    out = dq.map_batches(norms, batch_format="pyarrow", zero_copy_batch=True)
+    return _round_cols(out, ["recon_norm"], digits=6)
+
+
 def q_pca_embeddings(sf_dir: str):
     """Exact distributed PCA (rows-only: eigendecomposition isn't SQL):
     streaming (n, Σx, ΣXᵀX) partials folded in deterministic order, d×d
@@ -3630,6 +3672,8 @@ QUERIES = {
     "cooccurrence_events": (q_cooccurrence_events, SQL_COOCCURRENCE_EVENTS),
     "pca_embeddings": (q_pca_embeddings, None),
     "kmeans_embeddings": (q_kmeans_embeddings, None),
+    "augment_images": (q_augment_images, None),
+    "quantize_embeddings": (q_quantize_embeddings, None),
     "knn_ivf_embeddings": (q_knn_ivf_embeddings, None),
     "knn_lsh_embeddings": (q_knn_lsh_embeddings, None),
     "image_phash_dupes": (q_image_phash_dupes, None),

@@ -1010,3 +1010,77 @@ def test_cooccurrence_lift_hand_case():
     assert set(out) == {("x", "y")}
     assert out[("x", "y")]["n_ab"] == 2
     assert abs(out[("x", "y")]["lift"] - (2 * 4 / (3 * 2))) < 1e-12
+
+
+def test_augment_stage_determinism_and_semantics():
+    import numpy as np
+
+    from audio_feature_extraction_ray.functions import codecs
+    from audio_feature_extraction_ray.sources.images import synth_images
+    from audio_feature_extraction_ray.stages.augment import (augment_pixels,
+                                                             augment_stage,
+                                                             _rng_for)
+
+    ds = synth_images(8, seed=42)
+    out1 = augment_stage(ds, n_augs=2, batch_size=16).to_pandas() \
+        .sort_values(["image_id", "aug_id"]).reset_index(drop=True)
+    out2 = augment_stage(synth_images(8, seed=42), n_augs=2,
+                         batch_size=16).to_pandas() \
+        .sort_values(["image_id", "aug_id"]).reset_index(drop=True)
+    assert out1.equals(out2)  # byte-identical re-run
+    ok = out1[out1["status"] == "ok"]
+    n_inputs = synth_images(8, seed=42).count()
+    bad = out1[out1["status"] != "ok"]
+    assert len(ok) == 2 * (n_inputs - len(bad))
+    # dims: crop fraction within [0.8, 1.0] of the decoded size
+    assert (ok["crop_frac"].between(0.8, 1.0)).all()
+    assert (ok["gain"].between(0.9, 1.1)).all()
+    # augmented bytes decode and match the independently recomputed pixels
+    row = ok.iloc[0]
+    src = ds.filter(expr=f"image_id == '{row['image_id']}'").take_all()[0]
+    px = codecs.decode_image(src["bytes"])
+    ap, params = augment_pixels(px, _rng_for(row["image_id"], int(row["aug_id"]),
+                                             "aug-v1"))
+    got = codecs.decode_image(out1[(out1["image_id"] == row["image_id"])
+                                   & (out1["aug_id"] == row["aug_id"])]
+                              .iloc[0]["bytes"])
+    assert got.shape == ap.shape
+    assert np.array_equal(got, ap)  # png is lossless
+    assert params["flipped"] == row["flipped"]
+    # corrupt input -> status row, never a raise
+    import pyarrow as _pa
+    bad_ds = ray.data.from_arrow(_pa.table({
+        "image_id": _pa.array(["x"]),
+        "bytes": _pa.array([b"not an image"], _pa.binary()),
+    }))
+    rows = augment_stage(bad_ds, n_augs=3).take_all()
+    assert len(rows) == 1 and rows[0]["status"].startswith("decode_error")
+    assert rows[0]["aug_id"] == -1
+
+
+def test_quantize_dequantize_roundtrip_quality():
+    import numpy as np
+
+    from audio_feature_extraction_ray.stages.similarity import (
+        dequantize_embeddings, quantize_embeddings)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(40, 16)) * rng.uniform(0.1, 50, size=(40, 1))
+    x[7] = 0.0  # all-zero vector
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(40), pa.int64()),
+        "embedding": pa.array(x.tolist(), pa.list_(pa.float64())),
+    })).repartition(3)
+    q = quantize_embeddings(ds).materialize()
+    scales = {r["vec_id"]: r["scale"] for r in q.take_all()}
+    dq = dequantize_embeddings(q).to_pandas().sort_values("vec_id")
+    recon = np.stack(dq["embedding"].to_list())
+    err = np.abs(recon - x)
+    for i in range(40):
+        assert err[i].max() <= scales[i] / 2 + 1e-12
+    assert scales[7] == 0.0 and (recon[7] == 0.0).all()
+    # cosine preservation on non-zero rows
+    m = np.ones(40, bool); m[7] = False
+    cos = (recon[m] * x[m]).sum(1) / (
+        np.linalg.norm(recon[m], axis=1) * np.linalg.norm(x[m], axis=1))
+    assert cos.min() > 0.999
