@@ -784,6 +784,48 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
 """
 
 
+def q_pit_trailing_events(sf_dir: str):
+    """Zero-temporal-leakage point-in-time features: for every event, the
+    entity's sum/mean/count over STRICTLY PRIOR events (SQL frame ROWS
+    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) — row i never sees itself
+    or the future, the leakage invariant of BASELINE.json's north star.
+    Reference analog: per-utterance running baselines in
+    05_dtw_alignment_experiment/dtw_alignment.py (prior-context features)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = window_features(ev, key="user_id", ts="ts", value_cols=[], lags=(), leads=(),
+                          deltas=False, tiebreak="event_id", trailing=["value"])
+    out = out.select_columns(
+        ["event_id", "user_id", "ts", "value",
+         "value_trail_sum", "value_trail_count"]
+    )
+    # same parity policy as the cumulative family: DuckDB's windowed SUM
+    # tree-accumulates; round the sum, derive the mean from the ROUNDED sum
+    # on both sides so the final rounding sees identical inputs.
+    out = _round_cols(out, ["value_trail_sum"], digits=6)
+
+    def mean_from_rounded(t: pa.Table) -> pa.Table:
+        s = t.column("value_trail_sum").to_numpy(zero_copy_only=False)
+        cnt = t.column("value_trail_count").to_numpy(zero_copy_only=False)
+        mean = _round_half_away(s / np.maximum(cnt, 1), 6)
+        mean = np.where(cnt > 0, mean, np.nan)
+        return t.append_column("value_trail_mean",
+                               pa.array(mean, pa.float64(), from_pandas=True))
+
+    return out.map_batches(mean_from_rounded, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_PIT_TRAILING_EVENTS = """
+SELECT event_id, user_id, ts, value,
+       ROUND(SUM(value) OVER w, 6) AS value_trail_sum,
+       COUNT(value) OVER w AS value_trail_count,
+       ROUND(ROUND(SUM(value) OVER w, 6) / NULLIF(COUNT(value) OVER w, 0), 6)
+           AS value_trail_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
 def q_sessionize_events(sf_dir: str):
     """Gap-based sessionization (gap > 1 h starts a new session)."""
     ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
@@ -866,6 +908,145 @@ def q_time_bucket_stats(sf_dir: str):
 SQL_TIME_BUCKET_STATS = """
 SELECT epoch_us(ts) // 3600000000 AS bucket, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1
+"""
+
+
+def q_transition_counts_events(sf_dir: str):
+    """Per-entity state-transition (Markov) counts: event_type → next
+    event_type frequencies within each user's timeline. One entity-hash
+    shuffle + segment-bounded shift; the final exchange is |states|²
+    partial counts."""
+    from ..stages.window import transition_counts
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    return transition_counts(ev, key="user_id", ts="ts", state_col="event_type",
+                             tiebreak="event_id")
+
+
+SQL_TRANSITION_COUNTS_EVENTS = """
+WITH t AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_event_type
+  FROM events
+)
+SELECT event_type, next_event_type, COUNT(*) AS n
+FROM t WHERE next_event_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_time_weighted_avg_events(sf_dir: str):
+    """Per-entity trapezoidal time-weighted average of value — the
+    feature-store aggregate for irregular telemetry (plain means
+    over-weight bursts). Entities with < 2 events → NULL."""
+    from ..stages.window import time_weighted_avg
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = time_weighted_avg(ev, key="user_id", ts="ts", col="value")
+    return _round_cols(out, ["twa"], digits=6)
+
+
+SQL_TIME_WEIGHTED_AVG_EVENTS = """
+WITH t AS (
+  SELECT user_id, value,
+         LEAD(value) OVER w AS nv,
+         epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS dt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id,
+       ROUND(SUM((value + nv) * 0.5 * dt) / NULLIF(SUM(dt), 0), 6) AS twa
+FROM t WHERE dt IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_count_distinct_by_priority(sf_dir: str):
+    """Exact per-group COUNT(DISTINCT): distinct (key, col) pairs dedupe
+    through the map-side combiner, then a pair count per key — partials
+    only, rows never shuffle (A9 grouped)."""
+    from ..stages.aggregates import grouped_count_distinct
+
+    o = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_custkey"])
+    return grouped_count_distinct(o, "o_orderpriority", "o_custkey",
+                                  out_col="n_custkeys")
+
+
+SQL_COUNT_DISTINCT_BY_PRIORITY = """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custkeys
+FROM orders GROUP BY 1
+"""
+
+
+def q_mad_events(sf_dir: str):
+    """Per-group median absolute deviation (DuckDB ``mad()``): median and
+    MAD computed inside one map_groups pass per event_type — low group
+    cardinality is the documented contract (same as percentiles_by_type);
+    high-cardinality keys route through the bucketed quantile path."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def per_group(group: pa.Table) -> pa.Table:
+        v = group.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        med = float(np.median(v)) if len(v) else np.nan
+        mad = float(np.median(np.abs(v - med))) if len(v) else np.nan
+        return pa.table({
+            "event_type": pa.array([group.column("event_type")[0].as_py()], pa.string()),
+            "mad": pa.array([mad], pa.float64()),
+        })
+
+    agg = ev.groupby("event_type").map_groups(per_group, batch_format="pyarrow")
+    return _round_cols(agg, ["mad"], digits=6)
+
+
+SQL_MAD_EVENTS = """
+SELECT event_type, ROUND(mad(value), 6) AS mad
+FROM events GROUP BY 1
+"""
+
+
+def q_skew_kurt_events(sf_dir: str):
+    """Per-group sample skewness + excess kurtosis via distributed power
+    sums (Σx..Σx⁴ map-side combined; rows never shuffle) — higher-moment
+    siblings of the A3 grouped stats. Rounded to 5: both engines carry
+    power sums, but 4th-power cancellation leaves ~6-7 stable digits."""
+    from ..stages.aggregates import grouped_skew_kurt
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    out = grouped_skew_kurt(ev, "event_type", "value")
+    return _round_cols(out, ["skew", "kurt"], digits=5)
+
+
+SQL_SKEW_KURT_EVENTS = """
+SELECT event_type, COUNT(value) AS n,
+       ROUND(skewness(value), 5) AS skew,
+       ROUND(kurtosis(value), 5) AS kurt
+FROM events GROUP BY 1
+"""
+
+
+def q_calendar_features_events(sf_dir: str):
+    """Calendar feature extraction + grouped profile: ISO weekday ×
+    hour-of-day activity grid (count + value sum) — pure Arrow temporal
+    kernels then the map-side-combined grouped aggregate (≤168 groups,
+    one tiny final exchange)."""
+    from ..stages.window import add_calendar_columns
+
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+    cal = add_calendar_columns(ev, "ts", parts=("isodow", "hour"))
+    agg = grouped_agg_fast(
+        cal, keys=["isodow", "hour"],
+        specs=[("sum_value", "value", "sum")], count_alias="n",
+        num_final_partitions=1,  # ≤ 7×24 groups — partials stay tiny
+    )
+    return _round_cols(agg, ["sum_value"], digits=4)
+
+
+SQL_CALENDAR_FEATURES_EVENTS = """
+SELECT isodow(ts) AS isodow, hour(ts) AS hour,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
 """
 
 
@@ -3580,6 +3761,7 @@ QUERIES = {
     # -- 20-29: as-of + windows + sessionize + registry + checkpoint
     "asof_events": (q_asof_events, SQL_ASOF_EVENTS),
     "lag_lead_events": (q_lag_lead_events, SQL_LAG_LEAD_EVENTS),
+    "pit_trailing_events": (q_pit_trailing_events, SQL_PIT_TRAILING_EVENTS),
     "interp_events": (q_interp_events, SQL_INTERP_EVENTS),
     "rolling_mean_events": (q_rolling_mean_events, SQL_ROLLING_MEAN_EVENTS),
     "rolling_time_mean_bucketed": (q_rolling_time_mean_bucketed, SQL_ROLLING_TIME_MEAN_EVENTS),
@@ -3608,10 +3790,10 @@ QUERIES = {
     "flagship_images": (q_flagship_images, None),
     "preprocess_images": (q_preprocess_images, None),
     "image_phash_neardups": (q_image_phash_neardups, None),
-    "image_pair_report": (q_image_pair_report, None),
     "alignment_report_events": (q_alignment_report_events, SQL_ALIGNMENT_REPORT_EVENTS),
     # ---- 51+: tail — variants of families already represented above;
     # ---- exercised by the local sf0.001 oracle gate every pytest run
+    "image_pair_report": (q_image_pair_report, None),
     "checkpoint_manifest_events": (q_checkpoint_manifest_events, None),
     "images_asof": (q_images_asof, None),
     "percentiles_by_type": (q_percentiles_by_type, SQL_PERCENTILES_BY_TYPE),
@@ -3626,6 +3808,12 @@ QUERIES = {
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
     "argmax_events": (q_argmax_events, SQL_ARGMAX_EVENTS),
     "time_bucket_stats": (q_time_bucket_stats, SQL_TIME_BUCKET_STATS),
+    "calendar_features_events": (q_calendar_features_events, SQL_CALENDAR_FEATURES_EVENTS),
+    "skew_kurt_events": (q_skew_kurt_events, SQL_SKEW_KURT_EVENTS),
+    "count_distinct_by_priority": (q_count_distinct_by_priority, SQL_COUNT_DISTINCT_BY_PRIORITY),
+    "mad_events": (q_mad_events, SQL_MAD_EVENTS),
+    "transition_counts_events": (q_transition_counts_events, SQL_TRANSITION_COUNTS_EVENTS),
+    "time_weighted_avg_events": (q_time_weighted_avg_events, SQL_TIME_WEIGHTED_AVG_EVENTS),
     "union_order_segments": (q_union_order_segments, SQL_UNION_ORDER_SEGMENTS),
     "intersect_order_keys": (q_intersect_order_keys, SQL_INTERSECT_ORDER_KEYS),
     "except_order_keys": (q_except_order_keys, SQL_EXCEPT_ORDER_KEYS),

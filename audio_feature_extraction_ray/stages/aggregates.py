@@ -1148,3 +1148,102 @@ def cooccurrence_lift(
         })
 
     return counts.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_skew_kurt(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    num_final_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-group sample skewness and excess kurtosis (DuckDB ``skewness()``
+    / ``kurtosis()`` ≡ pandas ``.skew()`` / ``.kurt()``: bias-corrected
+    Fisher–Pearson g1 and Fisher g2).
+
+    Distributed as power-sum partials (Σx, Σx², Σx³, Σx⁴, n) through the
+    map-side combiner — the same accumulation DuckDB's own skew/kurt
+    aggregate states carry, so post-ROUND parity holds. One tiny final
+    exchange of per-(block, key) partials; rows never shuffle. Groups with
+    n < 3 (skew) / n < 4 (kurt) or zero variance → SQL NULL.
+    """
+
+    def add_powers(t: pa.Table) -> pa.Table:
+        x = pc.cast(t.column(col), pa.float64())
+        x2 = pc.multiply(x, x)
+        return pa.table(
+            {
+                key: t.column(key),
+                "__x": x,
+                "__x2": x2,
+                "__x3": pc.multiply(x2, x),
+                "__x4": pc.multiply(x2, x2),
+            }
+        )
+
+    partials = ds.map_batches(add_powers, batch_format="pyarrow", zero_copy_batch=True)
+    sums = grouped_agg_fast(
+        partials,
+        keys=[key],
+        specs=[
+            ("s1", "__x", "sum"),
+            ("s2", "__x2", "sum"),
+            ("s3", "__x3", "sum"),
+            ("s4", "__x4", "sum"),
+            ("n", "__x", "count"),
+        ],
+        num_final_partitions=num_final_partitions,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = t.column("s1").to_numpy(zero_copy_only=False)
+        s2 = t.column("s2").to_numpy(zero_copy_only=False)
+        s3 = t.column("s3").to_numpy(zero_copy_only=False)
+        s4 = t.column("s4").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = s1 / n
+            m2 = s2 / n - mean * mean                        # biased central moments
+            m3 = s3 / n - 3 * mean * s2 / n + 2 * mean**3
+            m4 = s4 / n - 4 * mean * s3 / n + 6 * mean**2 * s2 / n - 3 * mean**4
+            g1 = m3 / np.power(m2, 1.5)
+            g2 = m4 / (m2 * m2) - 3.0
+            skew = g1 * np.sqrt(n * (n - 1.0)) / (n - 2.0)
+            kurt = ((n + 1.0) * g2 + 6.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0))
+        skew = np.where((n >= 3) & (m2 > 0), skew, np.nan)
+        kurt = np.where((n >= 4) & (m2 > 0), kurt, np.nan)
+        return pa.table(
+            {
+                key: t.column(key),
+                "n": pc.cast(t.column("n"), pa.int64()),
+                "skew": pa.array(skew, pa.float64(), from_pandas=True),
+                "kurt": pa.array(kurt, pa.float64(), from_pandas=True),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_count_distinct(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    out_col: str = "n_distinct",
+    num_final_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Exact per-group COUNT(DISTINCT col): dedupe (key, col) pairs through
+    the map-side combiner (each block contributes each distinct pair once),
+    then count pairs per key. Both exchanges move only (distinct-pair) /
+    (key, count) partials — never rows — so corpus-scale inputs with
+    bounded per-block distinct pairs stream through. Nulls excluded (SQL
+    COUNT(DISTINCT) semantics).
+    """
+    nonnull = ds.map_batches(
+        lambda t: t.filter(t.column(col).is_valid()),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = grouped_agg_fast(nonnull, keys=[key, col], specs=[])
+    return grouped_agg_fast(
+        pairs, keys=[key], specs=[(out_col, col, "count")],
+        num_final_partitions=num_final_partitions,
+    )

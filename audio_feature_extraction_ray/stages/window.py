@@ -194,6 +194,7 @@ def window_features(
     rolling: dict[str, int] | None = None,
     rolling_time_us: dict[str, int] | None = None,
     cumulative: list[str] | None = None,
+    trailing: list[str] | None = None,
     interp_method: str = "linear",
 ) -> ray.data.Dataset:
     """Add per-entity window columns in one shuffle.
@@ -216,6 +217,7 @@ def window_features(
     fill_cols = fill_cols or []
     interp_cols = interp_cols or []
     cumulative = cumulative or []
+    trailing = trailing or []
     if interp_method not in ("linear", "cubic"):
         raise ValueError(f"interp_method must be 'linear' or 'cubic', got {interp_method!r}")
     _interp_fn = _interp_time if interp_method == "linear" else _interp_time_cubic
@@ -240,6 +242,10 @@ def window_features(
         out_fields.append(pa.field(f"{c}_cummean", pa.float64()))
         out_fields.append(pa.field(f"{c}_cummax", pa.float64()))
         out_fields.append(pa.field(f"{c}_cumcount", pa.int64()))
+    for c in trailing:
+        out_fields.append(pa.field(f"{c}_trail_sum", pa.float64()))
+        out_fields.append(pa.field(f"{c}_trail_mean", pa.float64()))
+        out_fields.append(pa.field(f"{c}_trail_count", pa.int64()))
     for c, k in (rolling or {}).items():
         out_fields.append(pa.field(f"{c}_rollmean_{k}", pa.float64()))
     for c, w in (rolling_time_us or {}).items():
@@ -363,6 +369,29 @@ def window_features(
             cols[f"{c}_cummean"] = pa.array(mean_out, pa.float64(), from_pandas=True)
             cols[f"{c}_cummax"] = pa.array(mx_out, pa.float64(), from_pandas=True)
             cols[f"{c}_cumcount"] = pa.array(cnt_out, pa.int64())
+        for c in trailing:
+            # STRICTLY-PRIOR expanding aggregates — the zero-temporal-leakage
+            # point-in-time feature (SQL frame ROWS BETWEEN UNBOUNDED
+            # PRECEDING AND 1 PRECEDING): row i sees only rows < i of its
+            # entity, never itself. Same in-frame accumulation order as the
+            # cumulative family, shifted one row.
+            x = _f64(block.column(c))
+            ts_out = np.empty(n)
+            tm_out = np.empty(n)
+            tc_out = np.empty(n, dtype=np.int64)
+            for st, size in zip(seg_first, seg_sizes):
+                sl = slice(st, st + size)
+                xs = x[sl]
+                valid = ~np.isnan(xs)
+                cnt = np.concatenate(([0], np.cumsum(valid.astype(np.int64))[:-1]))
+                cs = np.concatenate(([0.0], np.cumsum(np.where(valid, xs, 0.0))[:-1]))
+                none_yet = cnt == 0
+                ts_out[sl] = np.where(none_yet, np.nan, cs)
+                tm_out[sl] = np.where(none_yet, np.nan, cs / np.maximum(cnt, 1))
+                tc_out[sl] = cnt
+            cols[f"{c}_trail_sum"] = pa.array(ts_out, pa.float64(), from_pandas=True)
+            cols[f"{c}_trail_mean"] = pa.array(tm_out, pa.float64(), from_pandas=True)
+            cols[f"{c}_trail_count"] = pa.array(tc_out, pa.int64())
         for c, k in (rolling or {}).items():
             # trailing k-row mean ignoring nulls (SQL AVG OVER ROWS k-1
             # PRECEDING AND CURRENT ROW) — prefix sums stay segment-local
@@ -1420,6 +1449,8 @@ def rolling_order_stats(
     )
 
 
+
+
 def ewma(
     ds: ray.data.Dataset,
     key: str,
@@ -1435,10 +1466,11 @@ def ewma(
     One entity-hash shuffle, then each segment evaluates the recursion in
     fixed-size CHUNKS: within a chunk the closed form
     ``y_i = (1-a)^{i+1}·y_prev + a·Σ(1-a)^{i-j}·x_j`` runs as one
-    vectorized dot against a precomputed decay kernel (exponents bounded by
-    the chunk size, so no overflow/precision blowup for long series), and
-    only the chunk boundary carries sequentially — O(rows/chunk) Python
-    steps instead of O(rows). Nulls carry the previous EWMA unchanged.
+    vectorized dot against a precomputed lower-triangular decay kernel
+    (all exponents in [0, chunk], so no overflow/precision blowup for long
+    series), and only the chunk boundary carries sequentially —
+    O(rows/chunk) Python steps instead of O(rows). Nulls carry the
+    previous EWMA unchanged; leading nulls stay null.
     """
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -1475,193 +1507,6 @@ def ewma(
         return out
 
     def vector_block(block: pa.Table) -> pa.Table:
-        out_fields = [
-            pa.field(key, block.schema.field(key).type),
-            pa.field(ts, pa.timestamp("us")),
-        ] + [pa.field(f"{c}_ffill", pa.float64()) for c in value_cols]
-        out_schema = pa.schema(out_fields)
-        n = block.num_rows
-        if n == 0:
-            return out_schema.empty_table()
-        block = block.combine_chunks()
-        g = block.column(key).combine_chunks().dictionary_encode().indices \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        tsv_all = _ts_i64(block.column(ts))
-        order = np.lexsort((tsv_all, g))
-        block = block.take(pa.array(order, pa.int64()))
-        tsv = tsv_all[order]
-        g = g[order]
-        seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
-        seg_last = np.concatenate((seg_first[1:] - 1, [n - 1]))
-        t0 = tsv[seg_first]
-        t1 = tsv[seg_last]
-        g0 = -(-t0 // every_us)  # ceil to grid
-        g1 = t1 // every_us  # floor to grid
-        counts = np.maximum(g1 - g0 + 1, 0)
-        total = int(counts.sum())
-        if total == 0:
-            return out_schema.empty_table()
-        seg_of = np.repeat(np.arange(len(seg_first)), counts)
-        # within-segment 0..count-1 via global arange minus segment offsets
-        offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
-        local = np.arange(total) - offs[seg_of]
-        grid_ts = (g0[seg_of] + local) * every_us
-        # per-segment as-of: index of last source row with ts <= grid point
-        src = np.empty(total, dtype=np.int64)
-        for si, (st, en) in enumerate(zip(seg_first, seg_last)):
-            sl = slice(offs[si], offs[si] + counts[si])
-            src[sl] = st + np.searchsorted(
-                tsv[st:en + 1], grid_ts[sl], side="right") - 1
-        cols: dict[str, object] = {
-            key: block.column(key).take(pa.array(seg_first[seg_of], pa.int64())),
-            ts: pa.array(grid_ts, pa.timestamp("us")),
-        }
-        for c in value_cols:
-            x = _f64(block.column(c))
-            cols[f"{c}_ffill"] = pa.array(x[src], pa.float64(), from_pandas=True)
-        return pa.table(cols, schema=out_schema)
-
-    def add_part(t: pa.Table) -> pa.Table:
-        import polars as _pl
-
-        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
-        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
-
-    cols_needed = [key, ts] + value_cols
-    return ds.select_columns(cols_needed).map_batches(
-        add_part, batch_format="pyarrow"
-    ).groupby("__part").map_groups(
-        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
-    )
-
-
-def rolling_order_stats(
-    ds: ray.data.Dataset,
-    key: str,
-    ts: str,
-    col: str,
-    k: int,
-    n_partitions: int = 64,
-) -> ray.data.Dataset:
-    """Trailing k-row order statistics per entity: ``{col}_rollmedian_k`` /
-    ``_rollmin_k`` / ``_rollmax_k`` over ``ROWS k-1 PRECEDING .. CURRENT``
-    — the robust (outlier-insensitive) sibling of the rolling means in
-    :func:`window_features` (reference analog: the median smoother,
-    `04_feature_extraction_experiment/.../preprocessor.py` medfilt).
-
-    One entity-hash shuffle, then one vectorized pass per block: each
-    segment materializes its (rows, k) trailing-index matrix (clipped head
-    windows = smaller SQL frames), nan-masked, and reduces with
-    ``nanmedian``/``fmin``/``fmax`` — O(rows·k) work, no per-row Python.
-    """
-
-    def vector_block(block: pa.Table) -> pa.Table:
-        n = block.num_rows
-        med_f = pa.field(f"{col}_rollmedian_{k}", pa.float64())
-        min_f = pa.field(f"{col}_rollmin_{k}", pa.float64())
-        max_f = pa.field(f"{col}_rollmax_{k}", pa.float64())
-        out_schema = pa.schema(
-            [block.schema.field(i) for i in range(block.num_columns)]
-            + [med_f, min_f, max_f]
-        )
-        if n == 0:
-            return out_schema.empty_table()
-        block = block.combine_chunks()
-        g = block.column(key).combine_chunks().dictionary_encode().indices \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        tsv = _ts_i64(block.column(ts))
-        order = np.lexsort((tsv, g))
-        block = block.take(pa.array(order, pa.int64()))
-        g = g[order]
-        x = _f64(block.column(col))
-        pos = np.arange(n)
-        seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
-        seg_start_of = np.repeat(seg_first, np.diff(np.concatenate((seg_first, [n]))))
-        # (n, k) trailing window indices, clipped to the segment start
-        idx = pos[:, None] - np.arange(k - 1, -1, -1)[None, :]
-        valid = idx >= seg_start_of[:, None]
-        w = np.where(valid, x[np.maximum(idx, 0)], np.nan)
-        import warnings
-
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", RuntimeWarning)  # all-nan windows
-            med = np.nanmedian(w, axis=1)
-        mn = np.fmin.reduce(w, axis=1)
-        mx = np.fmax.reduce(w, axis=1)
-        block = block.append_column(med_f, pa.array(med, pa.float64(), from_pandas=True))
-        block = block.append_column(min_f, pa.array(mn, pa.float64(), from_pandas=True))
-        block = block.append_column(max_f, pa.array(mx, pa.float64(), from_pandas=True))
-        return block
-
-    def add_part(t: pa.Table) -> pa.Table:
-        import polars as _pl
-
-        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
-        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
-
-    return ds.map_batches(add_part, batch_format="pyarrow").groupby("__part").map_groups(
-        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
-    )
-
-
-def ewma(
-    ds: ray.data.Dataset,
-    key: str,
-    ts: str,
-    col: str,
-    alpha: float,
-    n_partitions: int = 64,
-) -> ray.data.Dataset:
-    """Per-entity exponentially weighted moving average, recursive
-    semantics (``y_0 = x_0``, ``y_i = a·x_i + (1-a)·y_{i-1}``, pandas
-    ``adjust=False``) — the decayed-trend feature of a PIT pipeline.
-
-    One entity-hash shuffle, then each segment evaluates the recursion in
-    fixed-size CHUNKS: within a chunk the closed form
-    ``y_i = (1-a)^{i+1}·y_prev + a·Σ(1-a)^{i-j}·x_j`` runs as one
-    vectorized dot against a precomputed decay kernel (exponents bounded by
-    the chunk size, so no overflow/precision blowup for long series), and
-    only the chunk boundary carries sequentially — O(rows/chunk) Python
-    steps instead of O(rows). Nulls carry the previous EWMA unchanged.
-    """
-    if not (0.0 < alpha <= 1.0):
-        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    chunk = 64
-    decay = (1.0 - alpha) ** np.arange(chunk + 1)  # decay[k] = (1-a)^k
-
-    def seg_ewma(x: np.ndarray) -> np.ndarray:
-        out = np.empty(len(x))
-        prev = np.nan
-        for st in range(0, len(x), chunk):
-            xs = x[st:st + chunk]
-            m = len(xs)
-            valid = ~np.isnan(xs)
-            # per-position count of valid steps since chunk start — a null
-            # contributes no decay (carries y unchanged)
-            steps = np.cumsum(valid)
-            xz = np.where(valid, xs, 0.0)
-            # contribution of in-chunk xs: a * sum_j (1-a)^(steps_i - steps_j) x_j
-            # computed as a scaled cumsum; exponents bounded by chunk size
-            w = alpha * xz * decay[steps.max() - steps]  # (1-a)^(-steps_j) scaled
-            csum = np.cumsum(w)
-            y = csum * decay[steps.max() - steps.max() + 0]  # placeholder, fixed below
-            y = csum / decay[steps.max() - steps]
-            if not np.isnan(prev):
-                y = y + decay[steps] * prev
-            else:
-                # y_0 = x_0 exactly: the first VALID x contributes with full
-                # weight, so add (1-a)*its decayed value
-                first = np.flatnonzero(valid)
-                if len(first):
-                    f = first[0]
-                    y = y + decay[steps] * 0.0
-                    y[f:] = y[f:] + (1.0 - alpha) * xs[f] * decay[steps[f:] - steps[f]]
-                y[:first[0]] = np.nan if len(first) else np.nan
-            out[st:st + chunk] = y
-            prev = y[-1] if m and not np.isnan(y[-1]) else prev
-        return out
-
-    def vector_block(block: pa.Table) -> pa.Table:
         out_field = pa.field(f"{col}_ewma", pa.float64())
         out_schema = pa.schema(
             [block.schema.field(i) for i in range(block.num_columns)] + [out_field]
@@ -1693,3 +1538,181 @@ def ewma(
     return ds.map_batches(add_part, batch_format="pyarrow").groupby("__part").map_groups(
         lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
     )
+
+
+def add_calendar_columns(
+    ds: ray.data.Dataset,
+    ts: str,
+    parts: tuple[str, ...] = ("year", "month", "isodow", "hour"),
+) -> ray.data.Dataset:
+    """Stateless calendar-feature projection: ISO weekday / hour-of-day /
+    month / year (+ ``is_weekend``) columns from a timestamp — the cyclical
+    feature encoding every trained-on-time model needs (reference analog:
+    the session/date components parsed out of filenames,
+    04_feature_extraction_experiment/feature_extraction_for_student.py).
+
+    Pure ``pyarrow.compute`` temporal kernels per batch — zero-copy Arrow
+    in/out, no Python per row, trivially parallel at any scale.
+    """
+    import pyarrow.compute as pc
+
+    known = {"year", "month", "isodow", "hour", "is_weekend"}
+    bad = set(parts) - known
+    if bad:
+        raise ValueError(f"unknown calendar parts {sorted(bad)}; choose from {sorted(known)}")
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t.column(ts)
+        if "year" in parts:
+            t = t.append_column("year", pc.cast(pc.year(col), pa.int64()))
+        if "month" in parts:
+            t = t.append_column("month", pc.cast(pc.month(col), pa.int64()))
+        if "isodow" in parts or "is_weekend" in parts:
+            # ISO numbering: 1 = Monday … 7 = Sunday (DuckDB isodow())
+            dow = pc.cast(pc.day_of_week(col, count_from_zero=False, week_start=1),
+                          pa.int64())
+            if "isodow" in parts:
+                t = t.append_column("isodow", dow)
+            if "is_weekend" in parts:
+                t = t.append_column("is_weekend", pc.greater_equal(dow, 6))
+        if "hour" in parts:
+            t = t.append_column("hour", pc.cast(pc.hour(col), pa.int64()))
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def transition_counts(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str,
+    state_col: str,
+    tiebreak: str | None = None,
+    n_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity state-transition (Markov) counts: how often state A is
+    immediately followed by state B within an entity's timeline — the
+    sequence feature behind next-action models (reference analog: the
+    frame-to-frame continuity deltas, SURVEY §2.4 Q3).
+
+    One entity-hash shuffle co-locates entities; each partition lexsorts
+    once and reads the next state per row via a segment-bounded shift on
+    dictionary codes (no per-row Python), emitting in-block (state, next)
+    partial counts. The final exchange moves only (state-pair, count)
+    partials — bounded by |states|², never rows.
+    """
+    from .aggregates import grouped_agg_fast
+
+    def vector_block(block: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            pa.field(state_col, block.schema.field(state_col).type),
+            pa.field("next_" + state_col, block.schema.field(state_col).type),
+        ])
+        n = block.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        block = block.combine_chunks()
+        g = block.column(key).combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv = _ts_i64(block.column(ts))
+        if tiebreak is not None:
+            tb = _f64(block.column(tiebreak))
+            order = np.lexsort((tb, tsv, g))
+        else:
+            order = np.lexsort((tsv, g))
+        g = g[order]
+        # next row belongs to the same entity ⇔ not the last row of its segment
+        same = np.empty(n, dtype=bool)
+        same[:-1] = g[:-1] == g[1:]
+        same[-1] = False
+        cur = np.flatnonzero(same)
+        states = block.column(state_col).take(pa.array(order, pa.int64()))
+        return pa.table({
+            state_col: states.take(pa.array(cur, pa.int64())),
+            "next_" + state_col: states.take(pa.array(cur + 1, pa.int64())),
+        }, schema=out_schema)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import polars as _pl
+
+        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
+        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
+
+    pairs = ds.map_batches(add_part, batch_format="pyarrow").groupby("__part").map_groups(
+        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    return grouped_agg_fast(pairs, keys=[state_col, "next_" + state_col],
+                            specs=[], count_alias="n")
+
+
+def time_weighted_avg(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str,
+    col: str,
+    n_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity time-weighted average (trapezoidal): irregular samples
+    weighted by how long they were 'in effect' — Σ((vᵢ+vᵢ₊₁)/2·Δtᵢ)/Σ Δtᵢ.
+    The canonical feature-store aggregate for irregular telemetry (a plain
+    mean over-weights bursts). Entities with < 2 events or zero span → NULL.
+
+    One entity-hash shuffle; each partition computes every entity's
+    trapezoid sum in one vectorized pass (segment-bounded shifted arrays),
+    then per-entity (num, den) partials combine map-side.
+    """
+    from .aggregates import grouped_agg_fast
+
+    def vector_block(block: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            pa.field(key, block.schema.field(key).type),
+            pa.field("__num", pa.float64()),
+            pa.field("__den", pa.float64()),
+        ])
+        n = block.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        block = block.combine_chunks()
+        g = block.column(key).combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv = _ts_i64(block.column(ts))
+        order = np.lexsort((tsv, g))
+        block = block.take(pa.array(order, pa.int64()))
+        g = g[order]
+        tsv = tsv[order]
+        x = _f64(block.column(col))
+        same = np.empty(n, dtype=bool)
+        same[:-1] = g[:-1] == g[1:]
+        same[-1] = False
+        i = np.flatnonzero(same)  # rows with an in-entity successor
+        dt = (tsv[i + 1] - tsv[i]).astype(np.float64)
+        num = (x[i] + x[i + 1]) * 0.5 * dt
+        return pa.table({
+            key: block.column(key).take(pa.array(i, pa.int64())),
+            "__num": pa.array(num, pa.float64(), from_pandas=True),
+            "__den": pa.array(dt, pa.float64()),
+        }, schema=out_schema)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import polars as _pl
+
+        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
+        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
+
+    traps = ds.map_batches(add_part, batch_format="pyarrow").groupby("__part").map_groups(
+        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+    sums = grouped_agg_fast(traps, keys=[key],
+                            specs=[("__num_s", "__num", "sum"), ("__den_s", "__den", "sum")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        num = t.column("__num_s").to_numpy(zero_copy_only=False)
+        den = t.column("__den_s").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            twa = np.where(den > 0, num / den, np.nan)
+        return pa.table({
+            key: t.column(key),
+            "twa": pa.array(twa, pa.float64(), from_pandas=True),
+        })
+
+    return sums.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
