@@ -911,6 +911,86 @@ FROM events GROUP BY 1
 """
 
 
+def q_rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP(priority, status): all prefix levels + grand total
+    from ONE input scan — coarser levels re-aggregate the finest result's
+    partials (≤ key-cardinality rows), the input never rescans. Sum scaled
+    to $M and rounded to 3 (raw 1e9-scale sums differ in the final float
+    grid between accumulation orders)."""
+    from ..stages.aggregates import rollup_agg
+
+    o = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    out = rollup_agg(o, keys=["o_orderpriority", "o_orderstatus"],
+                     value_col="o_totalprice", sum_alias="sum_price_m", count_alias="n")
+
+    def scale(t: pa.Table) -> pa.Table:
+        s = t.column("sum_price_m").to_numpy(zero_copy_only=False) / 1e6
+        return t.set_column(t.schema.get_field_index("sum_price_m"), "sum_price_m",
+                            pa.array(s, pa.float64(), from_pandas=True))
+
+    return _round_cols(out.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True),
+                       ["sum_price_m"], digits=3)
+
+
+SQL_ROLLUP_ORDERS = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice) / 1000000, 3) AS sum_price_m
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+def q_aspect_buckets_images(sf_dir: str):
+    """Aspect-ratio bucketing + deterministic global batch assignment over
+    the synthetic image table (rows-only: images aren't a driver view) —
+    per-bucket image counts and batch counts. Pure metadata math; bytes
+    never decoded."""
+    from ..sources.images import synth_images
+    from ..stages.batching import assign_aspect_buckets, with_batch_ids
+
+    n = max(30, int(1500 * _sf_of(sf_dir)))
+    ds = synth_images(n).select_columns(["image_id", "ts", "w", "h"])
+    ds = assign_aspect_buckets(ds)
+    ds = with_batch_ids(ds, batch_size=32)
+
+    def batch_seq(t: pa.Table) -> pa.Table:
+        # low 32 bits = within-bucket batch sequence number
+        seq = t.column("batch_id").to_numpy(zero_copy_only=False) & 0xFFFFFFFF
+        return t.append_column("batch_seq", pa.array(seq, pa.int64()))
+
+    agg = grouped_agg_fast(
+        ds.map_batches(batch_seq, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["aspect_bucket"],
+        specs=[("max_seq", "batch_seq", "max")], count_alias="n_images",
+        num_final_partitions=1,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nb = t.column("max_seq").to_numpy(zero_copy_only=False) + 1
+        t = t.append_column("n_batches", pa.array(nb, pa.int64()))
+        return t.drop_columns(["max_seq"])
+
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_patch_features_images(sf_dir: str):
+    """ViT-style patch fan-out (rows-only): decode once per image in the
+    actor pool, emit 16 tile rows each with offsets + luminance stats;
+    aggregate to per-tile-position means (4×4 grid profile). Serial-oracle
+    parity pinned in pytest."""
+    from ..sources.images import synth_images
+    from ..stages.features import patch_stage
+
+    n = max(30, int(1500 * _sf_of(sf_dir)))
+    tiles = patch_stage(synth_images(n), grid=4)
+    ok = tiles.filter(expr="status == 'ok'")
+    agg = grouped_agg_fast(
+        ok, keys=["tile_row", "tile_col"],
+        specs=[("mean_lum", "tile_mean", "mean"), ("mean_contrast", "tile_std", "mean")],
+        count_alias="n_tiles", num_final_partitions=1,
+    )
+    return _round_cols(agg, ["mean_lum", "mean_contrast"], digits=6)
+
+
 def q_transition_counts_events(sf_dir: str):
     """Per-entity state-transition (Markov) counts: event_type → next
     event_type frequencies within each user's timeline. One entity-hash
@@ -3814,6 +3894,9 @@ QUERIES = {
     "mad_events": (q_mad_events, SQL_MAD_EVENTS),
     "transition_counts_events": (q_transition_counts_events, SQL_TRANSITION_COUNTS_EVENTS),
     "time_weighted_avg_events": (q_time_weighted_avg_events, SQL_TIME_WEIGHTED_AVG_EVENTS),
+    "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
+    "aspect_buckets_images": (q_aspect_buckets_images, None),
+    "patch_features_images": (q_patch_features_images, None),
     "union_order_segments": (q_union_order_segments, SQL_UNION_ORDER_SEGMENTS),
     "intersect_order_keys": (q_intersect_order_keys, SQL_INTERSECT_ORDER_KEYS),
     "except_order_keys": (q_except_order_keys, SQL_EXCEPT_ORDER_KEYS),

@@ -1247,3 +1247,68 @@ def grouped_count_distinct(
         pairs, keys=[key], specs=[(out_col, col, "count")],
         num_final_partitions=num_final_partitions,
     )
+
+
+def rollup_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    sum_alias: str = "sum_v",
+    count_alias: str = "n",
+    num_final_partitions: int = 16,
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY ROLLUP(k1, k2, …)``: every prefix grouping level plus
+    the grand total, rolled-up keys emitted as NULL.
+
+    Scans the input ONCE: the finest level runs through the map-side
+    combiner; every coarser level re-aggregates the finest RESULT (already
+    ≤ |k1×k2…| rows — partials, never rows, so the extra levels cost
+    nothing at corpus scale; DuckDB does the same leaf-rollup internally).
+    """
+    if not keys:
+        raise ValueError("rollup_agg needs at least one key")
+    finest = grouped_agg_fast(
+        ds, keys=keys, specs=[(sum_alias, value_col, "sum")],
+        count_alias=count_alias, num_final_partitions=num_final_partitions,
+    ).materialize()  # ≤ key-cardinality rows; pinned because every coarser
+    # level re-reads it (never the input scan)
+    from .util import arrow_schema_of
+
+    key_types: dict[str, pa.DataType] = {}
+    finest, fschema = arrow_schema_of(finest)
+    for k in keys:
+        key_types[k] = fschema.field(k).type
+    out_names = keys + [count_alias, sum_alias]
+
+    def null_fill(level_keys: list[str]):
+        """Re-aggregate the finest table to ``level_keys``; NULL the rest."""
+        def fn(t: pa.Table) -> pa.Table:
+            if level_keys:
+                gb = t.group_by(level_keys)
+                res = gb.aggregate([(sum_alias, "sum"), (count_alias, "sum")])
+                n_rows = res.num_rows
+                cols = {k: (res.column(k) if k in level_keys
+                            else pa.nulls(n_rows, key_types[k])) for k in keys}
+                cols[count_alias] = res.column(f"{count_alias}_sum")
+                cols[sum_alias] = res.column(f"{sum_alias}_sum")
+            else:
+                import pyarrow.compute as _pc2
+                cols = {k: pa.nulls(1, key_types[k]) for k in keys}
+                cols[count_alias] = pa.array(
+                    [_pc2.sum(t.column(count_alias)).as_py() or 0], pa.int64())
+                cols[sum_alias] = pa.array(
+                    [_pc2.sum(t.column(sum_alias)).as_py()], pa.float64())
+            return pa.table({n: cols[n] for n in out_names})
+        return fn
+
+    levels = [finest.select_columns(out_names)]
+    for i in range(len(keys) - 1, -1, -1):
+        levels.append(
+            finest.repartition(1).map_batches(
+                null_fill(keys[:i]), batch_format="pyarrow", batch_size=None
+            )
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

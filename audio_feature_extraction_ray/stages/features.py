@@ -196,3 +196,97 @@ def feature_stage(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class PatchFeatures:
+    """Actor-pool tile extractor: decode bytes once per image, split into a
+    ``grid``×``grid`` tile lattice, emit one row per tile with its offsets
+    and luminance stats — the ViT-style patch fan-out of a vision training
+    pipeline (reference analog: framing a signal into overlapping windows,
+    04_feature_extraction_experiment/.../feature_extractor.py frame split).
+
+    Decoder state warms once per actor; pixel arrays never leave the task —
+    only (grid² × small-scalar) rows ship. Failed decodes emit a single
+    status row (failures are data, never exceptions)."""
+
+    def __init__(self, grid: int = 4):
+        if grid < 1:
+            raise ValueError(f"grid must be >= 1, got {grid}")
+        self.grid = grid
+        _ = codecs._D8, codecs._QSTEP  # warm per-actor codec state
+
+    OUT_SCHEMA = None  # set lazily (class-level, shared)
+
+    def _schema(self) -> pa.schema:
+        return pa.schema([
+            pa.field("image_id", pa.string()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("tile_row", pa.int32()),
+            pa.field("tile_col", pa.int32()),
+            pa.field("y0", pa.int32()),
+            pa.field("x0", pa.int32()),
+            pa.field("th", pa.int32()),
+            pa.field("tw", pa.int32()),
+            pa.field("tile_mean", pa.float64()),
+            pa.field("tile_std", pa.float64()),
+            pa.field("status", pa.string()),
+        ])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.grid
+        raw = batch.column("bytes")
+        ids = batch.column("image_id").to_pylist()
+        tss = batch.column("ts").to_pylist()
+        out: dict[str, list] = {k: [] for k in (
+            "image_id", "ts", "tile_row", "tile_col", "y0", "x0", "th", "tw",
+            "tile_mean", "tile_std", "status")}
+        for i in range(batch.num_rows):
+            try:
+                px = codecs.decode_image(raw[i].as_py())
+            except codecs.DecodeError as e:
+                out["image_id"].append(ids[i]); out["ts"].append(tss[i])
+                out["tile_row"].append(-1); out["tile_col"].append(-1)
+                out["y0"].append(0); out["x0"].append(0)
+                out["th"].append(0); out["tw"].append(0)
+                out["tile_mean"].append(None); out["tile_std"].append(None)
+                out["status"].append(f"decode_error:{str(e).split(':')[0]}")
+                continue
+            hh, ww = px.shape[0], px.shape[1]
+            # ITU-R 601 luminance, same kernel the feature stage uses
+            lum = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2])
+            ys = np.linspace(0, hh, g + 1).astype(np.int64)
+            xs = np.linspace(0, ww, g + 1).astype(np.int64)
+            for r in range(g):
+                for c in range(g):
+                    tile = lum[ys[r]:ys[r + 1], xs[c]:xs[c + 1]]
+                    out["image_id"].append(ids[i]); out["ts"].append(tss[i])
+                    out["tile_row"].append(r); out["tile_col"].append(c)
+                    out["y0"].append(int(ys[r])); out["x0"].append(int(xs[c]))
+                    out["th"].append(int(ys[r + 1] - ys[r]))
+                    out["tw"].append(int(xs[c + 1] - xs[c]))
+                    if tile.size:
+                        out["tile_mean"].append(float(tile.mean()))
+                        out["tile_std"].append(float(tile.std()))
+                    else:
+                        out["tile_mean"].append(None); out["tile_std"].append(None)
+                    out["status"].append("ok")
+        sch = self._schema()
+        return pa.table({f.name: pa.array(out[f.name], f.type) for f in sch}, schema=sch)
+
+
+def patch_stage(
+    ds: ray.data.Dataset,
+    grid: int = 4,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 128,
+) -> ray.data.Dataset:
+    """bytes → grid²-tile feature rows in one actor pool (smaller
+    ``batch_size`` than the feature stage: output fans out grid²×)."""
+    return ds.map_batches(
+        PatchFeatures,
+        fn_constructor_kwargs={"grid": grid},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1655,7 +1655,9 @@ def time_weighted_avg(
     """Per-entity time-weighted average (trapezoidal): irregular samples
     weighted by how long they were 'in effect' — Σ((vᵢ+vᵢ₊₁)/2·Δtᵢ)/Σ Δtᵢ.
     The canonical feature-store aggregate for irregular telemetry (a plain
-    mean over-weights bursts). Entities with < 2 events or zero span → NULL.
+    mean over-weights bursts). Entities with < 2 events are ABSENT (no
+    trapezoid exists — SQL `WHERE dt IS NOT NULL` semantics); zero total
+    span → NULL.
 
     One entity-hash shuffle; each partition computes every entity's
     trapezoid sum in one vectorized pass (segment-bounded shifted arrays),
