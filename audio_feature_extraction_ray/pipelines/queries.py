@@ -991,6 +991,47 @@ def q_patch_features_images(sf_dir: str):
     return _round_cols(agg, ["mean_lum", "mean_contrast"], digits=6)
 
 
+def q_resize_buckets_images(sf_dir: str):
+    """Aspect-bucket → canonical-shape resize (rows-only): every image
+    decoded + area-pooled to its bucket's constant-area target shape in one
+    actor pool; per-(bucket, th, tw) counts prove shape uniformity. Pixel
+    parity pinned in pytest."""
+    from ..sources.images import synth_images
+    from ..stages.batching import assign_aspect_buckets, resize_to_bucket_stage
+
+    n = max(30, int(1500 * _sf_of(sf_dir)))
+    ds = assign_aspect_buckets(synth_images(n))
+    rz = resize_to_bucket_stage(ds).filter(expr="status == 'ok'")
+    agg = grouped_agg_fast(
+        rz, keys=["aspect_bucket", "th", "tw"],
+        specs=[("mean_px", "mean_px", "mean")], count_alias="n_images",
+        num_final_partitions=1,
+    )
+    return _round_cols(agg, ["mean_px"], digits=6)
+
+
+def q_consecutive_neardups_images(sf_dir: str):
+    """Per-entity consecutive near-duplicate versions (rows-only): XOR +
+    popcount on the segment-shifted phash lane; summary = dup-rate per
+    format-agnostic corpus. Serial-oracle parity pinned in pytest."""
+    from ..sources.images import synth_images
+    from ..stages.dedup import consecutive_neardup_flags
+
+    n = max(30, int(1500 * _sf_of(sf_dir)))
+    flags = consecutive_neardup_flags(synth_images(n), max_hamming=3)
+
+    def to01(t: pa.Table) -> pa.Table:
+        f = t.column("is_consecutive_neardup").to_numpy(zero_copy_only=False)
+        return t.append_column("dup01", pa.array(f.astype(np.int64)))
+
+    return grouped_agg_fast(
+        flags.map_batches(to01, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["is_consecutive_neardup"],
+        specs=[("n_flagged", "dup01", "sum")], count_alias="n_rows",
+        num_final_partitions=1,
+    )
+
+
 def q_transition_counts_events(sf_dir: str):
     """Per-entity state-transition (Markov) counts: event_type → next
     event_type frequencies within each user's timeline. One entity-hash
@@ -3897,6 +3938,8 @@ QUERIES = {
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "aspect_buckets_images": (q_aspect_buckets_images, None),
     "patch_features_images": (q_patch_features_images, None),
+    "resize_buckets_images": (q_resize_buckets_images, None),
+    "consecutive_neardups_images": (q_consecutive_neardups_images, None),
     "union_order_segments": (q_union_order_segments, SQL_UNION_ORDER_SEGMENTS),
     "intersect_order_keys": (q_intersect_order_keys, SQL_INTERSECT_ORDER_KEYS),
     "except_order_keys": (q_except_order_keys, SQL_EXCEPT_ORDER_KEYS),

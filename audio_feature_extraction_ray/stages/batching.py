@@ -84,3 +84,90 @@ def with_batch_ids(
         return t.append_column("batch_id", pa.array(bid, pa.int64()))
 
     return ds.groupby(bucket_col).map_groups(per_bucket, batch_format="pyarrow")
+
+
+def resize_to_bucket_stage(
+    ds: ray.data.Dataset,
+    target_area: int = 256 * 256,
+    buckets: tuple[float, ...] = DEFAULT_BUCKETS,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 64,
+    keep_pixels: bool = False,
+) -> ray.data.Dataset:
+    """Decode + resize every image to its aspect bucket's canonical shape —
+    the step after :func:`assign_aspect_buckets` that makes batches
+    uniform-shape (constant ``target_area`` pixels, bucket's ratio): all
+    rows in a bucket come back ``(th, tw)``-identical, ready to stack.
+
+    Area-pooling resize per channel (the engine's shared kernel, mean-
+    preserving); actor pool warms decoder state once; resized pixels ship
+    only when ``keep_pixels`` (stats + dims otherwise — training sinks
+    re-encode per shard instead of shipping raw float planes).
+    """
+    from ..functions import codecs
+    from ..functions.imagefx import resize_area
+
+    b = np.asarray(sorted(buckets), dtype=np.float64)
+    targets = []
+    for r in b:
+        th = int(round(np.sqrt(target_area / r)))
+        tw = int(round(np.sqrt(target_area * r)))
+        targets.append((max(th, 1), max(tw, 1)))
+
+    class ResizeToBucket:
+        def __init__(self):
+            _ = codecs._D8, codecs._QSTEP  # warm per-actor codec state
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            raw = batch.column("bytes")
+            bkt = batch.column("aspect_bucket").to_numpy(zero_copy_only=False)
+            out: dict[str, list] = {
+                "image_id": batch.column("image_id").to_pylist(),
+                "ts": batch.column("ts").to_pylist(),
+                "aspect_bucket": bkt.tolist(),
+                "th": [], "tw": [], "mean_px": [], "std_px": [], "status": [],
+            }
+            if keep_pixels:
+                out["pixels"] = []
+            for i in range(n):
+                th, tw = targets[int(bkt[i])]
+                try:
+                    px = codecs.decode_image(raw[i].as_py())
+                except codecs.DecodeError as e:
+                    out["th"].append(0); out["tw"].append(0)
+                    out["mean_px"].append(None); out["std_px"].append(None)
+                    out["status"].append(f"decode_error:{str(e).split(':')[0]}")
+                    if keep_pixels:
+                        out["pixels"].append(None)
+                    continue
+                rz = np.stack(
+                    [resize_area(px[:, :, c].astype(np.float64), th, tw)
+                     for c in range(px.shape[2])], axis=2)
+                out["th"].append(th); out["tw"].append(tw)
+                out["mean_px"].append(float(rz.mean()))
+                out["std_px"].append(float(rz.std()))
+                out["status"].append("ok")
+                if keep_pixels:
+                    out["pixels"].append(
+                        np.clip(np.rint(rz), 0, 255).astype(np.uint8).tobytes())
+            fields = [
+                pa.field("image_id", pa.string()), pa.field("ts", pa.timestamp("us")),
+                pa.field("aspect_bucket", pa.int32()),
+                pa.field("th", pa.int32()), pa.field("tw", pa.int32()),
+                pa.field("mean_px", pa.float64()), pa.field("std_px", pa.float64()),
+                pa.field("status", pa.string()),
+            ]
+            if keep_pixels:
+                fields.append(pa.field("pixels", pa.binary()))
+            sch = pa.schema(fields)
+            return pa.table({f.name: pa.array(out[f.name], f.type) for f in sch},
+                            schema=sch)
+
+    return ds.map_batches(
+        ResizeToBucket,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

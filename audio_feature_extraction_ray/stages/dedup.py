@@ -926,3 +926,75 @@ def substring_dup_pairs(
     from .aggregates import grouped_agg_fast
 
     return grouped_agg_fast(pairs, keys=["id_a", "id_b"], specs=[], count_alias="n_shared")
+
+
+def consecutive_neardup_flags(
+    ds: ray.data.Dataset,
+    key: str = "image_id",
+    ts: str = "ts",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    n_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity CONSECUTIVE near-duplicate detection: flag each version
+    whose perceptual hash is within ``max_hamming`` bits of the entity's
+    previous version — the cheap 'did this upload actually change anything'
+    filter a versioned image corpus runs before the expensive all-pairs
+    banded dedup (reference analog: frame-to-frame continuity deltas,
+    SURVEY §2.4 Q3, recast over version timelines).
+
+    One entity-hash shuffle; each partition lexsorts once and XOR+popcounts
+    the segment-shifted 64-bit hash lane (uint8-view bit twiddling, no
+    per-row Python). First version per entity → hamming NULL, flag false.
+    """
+
+    def vector_block(block: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            pa.field(key, block.schema.field(key).type),
+            pa.field(ts, pa.timestamp("us")),
+            pa.field(hash_col, pa.int64()),
+            pa.field("prev_hamming", pa.int64()),
+            pa.field("is_consecutive_neardup", pa.bool_()),
+        ])
+        n = block.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        block = block.combine_chunks()
+        g = block.column(key).combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv = block.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tsv, g))
+        g = g[order]
+        tsv = tsv[order]
+        h = block.column(hash_col).to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        hu = h.view(np.uint64)
+        same = np.empty(n, dtype=bool)
+        same[0] = False
+        same[1:] = g[1:] == g[:-1]
+        x = np.zeros(n, dtype=np.uint64)
+        x[1:] = hu[1:] ^ hu[:-1]
+        # popcount via uint8 view + per-byte bit-count LUT
+        lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+        ham = lut[x.view(np.uint8).reshape(n, 8)].sum(1).astype(np.int64)
+        flag = same & (ham <= max_hamming)
+        ham_f = np.where(same, ham.astype(np.float64), np.nan)  # NaN → Arrow null
+        return pa.table({
+            key: block.column(key).take(pa.array(order, pa.int64())),
+            ts: pa.array(tsv.astype("datetime64[us]")),
+            hash_col: pa.array(h, pa.int64()),
+            "prev_hamming": pa.array(ham_f, pa.float64(), from_pandas=True).cast(pa.int64()),
+            "is_consecutive_neardup": pa.array(flag),
+        }, schema=out_schema)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import polars as _pl
+
+        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
+        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
+
+    cols = [key, ts, hash_col]
+    return ds.select_columns(cols).map_batches(
+        add_part, batch_format="pyarrow"
+    ).groupby("__part").map_groups(
+        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
+    )

@@ -56,6 +56,9 @@ HEADLINE = [
     "rolling_time_mean_bucketed",
     "interval_join_events",
     "substring_pairs_documents",
+    # round 3, second batch
+    "pit_trailing_events",
+    "transition_counts_events",
 ]
 
 

@@ -213,3 +213,77 @@ def test_patch_features_match_serial_oracle():
     # fan-out arithmetic: every ok image yields exactly grid² tiles
     per_img = ok.groupby(["image_id", "ts"]).size()
     assert (per_img == 16).all()
+
+
+# ------------------------------------------------------------------ resize to bucket
+
+def test_resize_to_bucket_uniform_shapes_and_mean_preserved():
+    from audio_feature_extraction_ray.functions import codecs
+    from audio_feature_extraction_ray.sources.images import synth_images
+    from audio_feature_extraction_ray.stages.batching import (
+        assign_aspect_buckets, resize_to_bucket_stage)
+
+    ds = assign_aspect_buckets(synth_images(10, seed=42))
+    src = ds.to_pandas()
+    out = resize_to_bucket_stage(ray.data.from_pandas(src), keep_pixels=True).to_pandas()
+    ok = out[out.status == "ok"]
+    assert len(ok) > 0
+    # every row of a bucket shares its target shape; area ≈ constant
+    for bk, g in ok.groupby("aspect_bucket"):
+        assert g.th.nunique() == 1 and g.tw.nunique() == 1
+        area = int(g.th.iloc[0]) * int(g.tw.iloc[0])
+        assert abs(area - 256 * 256) / (256 * 256) < 0.05
+    # area pooling preserves the global mean (weighted resample of means)
+    merged = ok.merge(src[["image_id", "ts", "bytes"]], on=["image_id", "ts"])
+    checked = 0
+    for _, r in merged.head(5).iterrows():
+        px = codecs.decode_image(r["bytes"]).astype(np.float64)
+        assert r.mean_px == pytest.approx(px.mean(), rel=0.02)
+        rz = np.frombuffer(r["pixels"], np.uint8).reshape(r.th, r.tw, 3)
+        assert rz.shape == (r.th, r.tw, 3)
+        checked += 1
+    assert checked == 5
+    # failures are data
+    bad = out[out.status != "ok"]
+    assert (bad.th == 0).all()
+
+
+# ------------------------------------------------------------------ consecutive near-dups
+
+def test_consecutive_neardup_flags_match_pandas():
+    from audio_feature_extraction_ray.stages.dedup import consecutive_neardup_flags
+
+    rng = np.random.default_rng(9)
+    n = 300
+    base = rng.integers(-2**62, 2**62, 40, dtype=np.int64)
+    ks = rng.integers(0, 40, n)
+    # each row: entity's base hash with a few random bit flips
+    flips = rng.integers(0, 5, n)
+    h = base[ks].copy()
+    for i in range(n):
+        for b in rng.integers(0, 64, flips[i]):
+            h[i] ^= np.int64(np.uint64(1) << np.uint64(b))
+    df = pd.DataFrame({
+        "image_id": [f"e{k}" for k in ks],
+        "ts": rng.choice(np.arange(n) * 1000, n, replace=False).astype("datetime64[us]"),
+        "phash": h,
+    })
+    out = consecutive_neardup_flags(
+        ray.data.from_pandas(df), max_hamming=3
+    ).to_pandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    exp = df.sort_values(["image_id", "ts"]).reset_index(drop=True)
+    # stay in int64: groupby().shift() coerces through float64 and destroys
+    # low bits of 64-bit hashes
+    cur = exp.phash.to_numpy()
+    kcodes = exp.image_id.to_numpy()
+    has_prev = np.zeros(len(exp), dtype=bool)
+    has_prev[1:] = kcodes[1:] == kcodes[:-1]
+    xor = np.zeros(len(exp), dtype=np.int64)
+    xor[1:] = cur[1:] ^ cur[:-1]
+    xor[~has_prev] = 0
+    pop = np.array([bin(int(v)).count("1") for v in xor.view(np.uint64)])
+    want_ham = np.where(has_prev, pop, -1)
+    got_ham = out.prev_hamming.fillna(-1).to_numpy().astype(np.int64)
+    assert (got_ham == want_ham).all()
+    want_flag = has_prev & (pop <= 3)
+    assert (out.is_consecutive_neardup.to_numpy() == want_flag).all()
