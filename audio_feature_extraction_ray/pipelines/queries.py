@@ -726,9 +726,11 @@ WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
 
 
 def q_rank_ties_events(sf_dir: str):
-    """Tie-aware RANK / DENSE_RANK per user over value DESC — rows with equal
-    values share a rank (the events table carries real ties), deterministic
-    without any tiebreak column."""
+    """Tie-aware RANK / DENSE_RANK / CUME_DIST per user over value DESC —
+    rows with equal values share a rank and the cumulative distribution of
+    their run's last row (the events table carries real ties),
+    deterministic without any tiebreak column. cume_dist is an exact
+    rational (last-peer-position / group-size) on both engines."""
     from ..stages.window import grouped_rank
 
     ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
@@ -739,7 +741,8 @@ def q_rank_ties_events(sf_dir: str):
 SQL_RANK_TIES_EVENTS = """
 SELECT event_id, user_id, value,
        RANK() OVER w AS rank,
-       DENSE_RANK() OVER w AS dense_rank
+       DENSE_RANK() OVER w AS dense_rank,
+       CUME_DIST() OVER w AS cume_dist
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY value DESC)
 """
@@ -989,6 +992,86 @@ def q_patch_features_images(sf_dir: str):
         count_alias="n_tiles", num_final_partitions=1,
     )
     return _round_cols(agg, ["mean_lum", "mean_contrast"], digits=6)
+
+
+def q_value_runs_events(sf_dir: str):
+    """Gaps-and-islands: one row per maximal consecutive run of equal
+    event_type within a user's timeline (1-based start position + length)
+    — vectorized run-boundary detection after one entity-hash shuffle."""
+    from ..stages.window import value_runs
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    return value_runs(ev, key="user_id", ts="ts", state_col="event_type",
+                      tiebreak="event_id")
+
+
+SQL_VALUE_RUNS_EVENTS = """
+WITH t AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rt
+  FROM events
+)
+SELECT user_id, event_type, MIN(rn) AS run_start, COUNT(*) AS n_run
+FROM t GROUP BY user_id, event_type, rn - rt
+"""
+
+
+def q_daily_growth_events(sf_dir: str):
+    """Period-over-period growth: calendar-day value sums + percent change
+    vs the previous day (LAG over ≤ a few thousand day rows — the final
+    tiny sort never touches row-scale data). Growth derives from the
+    ROUNDED sums on both engines so the final rounding sees identical
+    inputs."""
+    import pyarrow.compute as pc
+
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "day", pc.floor_temporal(t.column("ts"), unit="day"))
+
+    daily = grouped_agg_fast(
+        ev.map_batches(add_day, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["day"], specs=[("s", "value", "sum")], count_alias="n",
+        num_final_partitions=1,
+    )
+    daily = _round_cols(daily, ["s"], digits=4)
+
+    def growth(t: pa.Table) -> pa.Table:
+        t = t.take(pa.compute.sort_indices(t, sort_keys=[("day", "ascending")]))
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        prev = np.concatenate(([np.nan], s[:-1]))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            g = _round_half_away(s / prev - 1.0, 6)
+        g = np.where(np.isfinite(g), g, np.nan)
+        return t.append_column("growth", pa.array(g, pa.float64(), from_pandas=True))
+
+    return daily.repartition(1).map_batches(
+        growth, batch_format="pyarrow", batch_size=None)
+
+
+SQL_DAILY_GROWTH_EVENTS = """
+WITH m AS (
+  SELECT date_trunc('day', ts) AS day, COUNT(*) AS n,
+         ROUND(SUM(value), 4) AS s
+  FROM events GROUP BY 1
+)
+SELECT day, n, s,
+       ROUND(s / NULLIF(LAG(s) OVER (ORDER BY day), 0) - 1, 6) AS growth
+FROM m
+"""
+
+
+def q_channel_histogram_images(sf_dir: str):
+    """Corpus per-channel pixel histogram (rows-only): fixed 3×32-bin
+    partials per batch, map-side combined — the corpus-stat shape that
+    never scales with image count. Serial parity pinned in pytest."""
+    from ..sources.images import synth_images
+    from ..stages.features import channel_histogram
+
+    n = max(30, int(1500 * _sf_of(sf_dir)))
+    return channel_histogram(synth_images(n), bins=32)
 
 
 def q_resize_buckets_images(sf_dir: str):
@@ -3940,6 +4023,9 @@ QUERIES = {
     "patch_features_images": (q_patch_features_images, None),
     "resize_buckets_images": (q_resize_buckets_images, None),
     "consecutive_neardups_images": (q_consecutive_neardups_images, None),
+    "value_runs_events": (q_value_runs_events, SQL_VALUE_RUNS_EVENTS),
+    "daily_growth_events": (q_daily_growth_events, SQL_DAILY_GROWTH_EVENTS),
+    "channel_histogram_images": (q_channel_histogram_images, None),
     "union_order_segments": (q_union_order_segments, SQL_UNION_ORDER_SEGMENTS),
     "intersect_order_keys": (q_intersect_order_keys, SQL_INTERSECT_ORDER_KEYS),
     "except_order_keys": (q_except_order_keys, SQL_EXCEPT_ORDER_KEYS),

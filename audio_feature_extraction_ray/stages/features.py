@@ -290,3 +290,59 @@ def patch_stage(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ChannelHistogram:
+    """Corpus-level per-channel pixel histogram: each batch decodes its
+    images and emits ONE partial (channel, bin, count) table — 768 rows per
+    batch regardless of image count, the fixed-size-partial shape that
+    scales to any corpus (same pattern as the HLL register rows)."""
+
+    def __init__(self, bins: int = 256):
+        self.bins = bins
+        _ = codecs._D8, codecs._QSTEP  # warm per-actor codec state
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = np.zeros((3, self.bins), dtype=np.int64)
+        raw = batch.column("bytes")
+        scale = 256 // self.bins
+        for i in range(batch.num_rows):
+            try:
+                px = codecs.decode_image(raw[i].as_py())
+            except codecs.DecodeError:
+                continue
+            for c in range(3):
+                counts[c] += np.bincount(
+                    px[:, :, c].reshape(-1) // scale, minlength=self.bins
+                ).astype(np.int64)
+        ch = np.repeat(np.arange(3, dtype=np.int32), self.bins)
+        bn = np.tile(np.arange(self.bins, dtype=np.int32), 3)
+        return pa.table({
+            "channel": pa.array(ch, pa.int32()),
+            "bin": pa.array(bn, pa.int32()),
+            "count": pa.array(counts.reshape(-1), pa.int64()),
+        })
+
+
+def channel_histogram(
+    ds: ray.data.Dataset,
+    bins: int = 256,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 128,
+) -> ray.data.Dataset:
+    """bytes → global per-channel histogram: actor-pool partials combined
+    with the map-side grouped sum (3×bins final rows)."""
+    from .aggregates import grouped_agg_fast
+
+    partials = ds.map_batches(
+        ChannelHistogram,
+        fn_constructor_kwargs={"bins": bins},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return grouped_agg_fast(
+        partials, keys=["channel", "bin"],
+        specs=[("count", "count", "sum")], num_final_partitions=1,
+    )

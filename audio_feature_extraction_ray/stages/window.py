@@ -1151,15 +1151,17 @@ def grouped_rank(
     Default outputs: ``row_number`` (1-based), ``percent_rank`` and optional
     ``ntile`` (remainder rows fill the leading buckets) — these require
     ``sort_keys`` to be a TOTAL order (add a tiebreak column).
-    ``tie_aware=True`` instead emits ``rank``/``dense_rank`` where rows with
-    equal sort keys share a rank — deterministic even WITH ties, matching
-    SQL RANK()/DENSE_RANK()."""
+    ``tie_aware=True`` instead emits ``rank``/``dense_rank``/``cume_dist``
+    where rows with equal sort keys share a rank (and the cumulative
+    distribution of their run's last row) — deterministic even WITH ties,
+    matching SQL RANK()/DENSE_RANK()/CUME_DIST()."""
     if isinstance(descending, bool):
         descending = [descending] * len(sort_keys)
     ds, schema = arrow_schema_of(ds)
     out_fields = [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
     if tie_aware:
-        out_fields += [pa.field("rank", pa.int64()), pa.field("dense_rank", pa.int64())]
+        out_fields += [pa.field("rank", pa.int64()), pa.field("dense_rank", pa.int64()),
+                       pa.field("cume_dist", pa.float64())]
     else:
         out_fields += [pa.field("row_number", pa.int64()),
                        pa.field("percent_rank", pa.float64())]
@@ -1201,6 +1203,10 @@ def grouped_rank(
             trun = np.cumsum(new_tie) - 1
             cols["rank"] = pa.array(tstarts[trun] - kstart_of + 1, pa.int64())
             cols["dense_rank"] = pa.array(trun - trun[kstart_of] + 1, pa.int64())
+            # CUME_DIST: peers share the position of their run's LAST row
+            tends = np.append(tstarts[1:], n) - 1
+            cols["cume_dist"] = pa.array(
+                (tends[trun] - kstart_of + 1) / ksize_of, pa.float64())
             return pa.table(cols, schema=out_schema)
         cols["row_number"] = pa.array(r + 1, pa.int64())
         cols["percent_rank"] = pa.array(
@@ -1718,3 +1724,79 @@ def time_weighted_avg(
         })
 
     return sums.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def value_runs(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str,
+    state_col: str,
+    tiebreak: str | None = None,
+    n_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Gaps-and-islands: collapse each entity's timeline into RUNS of equal
+    ``state_col`` (one summary row per maximal consecutive run, with its
+    1-based start position and length) — the classic sequence feature for
+    'how long did the entity stay in state X' (reference analog: VAD's
+    merge-adjacent-speech-segments pass, SURVEY §2.2 M9/M10).
+
+    One entity-hash shuffle; each partition lexsorts once, finds run
+    boundaries with two adjacent-compare lanes (entity change OR state
+    change), and emits every run summary via reduceat-style offset math —
+    no per-run Python."""
+
+    def vector_block(block: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            pa.field(key, block.schema.field(key).type),
+            pa.field(state_col, block.schema.field(state_col).type),
+            pa.field("run_start", pa.int64()),
+            pa.field("n_run", pa.int64()),
+        ])
+        n = block.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        block = block.combine_chunks()
+        g = block.column(key).combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        s = block.column(state_col).combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv = _ts_i64(block.column(ts))
+        if tiebreak is not None:
+            tb = _f64(block.column(tiebreak))
+            order = np.lexsort((tb, tsv, g))
+        else:
+            order = np.lexsort((tsv, g))
+        g = g[order]
+        s = s[order]
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = g[1:] != g[:-1]
+        new_run = new_key.copy()
+        new_run[1:] |= s[1:] != s[:-1]
+        rstarts = np.flatnonzero(new_run)
+        rlens = np.diff(np.append(rstarts, n))
+        kstarts = np.flatnonzero(new_key)
+        # 1-based position of the run's first row within its entity
+        kstart_of_run = kstarts[np.searchsorted(kstarts, rstarts, side="right") - 1]
+        run_start = rstarts - kstart_of_run + 1
+        take = pa.array(rstarts, pa.int64())
+        ordered = block.take(pa.array(order, pa.int64()))
+        return pa.table({
+            key: ordered.column(key).take(take),
+            state_col: ordered.column(state_col).take(take),
+            "run_start": pa.array(run_start, pa.int64()),
+            "n_run": pa.array(rlens.astype(np.int64), pa.int64()),
+        }, schema=out_schema)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import polars as _pl
+
+        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
+        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
+
+    cols = [key, ts, state_col] + ([tiebreak] if tiebreak else [])
+    return ds.select_columns(cols).map_batches(
+        add_part, batch_format="pyarrow"
+    ).groupby("__part").map_groups(
+        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
+    )

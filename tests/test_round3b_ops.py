@@ -287,3 +287,63 @@ def test_consecutive_neardup_flags_match_pandas():
     assert (got_ham == want_ham).all()
     want_flag = has_prev & (pop <= 3)
     assert (out.is_consecutive_neardup.to_numpy() == want_flag).all()
+
+
+# ------------------------------------------------------------------ gaps & islands
+
+def test_value_runs_match_pandas():
+    from audio_feature_extraction_ray.stages.window import value_runs
+
+    rng = np.random.default_rng(13)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.integers(0, 12, n),
+        "ts": rng.choice(np.arange(10 * n) * 7, n, replace=False).astype("datetime64[us]"),
+        "s": rng.choice(list("ab"), n),  # few states → long runs
+        "i": np.arange(n),
+    })
+    out = value_runs(ray.data.from_pandas(df.rename(columns={"k": "user_id"})),
+                     key="user_id", ts="ts", state_col="s", tiebreak="i"
+                     ).to_pandas().sort_values(["user_id", "run_start"]).reset_index(drop=True)
+    exp_rows = []
+    for k, g in df.sort_values(["k", "ts", "i"]).groupby("k"):
+        states = g["s"].to_numpy()
+        start = 0
+        for j in range(1, len(states) + 1):
+            if j == len(states) or states[j] != states[j - 1]:
+                exp_rows.append((k, states[start], start + 1, j - start))
+                start = j
+    exp = pd.DataFrame(exp_rows, columns=["user_id", "s", "run_start", "n_run"]) \
+        .sort_values(["user_id", "run_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["user_id", "s", "run_start", "n_run"]].astype({"user_id": "int64"}),
+        exp.astype({"user_id": "int64"}), check_dtype=False)
+
+
+# ------------------------------------------------------------------ channel histogram
+
+def test_channel_histogram_matches_serial():
+    from audio_feature_extraction_ray.functions import codecs
+    from audio_feature_extraction_ray.sources.images import synth_images
+    from audio_feature_extraction_ray.stages.features import channel_histogram
+
+    ds = synth_images(8, seed=42)
+    src = ds.to_pandas()
+    out = channel_histogram(ray.data.from_pandas(src), bins=32).to_pandas()
+    got = np.zeros((3, 32), dtype=np.int64)
+    for _, r in out.iterrows():
+        got[int(r.channel), int(r.bin)] = int(r["count"])
+    want = np.zeros((3, 32), dtype=np.int64)
+    n_ok = 0
+    for _, row in src.iterrows():
+        try:
+            px = codecs.decode_image(row["bytes"])
+        except codecs.DecodeError:
+            continue
+        n_ok += 1
+        for c in range(3):
+            want[c] += np.bincount(px[:, :, c].reshape(-1) // 8, minlength=32)
+    assert n_ok > 0
+    assert (got == want).all()
+    # total mass = ok pixels × 3 lanes accounted exactly once
+    assert got.sum() == want.sum()
