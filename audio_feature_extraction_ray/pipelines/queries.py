@@ -994,6 +994,84 @@ def q_patch_features_images(sf_dir: str):
     return _round_cols(agg, ["mean_lum", "mean_contrast"], digits=6)
 
 
+def q_anomaly_events(sf_dir: str):
+    """Leakage-free anomaly scores: each event's value z-scored against its
+    entity's STRICTLY PRIOR history (trailing mean/std, frame … AND 1
+    PRECEDING) — the online-anomaly feature a PIT pipeline serves without
+    peeking at the future. Flag = |z| > 3 once ≥ 5 prior samples exist.
+    z is rounded to 4 on both sides (two accumulation-order-sensitive
+    quantities divide)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = window_features(ev, key="user_id", ts="ts", value_cols=[], lags=(), leads=(),
+                          deltas=False, tiebreak="event_id", trailing=["value"])
+
+    def score(t: pa.Table) -> pa.Table:
+        x = t.column("value").to_numpy(zero_copy_only=False)
+        m = t.column("value_trail_mean").to_numpy(zero_copy_only=False)
+        s = t.column("value_trail_std").to_numpy(zero_copy_only=False)
+        cnt = t.column("value_trail_count").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = _round_half_away((x - m) / s, 4)
+        ready = (cnt >= 5) & np.isfinite(z)
+        z = np.where(ready, z, np.nan)
+        flag = ready & (np.abs(z) > 3.0)
+        t = t.select(["event_id", "user_id", "ts", "value"])
+        t = t.append_column("z", pa.array(z, pa.float64(), from_pandas=True))
+        return t.append_column("is_anomaly", pa.array(flag))
+
+    return out.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ANOMALY_EVENTS = """
+WITH t AS (
+  SELECT event_id, user_id, ts, value,
+         AVG(value) OVER w AS m,
+         STDDEV_SAMP(value) OVER w AS s,
+         COUNT(value) OVER w AS cnt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts, value,
+       CASE WHEN cnt >= 5 AND s > 0 THEN ROUND((value - m) / s, 4) END AS z,
+       COALESCE(cnt >= 5 AND s > 0 AND ABS(ROUND((value - m) / s, 4)) > 3.0,
+                FALSE) AS is_anomaly
+FROM t
+"""
+
+
+def q_impute_group_mean_events(sf_dir: str):
+    """Per-group mean imputation over a column with synthetic nulls (value
+    NULLed below 1.0 on BOTH engines — the events table itself is
+    null-free): grouped (Σ,n) partials → broadcast means → coalesce."""
+    from ..stages.scaling import impute_group_mean
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def nullify(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        v = pc.cast(t.column("value"), pa.float64())
+        masked = pc.if_else(pc.less(v, 1.0), pa.nulls(t.num_rows, pa.float64()), v)
+        return t.set_column(t.schema.get_field_index("value"), "value", masked)
+
+    sparse = ev.map_batches(nullify, batch_format="pyarrow", zero_copy_batch=True)
+    out = impute_group_mean(sparse, key="event_type", col="value")
+    return _round_cols(out, ["value", "value_imputed"], digits=6)
+
+
+SQL_IMPUTE_GROUP_MEAN_EVENTS = """
+WITH s AS (
+  SELECT event_id, event_type,
+         CASE WHEN value < 1.0 THEN NULL ELSE value END AS value
+  FROM events
+)
+SELECT event_id, event_type, ROUND(value, 6) AS value,
+       ROUND(COALESCE(value, AVG(value) OVER (PARTITION BY event_type)), 6)
+           AS value_imputed
+FROM s
+"""
+
+
 def q_value_runs_events(sf_dir: str):
     """Gaps-and-islands: one row per maximal consecutive run of equal
     event_type within a user's timeline (1-based start position + length)
@@ -4023,6 +4101,8 @@ QUERIES = {
     "patch_features_images": (q_patch_features_images, None),
     "resize_buckets_images": (q_resize_buckets_images, None),
     "consecutive_neardups_images": (q_consecutive_neardups_images, None),
+    "anomaly_events": (q_anomaly_events, SQL_ANOMALY_EVENTS),
+    "impute_group_mean_events": (q_impute_group_mean_events, SQL_IMPUTE_GROUP_MEAN_EVENTS),
     "value_runs_events": (q_value_runs_events, SQL_VALUE_RUNS_EVENTS),
     "daily_growth_events": (q_daily_growth_events, SQL_DAILY_GROWTH_EVENTS),
     "channel_histogram_images": (q_channel_histogram_images, None),

@@ -275,3 +275,31 @@ def winsorize(
 
     joined = broadcast_join(ds, bounds, keys=key, join_type="left outer")
     return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def impute_group_mean(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    out_col: str | None = None,
+    num_final_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Null imputation by per-group mean — the standard tabular-feature
+    cleanup step. Grouped (Σ, n) partials map-side combined, the small
+    per-group mean table broadcast back (same scale shape as
+    :func:`group_standardize`); groups whose values are ALL null stay null
+    (SQL AVG semantics)."""
+    out_col = out_col or f"{col}_imputed"
+    means = grouped_agg_fast(
+        ds, keys=[key], specs=[(f"__mean_{col}", col, "mean")],
+        num_final_partitions=num_final_partitions,
+    )
+    joined = broadcast_join(ds, means, keys=[key], join_type="left outer")
+
+    def fill(t: pa.Table) -> pa.Table:
+        x = pc.cast(t.column(col), pa.float64())
+        m = pc.cast(t.column(f"__mean_{col}"), pa.float64())
+        return t.append_column(out_col, pc.coalesce(x, m)) \
+                .drop_columns([f"__mean_{col}"])
+
+    return joined.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)

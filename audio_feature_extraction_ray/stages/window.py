@@ -245,6 +245,7 @@ def window_features(
     for c in trailing:
         out_fields.append(pa.field(f"{c}_trail_sum", pa.float64()))
         out_fields.append(pa.field(f"{c}_trail_mean", pa.float64()))
+        out_fields.append(pa.field(f"{c}_trail_std", pa.float64()))
         out_fields.append(pa.field(f"{c}_trail_count", pa.int64()))
     for c, k in (rolling or {}).items():
         out_fields.append(pa.field(f"{c}_rollmean_{k}", pa.float64()))
@@ -378,6 +379,7 @@ def window_features(
             x = _f64(block.column(c))
             ts_out = np.empty(n)
             tm_out = np.empty(n)
+            tsd_out = np.empty(n)
             tc_out = np.empty(n, dtype=np.int64)
             for st, size in zip(seg_first, seg_sizes):
                 sl = slice(st, st + size)
@@ -385,12 +387,20 @@ def window_features(
                 valid = ~np.isnan(xs)
                 cnt = np.concatenate(([0], np.cumsum(valid.astype(np.int64))[:-1]))
                 cs = np.concatenate(([0.0], np.cumsum(np.where(valid, xs, 0.0))[:-1]))
+                cs2 = np.concatenate(
+                    ([0.0], np.cumsum(np.where(valid, xs * xs, 0.0))[:-1]))
                 none_yet = cnt == 0
                 ts_out[sl] = np.where(none_yet, np.nan, cs)
                 tm_out[sl] = np.where(none_yet, np.nan, cs / np.maximum(cnt, 1))
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    m2 = cs2 - cs * cs / np.maximum(cnt, 1)
+                    sd = np.sqrt(np.maximum(m2, 0.0) / np.maximum(cnt - 1, 1))
+                # SQL STDDEV_SAMP: NULL until 2 prior samples exist
+                tsd_out[sl] = np.where(cnt >= 2, sd, np.nan)
                 tc_out[sl] = cnt
             cols[f"{c}_trail_sum"] = pa.array(ts_out, pa.float64(), from_pandas=True)
             cols[f"{c}_trail_mean"] = pa.array(tm_out, pa.float64(), from_pandas=True)
+            cols[f"{c}_trail_std"] = pa.array(tsd_out, pa.float64(), from_pandas=True)
             cols[f"{c}_trail_count"] = pa.array(tc_out, pa.int64())
         for c, k in (rolling or {}).items():
             # trailing k-row mean ignoring nulls (SQL AVG OVER ROWS k-1
