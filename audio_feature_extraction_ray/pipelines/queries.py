@@ -2614,6 +2614,39 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_approx_distinct_by_priority(sf_dir: str):
+    """A9 grouped sketch: per-group HyperLogLog COUNT(DISTINCT), hash-exact
+    oracle-checked via the tolerance-flag scheme — exact grouped distinct
+    counts carry the values, a per-group boolean asserts the HLL estimate
+    landed within 15% (std-err ≈ 3.3% at precision 10, so 15% ≈ 4.5σ; a
+    broken sketch is off by O(n)), and the oracle replays exact + TRUE."""
+    from ..stages.aggregates import approx_distinct_grouped, grouped_count_distinct
+
+    o = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_custkey"])
+    est = approx_distinct_grouped(o, "o_orderpriority", "o_custkey", precision=10)
+    exact = grouped_count_distinct(o, "o_orderpriority", "o_custkey",
+                                   out_col="n_custkeys")
+    # both sides are |priorities| rows (5) — driver merge bounded by group
+    # cardinality, same contract as the grouped t-digest gate
+    edf = exact.to_pandas().set_index("o_orderpriority").sort_index()
+    sdf = est.to_pandas().set_index("o_orderpriority").sort_index()
+    ok = (sdf["approx_distinct"] - edf["n_custkeys"]).abs() \
+        <= 0.15 * np.maximum(edf["n_custkeys"], 1)
+    out = pa.table({
+        "o_orderpriority": pa.array(edf.index.tolist(), pa.string()),
+        "n_custkeys": pa.array(edf["n_custkeys"].to_numpy(), pa.int64()),
+        "hll_within_tol": pa.array(ok.tolist(), pa.bool_()),
+    })
+    return ray.data.from_arrow(out)
+
+
+SQL_APPROX_DISTINCT_BY_PRIORITY = """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custkeys,
+       TRUE AS hll_within_tol
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_approx_percentiles_sketch_events(sf_dir: str):
     """The PURE t-digest path (no exact verification side) — what actually
     runs at 100 TB, kept as its own gate/bench entry so the sketch's cost is
@@ -4093,6 +4126,7 @@ QUERIES = {
     "calendar_features_events": (q_calendar_features_events, SQL_CALENDAR_FEATURES_EVENTS),
     "skew_kurt_events": (q_skew_kurt_events, SQL_SKEW_KURT_EVENTS),
     "count_distinct_by_priority": (q_count_distinct_by_priority, SQL_COUNT_DISTINCT_BY_PRIORITY),
+    "approx_distinct_by_priority": (q_approx_distinct_by_priority, SQL_APPROX_DISTINCT_BY_PRIORITY),
     "mad_events": (q_mad_events, SQL_MAD_EVENTS),
     "transition_counts_events": (q_transition_counts_events, SQL_TRANSITION_COUNTS_EVENTS),
     "time_weighted_avg_events": (q_time_weighted_avg_events, SQL_TIME_WEIGHTED_AVG_EVENTS),

@@ -1312,3 +1312,88 @@ def rollup_agg(
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def approx_distinct_grouped(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    precision: int = 10,
+    out_col: str = "approx_distinct",
+) -> ray.data.Dataset:
+    """Per-group approximate COUNT(DISTINCT col) via HyperLogLog — the
+    grouped mirror of :func:`approx_distinct` (same hash, same rank math,
+    same bias-corrected estimate; std-err ≈ 1.04/√2^precision ≈ 3.3% at
+    precision 10).
+
+    Map side: each block emits one 2^p-byte register row PER (block,
+    distinct key) — bounded by key cardinality per block, never row count.
+    Register rows co-locate by key hash and max-merge per key with one
+    ``maximum.reduceat`` pass per partition (no per-key Python). The row
+    payload is a fixed-size binary lane (ranks ≤ 55 fit uint8), so the
+    exchange moves |keys|·2^p bytes total — the 100 TB-safe shape."""
+    from .util import coarse_partitioned
+
+    m = 1 << precision
+
+    def sketch(t: pa.Table) -> pa.Table:
+        import polars as _pl
+
+        out_schema = pa.schema([
+            pa.field(key, t.schema.field(key).type),
+            pa.field("__regs", pa.binary(m)),
+        ])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        t = t.combine_chunks()
+        enc = t.column(key).combine_chunks().dictionary_encode()
+        gidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_groups = len(enc.dictionary)
+        h = _pl.from_arrow(t.select([col])).hash_rows(seed=99).to_numpy()
+        bucket = (h >> np.uint64(64 - precision)).astype(np.int64)
+        rest = (h << np.uint64(precision)) | np.uint64(1 << (precision - 1))
+        exp = ((rest.astype(np.float64)).view(np.uint64) >> np.uint64(52)) - np.uint64(1023)
+        rank = (64 - exp.astype(np.int64)).clip(1, 64 - precision + 1)
+        regs = np.zeros(n_groups * m, dtype=np.uint8)
+        np.maximum.at(regs, gidx * m + bucket, rank.astype(np.uint8))
+        return pa.table({
+            key: enc.dictionary,
+            "__regs": pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(m), n_groups, [None, pa.py_buffer(regs.tobytes())]),
+        }, schema=out_schema)
+
+    partials = ds.select_columns([key, col]).map_batches(
+        sketch, batch_format="pyarrow", zero_copy_batch=True)
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def merge_part(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            pa.field(key, t.schema.field(key).type),
+            pa.field(out_col, pa.int64()),
+        ])
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        t = t.combine_chunks()
+        kcol = t.column(key).combine_chunks()
+        order = pa.compute.sort_indices(pa.table({"k": kcol}), sort_keys=[("k", "ascending")])
+        t = t.take(order)
+        kcol = t.column(key).combine_chunks()
+        g = kcol.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        regs = np.frombuffer(
+            b"".join(t.column("__regs").to_pylist()), dtype=np.uint8
+        ).reshape(n, m)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
+        merged = np.maximum.reduceat(regs, starts, axis=0)
+        est = alpha * m * m / np.sum(np.power(2.0, -merged.astype(np.float64)), axis=1)
+        zeros = (merged == 0).sum(axis=1)
+        small = (est <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            est = np.where(small, m * np.log(m / np.maximum(zeros, 1)), est)
+        return pa.table({
+            key: kcol.take(pa.array(starts, pa.int64())),
+            out_col: pa.array(np.rint(est).astype(np.int64), pa.int64()),
+        }, schema=out_schema)
+
+    return coarse_partitioned(partials, key, merge_part)

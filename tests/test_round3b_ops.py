@@ -347,3 +347,25 @@ def test_channel_histogram_matches_serial():
     assert (got == want).all()
     # total mass = ok pixels × 3 lanes accounted exactly once
     assert got.sum() == want.sum()
+
+
+# ------------------------------------------------------------------ grouped HLL
+
+def test_approx_distinct_grouped_accuracy():
+    from audio_feature_extraction_ray.stages.aggregates import approx_distinct_grouped
+
+    rng = np.random.default_rng(17)
+    rows = []
+    truth = {}
+    for k, n_distinct in (("a", 50), ("b", 800), ("c", 5000)):
+        vals = rng.choice(n_distinct * 10, size=n_distinct, replace=False)
+        truth[k] = len(set(vals.tolist()))
+        # duplicate each value a few times so dedup actually matters
+        rep = np.repeat(vals, rng.integers(1, 4, len(vals)))
+        rows.append(pd.DataFrame({"k": k, "v": rep}))
+    df = pd.concat(rows, ignore_index=True).sample(frac=1.0, random_state=0)
+    ds = ray.data.from_pandas(df).repartition(8)  # several sketch blocks per key
+    out = approx_distinct_grouped(ds, "k", "v", precision=12).to_pandas() \
+        .set_index("k")["approx_distinct"]
+    for k, exact in truth.items():
+        assert abs(out[k] - exact) <= max(0.08 * exact, 5), (k, out[k], exact)
