@@ -1350,6 +1350,35 @@ FROM documents
 """
 
 
+def q_bpe_token_count_documents(sf_dir: str):
+    """BPE-pre-tokenizer token counts (the second half of the brief's
+    'whitespace + BPE-ish regex' pair): GPT-style split — optional-apostrophe
+    letter runs | digit runs | single non-space symbols — counted with ONE
+    Arrow ``count_substring_regex`` kernel call per batch (RE2 on both
+    engines, so DuckDB's regexp_extract_all replays it exactly)."""
+    import pyarrow.compute as pc
+    from ..functions.textfx import _BPE_RE
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t.column("text"), pattern=_BPE_RE.pattern)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "bpe_token_count": pc.cast(n, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_BPE_TOKEN_COUNT_DOCUMENTS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '''?[A-Za-zÀ-ɏ]+|[0-9]+|[^\sA-Za-z0-9À-ɏ]'))
+           AS bpe_token_count
+FROM documents
+"""
+
+
 def q_text_quality_documents(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = text_features(ds, quality=True, lang=False, fingerprints=False)
@@ -4173,6 +4202,7 @@ QUERIES = {
     "weighted_sample_documents": (q_weighted_sample_documents, SQL_WEIGHTED_SAMPLE_DOCUMENTS),
     "interp_events_cubic": (q_interp_events_cubic, None),
     "token_count_documents": (q_token_count_documents, SQL_TOKEN_COUNT_DOCUMENTS),
+    "bpe_token_count_documents": (q_bpe_token_count_documents, SQL_BPE_TOKEN_COUNT_DOCUMENTS),
     "minhash_pairs_prefix_documents": (q_minhash_pairs_prefix_documents, None),
     "dedup_clusters_documents": (q_dedup_clusters_documents, None),
     "label_centroids_embeddings": (q_label_centroids, SQL_LABEL_CENTROIDS),

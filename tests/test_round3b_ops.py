@@ -369,3 +369,17 @@ def test_approx_distinct_grouped_accuracy():
         .set_index("k")["approx_distinct"]
     for k, exact in truth.items():
         assert abs(out[k] - exact) <= max(0.08 * exact, 5), (k, out[k], exact)
+
+
+# ------------------------------------------------------------------ BPE token counts
+
+def test_bpe_token_count_matches_python_tokenizer():
+    from audio_feature_extraction_ray.functions.textfx import bpe_ish_tokens
+    import pyarrow.compute as pc
+    from audio_feature_extraction_ray.functions.textfx import _BPE_RE
+
+    texts = ["Hello, world! It's 2026.", "", "  spaces  only  ",
+             "naïve café №42", "a'b''c", "12ab34", "...!!!"]
+    counts = pc.count_substring_regex(pa.array(texts), pattern=_BPE_RE.pattern)
+    for t, n in zip(texts, counts.to_pylist()):
+        assert n == len(bpe_ish_tokens(t)), (t, n, bpe_ish_tokens(t))
