@@ -25,6 +25,8 @@ def feature_table(
     seed: int = 42,
     concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int = 50,
+    skip_partitions: frozenset[int] | set[int] | None = None,
+    n_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """input table → per-image features with per-entity window columns.
 
@@ -33,7 +35,8 @@ def feature_table(
     pool fanned out (256 collapsed the whole run to 3 tasks) without flooding
     the downstream window sort with tiny blocks.
     """
-    images = synth_images(n_entities, seed=seed)
+    images = synth_images(n_entities, seed=seed,
+                          skip_partitions=skip_partitions, n_partitions=n_partitions)
     feats = feature_stage(images, concurrency=concurrency, batch_size=batch_size)
     # project off heavyweight derived columns before the shuffle
     feats = feats.drop_columns(["caption_tokens"])
@@ -57,6 +60,8 @@ def pit_join(
     n_entities: int,
     n_queries: int,
     seed: int = 43,
+    skip_partitions: frozenset[int] | set[int] | None = None,
+    n_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Point-in-time join of probe queries against the feature timeline.
 
@@ -66,7 +71,9 @@ def pit_join(
     shuffle-based as-of. Both paths are pinned to the same serial PIT
     oracle in tests.
     """
-    queries = synth_asof_queries(n_entities, n_queries, seed=seed)
+    queries = synth_asof_queries(n_entities, n_queries, seed=seed,
+                                 skip_partitions=skip_partitions,
+                                 n_partitions=n_partitions)
     value_cols = ["quality_score", "gray_mean", "phash_calc", "session_id"]
     join = asof_join_broadcast if n_queries <= BROADCAST_PROBE_LIMIT else asof_join
     return join(

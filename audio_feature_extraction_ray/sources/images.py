@@ -127,6 +127,8 @@ def synth_images(
     n_entities: int,
     seed: int = 42,
     override_num_blocks: int | None = None,
+    skip_partitions: frozenset[int] | set[int] | None = None,
+    n_partitions: int | None = None,
     **gen_kwargs,
 ) -> ray.data.Dataset:
     """Distributed deterministic source: one Dataset row per image-version event.
@@ -135,6 +137,15 @@ def synth_images(
     generates its entities' full timelines (keeps per-entity time series local
     and cumulative-ts computation trivial). At 10^12-image scale this is the
     same pattern with entity ranges read from a manifest instead of range().
+
+    ``skip_partitions`` (with ``n_partitions``, the sink's hash-partition
+    count) is resume's SOURCE-LEVEL prune: each generation task drops
+    entities whose output partition is already committed BEFORE synthesizing
+    any pixel bytes — the analog of pushing a partition filter into a Lance/
+    Parquet read, so a resumed job pays only for unfinished partitions
+    instead of recomputing everything and discovering the skip at the sink.
+    The filter runs distributed inside the tasks (never a driver-side entity
+    enumeration) using the sink's own stable hash.
     """
     if override_num_blocks is None:
         # enough input blocks that the fused gen->featurize actor pool can
@@ -143,9 +154,19 @@ def synth_images(
         # downstream sort shuffle drowns in per-block overhead
         override_num_blocks = max(8, n_entities // 50)
     ents = ray.data.range(n_entities, override_num_blocks=override_num_blocks)
+    skips = frozenset(skip_partitions or ())
+    if skips and not n_partitions:
+        raise ValueError("skip_partitions requires n_partitions (the sink's count)")
 
     def gen(batch: dict[str, np.ndarray]) -> pa.Table:
-        return generate_entity_events(batch["id"], n_entities, seed=seed, **gen_kwargs)
+        eids = np.asarray(batch["id"], dtype=np.int64)
+        if skips:
+            from ..state.checkpoint import partition_of
+
+            img_ids = pa.array([f"img{e:08d}" for e in eids], pa.string())
+            part = partition_of(img_ids, n_partitions)
+            eids = eids[~np.isin(part, list(skips))]
+        return generate_entity_events(eids, n_entities, seed=seed, **gen_kwargs)
 
     return ents.map_batches(gen, batch_format="numpy", batch_size=50)
 
@@ -176,6 +197,8 @@ def synth_asof_queries(
     seed: int = 43,
     miss_frac: float = 0.05,
     horizon_us: int = 1_000 * 900 * 1_000_000,
+    skip_partitions: frozenset[int] | set[int] | None = None,
+    n_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Probe side for the point-in-time join (FIXTURES.md F2): sampled entity
     ids (plus ~miss_frac unseen ids → anti-join coverage) and query_ts spread
@@ -198,12 +221,21 @@ def synth_asof_queries(
             qids.append(int(qid))
             eids.append(f"img{eid:08d}")
             tss.append(t)
-        return pa.table(
+        t = pa.table(
             {
                 "query_id": pa.array(qids, pa.int64()),
                 "image_id": pa.array(eids, pa.string()),
                 "query_ts": pa.array(tss, pa.timestamp("us")),
             }
         )
+        if skips:
+            from ..state.checkpoint import partition_of
 
+            part = partition_of(t.column("image_id"), n_partitions)
+            t = t.filter(pa.array(~np.isin(part, list(skips))))
+        return t
+
+    skips = frozenset(skip_partitions or ())
+    if skips and not n_partitions:
+        raise ValueError("skip_partitions requires n_partitions (the sink's count)")
     return qs.map_batches(gen, batch_format="numpy", batch_size=1024)

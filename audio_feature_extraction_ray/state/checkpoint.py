@@ -368,3 +368,28 @@ def read_manifest(out_dir: str) -> list[dict]:
             with open(os.path.join(mdir, name)) as f:
                 rows.append(json.load(f))
     return rows
+
+
+def partition_of(col: pa.ChunkedArray | pa.Array, n_partitions: int) -> np.ndarray:
+    """Public alias of the stable partition hash — sources use it to push a
+    committed-partition filter down to generation/read time on resume."""
+    return _partition_of(col, n_partitions)
+
+
+def completed_partitions(out_dir: str, n_partitions: int) -> set[int]:
+    """Partition ids already committed under ``out_dir`` (empty when no
+    manifest yet). Verifies the partitioning-scheme marker first — pruning a
+    source with partition ids computed under a DIFFERENT scheme would
+    silently drop wrong data, the exact corruption the scheme marker exists
+    to prevent."""
+    mdir = os.path.join(out_dir, "_manifest")
+    if not os.path.isdir(mdir):
+        return set()
+    if os.path.exists(os.path.join(mdir, "_scheme.json")):
+        _check_scheme(out_dir, n_partitions)  # raises on mismatch
+    done: set[int] = set()
+    for name in os.listdir(mdir):
+        stem, ext = os.path.splitext(name)
+        if ext == ".json" and stem.isdigit():
+            done.add(int(stem))
+    return done

@@ -48,21 +48,39 @@ def main() -> None:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     from audio_feature_extraction_ray.pipelines.flagship import feature_table, pit_join
-    from audio_feature_extraction_ray.state.checkpoint import write_partitioned_resumable
+    from audio_feature_extraction_ray.state.checkpoint import (
+        completed_partitions, write_partitioned_resumable)
 
     t0 = time.time()
-    feats = feature_table(n_entities=args.entities)
-    joined = pit_join(feats, args.entities, args.queries or 4 * args.entities)
-    manifest = write_partitioned_resumable(
-        joined, args.out, key="image_id", n_partitions=args.partitions,
-        sort_keys=["image_id", "query_ts"],
-    )
-    rows = sum(r["rows"] for r in manifest.to_pylist())
-    skipped = sum(1 for r in manifest.to_pylist() if r["skipped"])
+    # resume's source-level prune: committed partitions never regenerate,
+    # decode, window, or join — the filter runs inside the source tasks via
+    # the sink's own stable hash (see synth_images docstring)
+    done = completed_partitions(args.out, args.partitions)
+    if len(done) >= args.partitions:
+        manifest = None  # every partition committed: nothing to compute at all
+    else:
+        feats = feature_table(n_entities=args.entities,
+                              skip_partitions=done, n_partitions=args.partitions)
+        joined = pit_join(feats, args.entities, args.queries or 4 * args.entities,
+                          skip_partitions=done, n_partitions=args.partitions)
+        manifest = write_partitioned_resumable(
+            joined, args.out, key="image_id", n_partitions=args.partitions,
+            sort_keys=["image_id", "query_ts"],
+        )
+    fresh = manifest.to_pylist() if manifest is not None else []
+    # source-pruned partitions never reach the writer — fold their committed
+    # marker rows back into the job summary
+    committed = []
+    for pid in sorted(done):
+        with open(os.path.join(args.out, "_manifest", f"{pid:05d}.json")) as f:
+            committed.append(json.load(f))
+    rows = sum(r["rows"] for r in fresh) + sum(r["rows"] for r in committed)
+    skipped = sum(1 for r in fresh if r["skipped"]) + len(committed)
     print(json.dumps({
         "out": args.out,
         "rows": rows,
-        "partitions": manifest.num_rows,
+        "partitions": len(fresh) + len(committed),
+        "partitions_source_pruned": len(done),
         "partitions_skipped_on_resume": skipped,
         "seconds": round(time.time() - t0, 2),
     }))

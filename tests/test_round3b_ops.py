@@ -383,3 +383,51 @@ def test_bpe_token_count_matches_python_tokenizer():
     counts = pc.count_substring_regex(pa.array(texts), pattern=_BPE_RE.pattern)
     for t, n in zip(texts, counts.to_pylist()):
         assert n == len(bpe_ish_tokens(t)), (t, n, bpe_ish_tokens(t))
+
+
+# ------------------------------------------------------------------ source-pruned resume
+
+def test_source_pruned_resume_byte_identical(tmp_path):
+    """Crash mid-write, resume with the committed-partition filter pushed
+    into the SOURCE (no regeneration/decode for finished partitions) —
+    every partition's content hash must equal a clean full run's."""
+    import json as _json
+    import os
+    import pytest as _pytest
+
+    from audio_feature_extraction_ray.pipelines.flagship import feature_table, pit_join
+    from audio_feature_extraction_ray.state.checkpoint import (
+        completed_partitions, write_partitioned_resumable)
+
+    NP, ENTS, QS = 8, 40, 160
+
+    def build(skip=frozenset()):
+        feats = feature_table(n_entities=ENTS, skip_partitions=skip, n_partitions=NP)
+        return pit_join(feats, ENTS, QS, skip_partitions=skip, n_partitions=NP)
+
+    # clean reference run
+    a = str(tmp_path / "a")
+    man_a = write_partitioned_resumable(build(), a, key="image_id", n_partitions=NP,
+                                        sort_keys=["image_id", "query_ts"])
+    hashes_a = {r["partition_id"]: r["content_hash"] for r in man_a.to_pylist()}
+
+    # crashing run: partition 3 fails after others may have committed
+    b = str(tmp_path / "b")
+    with _pytest.raises(Exception):
+        write_partitioned_resumable(build(), b, key="image_id", n_partitions=NP,
+                                    sort_keys=["image_id", "query_ts"],
+                                    fail_partitions=(3,))
+    done = completed_partitions(b, NP)
+    assert done and 3 not in done and len(done) < NP
+
+    # resume: source prunes committed partitions, writer fills the rest
+    man_b = write_partitioned_resumable(build(skip=done), b, key="image_id",
+                                        n_partitions=NP,
+                                        sort_keys=["image_id", "query_ts"])
+    written = {r["partition_id"]: r["content_hash"] for r in man_b.to_pylist()}
+    # fold committed markers
+    for pid in done:
+        with open(os.path.join(b, "_manifest", f"{pid:05d}.json")) as f:
+            row = _json.load(f)
+        written[pid] = row["content_hash"]
+    assert written == hashes_a
