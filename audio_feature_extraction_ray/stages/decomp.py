@@ -82,11 +82,27 @@ def pca_transform(
     comps: np.ndarray,
     id_col: str | None = None,
     prefix: str = "pc",
+    explained_variance: np.ndarray | None = None,
+    whiten: bool = False,
+    eps: float = 1e-12,
 ) -> ray.data.Dataset:
     """Project rows onto the fitted components: one broadcast of (μ, W) via
     ``ray.put``, one matmul per batch. Output: id column (when given) +
-    ``{prefix}{i}`` float64 score columns."""
-    ref = ray.put((np.asarray(mu), np.asarray(comps)))
+    ``{prefix}{i}`` float64 score columns.
+
+    ``whiten=True`` (requires ``explained_variance`` from :func:`pca_fit`)
+    scales each score lane by 1/√λᵢ so the output has identity covariance —
+    the standard pre-step before cosine/Euclidean ANN on anisotropic
+    embeddings. Near-zero eigenvalues are floored at ``eps`` (a degenerate
+    direction whitens to ~0, never to ±inf).
+    """
+    comps = np.asarray(comps, dtype=np.float64)
+    if whiten:
+        if explained_variance is None:
+            raise ValueError("whiten=True requires explained_variance from pca_fit")
+        scale = 1.0 / np.sqrt(np.maximum(np.asarray(explained_variance, np.float64), eps))
+        comps = comps * scale[:, None]  # fold the whitening into W once
+    ref = ray.put((np.asarray(mu), comps))
     k = comps.shape[0]
 
     def project(t: pa.Table) -> pa.Table:

@@ -431,3 +431,30 @@ def test_source_pruned_resume_byte_identical(tmp_path):
             row = _json.load(f)
         written[pid] = row["content_hash"]
     assert written == hashes_a
+
+
+# ------------------------------------------------------------------ PCA whitening
+
+def test_pca_whiten_identity_covariance():
+    from audio_feature_extraction_ray.stages.decomp import pca_fit, pca_transform
+
+    rng = np.random.default_rng(21)
+    # anisotropic cloud: stds 5 / 0.5 / 0.05 in a rotated basis
+    base = rng.normal(size=(600, 3)) * np.array([5.0, 0.5, 0.05])
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    x = base @ q.T
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(x)), pa.int64()),
+        "embedding": pa.array([r for r in x.astype(np.float32)],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t)
+    mu, comps, ev = pca_fit(ds, "embedding", d=3, k=3)
+    out = pca_transform(ds, "embedding", mu, comps, id_col="vec_id",
+                        explained_variance=ev, whiten=True).to_pandas()
+    scores = out[["pc1", "pc2", "pc3"]].to_numpy()
+    cov = np.cov(scores, rowvar=False, ddof=0)
+    assert np.allclose(cov, np.eye(3), atol=0.05), cov
+    # whiten=True without variances must raise
+    with pytest.raises(ValueError, match="explained_variance"):
+        pca_transform(ds, "embedding", mu, comps, whiten=True)
