@@ -10,6 +10,8 @@ Every stage streams; nothing materializes the full dataset on the driver.
 
 from __future__ import annotations
 
+import numpy as np
+
 import ray.data
 
 from ..sources.images import synth_asof_queries, synth_images
@@ -42,14 +44,32 @@ def feature_table(
     feats = feats.drop_columns(["caption_tokens"])
     # the synthetic source emits each entity's whole timeline inside one
     # block, so the window stage can skip its shuffle (assume_partitioned)
-    return window_features(
-        feats,
+    window_kwargs = dict(
         key="image_id",
         ts="ts",
         value_cols=["quality_score", "gray_mean"],
         session_gap_us=SESSION_GAP_US,
         assume_partitioned=True,
     )
+    if skip_partitions and feats.schema() is None:
+        # resume pruned EVERY feature entity (the only uncommitted partitions
+        # hold probe-only rows) — Ray drops empty blocks, erasing the schema
+        # schema-dependent downstreams need. Rebuild a TYPED empty feature
+        # table (schema probed by running one locally-generated entity
+        # through the identical window pipeline) so the PIT join still emits
+        # the remaining probe rows with null feature columns; ``from_arrow``
+        # datasets keep their schema at zero rows, unlike map outputs.
+        import pyarrow as pa
+
+        from ..sources.images import generate_entity_events
+        from ..stages.features import DecodeFeaturize
+
+        one = generate_entity_events(np.array([0], dtype=np.int64), n_entities, seed=seed)
+        one_feats = DecodeFeaturize()(one).drop_columns(["caption_tokens"])
+        s = window_features(ray.data.from_arrow(one_feats), **window_kwargs).schema()
+        out_schema = pa.schema(list(zip(s.names, s.types)))
+        return ray.data.from_arrow(out_schema.empty_table())
+    return window_features(feats, **window_kwargs)
 
 
 BROADCAST_PROBE_LIMIT = 200_000  # above this, probes shuffle like any fact side
