@@ -1288,6 +1288,39 @@ FROM events GROUP BY 1
 """
 
 
+def q_weighted_stats_lineitem(sf_dir: str):
+    """Quantity-weighted price statistics per return flag: (Σw, Σwx, Σwx²)
+    partials map-side combined, rows never shuffle. wvar is the population-
+    weighted variance (Σwx²/Σw − μ²), the same closed form replayed in SQL;
+    both engines round the division results to 6."""
+    from ..stages.aggregates import grouped_weighted_stats
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    out = grouped_weighted_stats(li, "l_returnflag", "l_extendedprice", "l_quantity")
+
+    def scale_var(t: pa.Table) -> pa.Table:
+        # wvar of ~1e5-scale prices is ~1e9 with ~1e-4 accumulation noise —
+        # report it in (millions)² so the rounding grid clears the noise
+        v = t.column("wvar").to_numpy(zero_copy_only=False) / 1e12
+        i = t.schema.get_field_index("wvar")
+        return t.set_column(i, "wvar_m2", pa.array(v, pa.float64(), from_pandas=True))
+
+    out = out.map_batches(scale_var, batch_format="pyarrow", zero_copy_batch=True)
+    return _round_cols(out, ["total_weight", "wmean", "wvar_m2"], digits=4)
+
+
+SQL_WEIGHTED_STATS_LINEITEM = """
+SELECT l_returnflag,
+       ROUND(SUM(l_quantity), 4) AS total_weight,
+       ROUND(SUM(l_quantity * l_extendedprice) / SUM(l_quantity), 4) AS wmean,
+       ROUND((SUM(l_quantity * l_extendedprice * l_extendedprice) / SUM(l_quantity)
+              - POW(SUM(l_quantity * l_extendedprice) / SUM(l_quantity), 2)) / 1e12, 4)
+           AS wvar_m2
+FROM lineitem GROUP BY 1
+"""
+
+
 def q_skew_kurt_events(sf_dir: str):
     """Per-group sample skewness + excess kurtosis via distributed power
     sums (Σx..Σx⁴ map-side combined; rows never shuffle) — higher-moment
@@ -4154,6 +4187,7 @@ QUERIES = {
     "time_bucket_stats": (q_time_bucket_stats, SQL_TIME_BUCKET_STATS),
     "calendar_features_events": (q_calendar_features_events, SQL_CALENDAR_FEATURES_EVENTS),
     "skew_kurt_events": (q_skew_kurt_events, SQL_SKEW_KURT_EVENTS),
+    "weighted_stats_lineitem": (q_weighted_stats_lineitem, SQL_WEIGHTED_STATS_LINEITEM),
     "count_distinct_by_priority": (q_count_distinct_by_priority, SQL_COUNT_DISTINCT_BY_PRIORITY),
     "approx_distinct_by_priority": (q_approx_distinct_by_priority, SQL_APPROX_DISTINCT_BY_PRIORITY),
     "mad_events": (q_mad_events, SQL_MAD_EVENTS),

@@ -1397,3 +1397,57 @@ def approx_distinct_grouped(
         }, schema=out_schema)
 
     return coarse_partitioned(partials, key, merge_part)
+
+
+def grouped_weighted_stats(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    weight_col: str,
+    num_final_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-group weighted mean and population-weighted variance — the
+    importance-weighted aggregate behind sample-weighted training stats.
+    Carried as (Σw, Σwx, Σwx²) partials through the map-side combiner;
+    rows never shuffle. Rows with null value OR null weight are excluded
+    (SQL pairwise-deletion); zero total weight → NULL."""
+
+    def add_products(t: pa.Table) -> pa.Table:
+        x = pc.cast(t.column(col), pa.float64())
+        w = pc.cast(t.column(weight_col), pa.float64())
+        both = pc.and_(x.is_valid(), w.is_valid())
+        x = pc.if_else(both, x, pa.nulls(t.num_rows, pa.float64()))
+        w = pc.if_else(both, w, pa.nulls(t.num_rows, pa.float64()))
+        wx = pc.multiply(w, x)
+        return pa.table({
+            key: t.column(key),
+            "__w": w,
+            "__wx": wx,
+            "__wx2": pc.multiply(wx, x),
+        })
+
+    partials = ds.map_batches(add_products, batch_format="pyarrow", zero_copy_batch=True)
+    sums = grouped_agg_fast(
+        partials, keys=[key],
+        specs=[("sw", "__w", "sum"), ("swx", "__wx", "sum"), ("swx2", "__wx2", "sum")],
+        num_final_partitions=num_final_partitions,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        sw = t.column("sw").to_numpy(zero_copy_only=False)
+        swx = t.column("swx").to_numpy(zero_copy_only=False)
+        swx2 = t.column("swx2").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            wmean = swx / sw
+            wvar = swx2 / sw - wmean * wmean
+        ok = sw > 0
+        wmean = np.where(ok, wmean, np.nan)
+        wvar = np.where(ok, np.maximum(wvar, 0.0), np.nan)
+        return pa.table({
+            key: t.column(key),
+            "total_weight": t.column("sw"),
+            "wmean": pa.array(wmean, pa.float64(), from_pandas=True),
+            "wvar": pa.array(wvar, pa.float64(), from_pandas=True),
+        })
+
+    return sums.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
