@@ -4121,9 +4121,10 @@ QUERIES = {
     "approx_distinct_parts": (q_approx_distinct_parts, SQL_APPROX_DISTINCT_PARTS),
     "approx_percentiles_events": (q_approx_percentiles_events, SQL_APPROX_PERCENTILES_EVENTS),
     "top10_order_revenue": (q_top10_order_revenue, SQL_TOP10_ORDER_REVENUE),
-    "grouped_topk_events": (q_grouped_topk_events, SQL_GROUPED_TOPK_EVENTS),
+    "heavy_hitter_customers": (q_heavy_hitter_customers, SQL_HEAVY_HITTER_CUSTOMERS),
     "quantile_bucket_orders": (q_quantile_bucket_orders, SQL_QUANTILE_BUCKET_ORDERS),
     "group_standardize_events": (q_group_standardize_events, SQL_GROUP_STANDARDIZE_EVENTS),
+    "target_encode_events": (q_target_encode_events, SQL_TARGET_ENCODE_EVENTS),
     "one_hot_events": (q_one_hot_events, SQL_ONE_HOT_EVENTS),
     "melt_lineitem": (q_melt_lineitem, SQL_MELT_LINEITEM),
     "set_ops_orders": (q_set_ops_orders, SQL_SET_OPS_ORDERS),
@@ -4143,16 +4144,17 @@ QUERIES = {
     "rolling_mean_events": (q_rolling_mean_events, SQL_ROLLING_MEAN_EVENTS),
     "rolling_time_mean_bucketed": (q_rolling_time_mean_bucketed, SQL_ROLLING_TIME_MEAN_EVENTS),
     "sessionize_events_bucketed": (q_sessionize_events_bucketed, SQL_SESSIONIZE_EVENTS),
+    "ewma_events": (q_ewma_events, SQL_EWMA_EVENTS),
+    "spearman_events": (q_spearman_events, SQL_SPEARMAN_EVENTS),
     "explode_embedding_stats": (q_explode_embedding_stats, SQL_EXPLODE_EMBEDDING_STATS),
     "registry_chain_events": (q_registry_chain_events, SQL_REGISTRY_CHAIN_EVENTS),
-    "repetition_documents": (q_repetition_documents, SQL_REPETITION_DOCUMENTS),
-    # -- 30-43: text / LLM-corpus operators
+    # -- 31-44: text / LLM-corpus operators
     "token_frequencies": (q_token_frequencies, SQL_TOKEN_FREQUENCIES),
     "text_quality_documents": (q_text_quality_documents, SQL_TEXT_QUALITY_DOCUMENTS),
+    "tfidf_documents": (q_tfidf_documents, SQL_TFIDF_DOCUMENTS),
     "langid_documents": (q_langid_documents, SQL_LANGID_DOCUMENTS),
     "redact_documents": (q_redact_documents, SQL_REDACT_DOCUMENTS),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
-    "fingerprint_documents": (q_fingerprint_documents, SQL_FINGERPRINT_DOCUMENTS),
     "simhash_documents": (q_simhash_documents, SQL_SIMHASH_DOCUMENTS),
     "dedup_exact_documents": (q_dedup_exact_documents, SQL_DEDUP_EXACT_DOCUMENTS),
     "dedup_keep_documents": (q_dedup_keep_documents, SQL_DEDUP_KEEP_DOCUMENTS),
@@ -4163,13 +4165,16 @@ QUERIES = {
     "neardup_embeddings": (q_neardup_embeddings, SQL_NEARDUP_EMBEDDINGS),
     "knn_embeddings": (q_knn_embeddings, SQL_KNN_EMBEDDINGS),
     "decontaminate_documents": (q_decontaminate_documents, SQL_DECONTAMINATE_DOCUMENTS),
-    # -- 45-50: image / flagship pipelines + A7 report
+    # -- 49-50: image flagship pipeline + A7 report
     "flagship_images": (q_flagship_images, None),
-    "preprocess_images": (q_preprocess_images, None),
-    "image_phash_neardups": (q_image_phash_neardups, None),
     "alignment_report_events": (q_alignment_report_events, SQL_ALIGNMENT_REPORT_EVENTS),
     # ---- 51+: tail — variants of families already represented above;
     # ---- exercised by the local sf0.001 oracle gate every pytest run
+    "grouped_topk_events": (q_grouped_topk_events, SQL_GROUPED_TOPK_EVENTS),
+    "repetition_documents": (q_repetition_documents, SQL_REPETITION_DOCUMENTS),
+    "fingerprint_documents": (q_fingerprint_documents, SQL_FINGERPRINT_DOCUMENTS),
+    "preprocess_images": (q_preprocess_images, None),
+    "image_phash_neardups": (q_image_phash_neardups, None),
     "image_pair_report": (q_image_pair_report, None),
     "checkpoint_manifest_events": (q_checkpoint_manifest_events, None),
     "images_asof": (q_images_asof, None),
@@ -4216,10 +4221,7 @@ QUERIES = {
     "mode_events": (q_mode_events, SQL_MODE_EVENTS),
     "corr_events": (q_corr_events, SQL_CORR_EVENTS),
     "entropy_events": (q_entropy_events, SQL_ENTROPY_EVENTS),
-    "tfidf_documents": (q_tfidf_documents, SQL_TFIDF_DOCUMENTS),
     "linreg_events": (q_linreg_events, SQL_LINREG_EVENTS),
-    "heavy_hitter_customers": (q_heavy_hitter_customers, SQL_HEAVY_HITTER_CUSTOMERS),
-    "target_encode_events": (q_target_encode_events, SQL_TARGET_ENCODE_EVENTS),
     "hashvec_documents": (q_hashvec_documents, SQL_HASHVEC_DOCUMENTS),
     "chi_square_events": (q_chi_square_events, SQL_CHI_SQUARE_EVENTS),
     "cohort_retention_events": (q_cohort_retention_events, SQL_COHORT_RETENTION_EVENTS),
@@ -4242,8 +4244,6 @@ QUERIES = {
     "label_centroids_embeddings": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "resample_events": (q_resample_events, SQL_RESAMPLE_EVENTS),
     "rolling_median_events": (q_rolling_median_events, SQL_ROLLING_MEDIAN_EVENTS),
-    "spearman_events": (q_spearman_events, SQL_SPEARMAN_EVENTS),
-    "ewma_events": (q_ewma_events, SQL_EWMA_EVENTS),
     "pmi_documents": (q_pmi_documents, SQL_PMI_DOCUMENTS),
     "group_share_events": (q_group_share_events, SQL_GROUP_SHARE_EVENTS),
     "winsorize_events": (q_winsorize_events, SQL_WINSORIZE_EVENTS),

@@ -1064,6 +1064,8 @@ def cooccurrence_lift(
     basket: str,
     item: str,
     n_partitions: int = 32,
+    min_support: int = 1,
+    broadcast_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Market-basket co-occurrence with lift: for every unordered item pair
     (a < b), the number of baskets containing BOTH and
@@ -1075,6 +1077,17 @@ def cooccurrence_lift(
     basket-hash-co-located blocks, so the pair stream is bounded by
     Σ_b |items_b|² — per-basket item sets, never the corpus item vocabulary
     — and only (a, b, count) partials plus the |items|-row marginals move.
+
+    The marginal join self-protects against open-vocabulary item columns:
+    ``min_support`` prunes pairs with ``n_ab < min_support`` AND marginals
+    with ``n_x < min_support`` (consistent by construction — any item in a
+    surviving pair has ``n_x ≥ n_ab ≥ min_support``, the standard
+    market-basket support threshold; sub-support pairs are statistical
+    noise for lift anyway), and if the pruned marginal table still exceeds
+    ``broadcast_threshold`` rows the join routes through
+    :func:`~.joins.bucket_hash_join` (one bucket shuffle, nothing
+    collected on the driver) instead of a driver broadcast — the same
+    escalation :func:`~.scaling.target_encode` uses.
     Output: (item_a, item_b, n_ab, lift).
     """
     import pyarrow.compute as pc
@@ -1126,14 +1139,34 @@ def cooccurrence_lift(
     counts = grouped_agg_fast(pairs, keys=["item_a", "item_b"], specs=[],
                               count_alias="n_ab")
 
-    from .joins import broadcast_join
+    if min_support > 1:
+        sup = pa.scalar(min_support, pa.int64())
+        counts = counts.map_batches(
+            lambda t: t.filter(pc.greater_equal(pc.cast(t.column("n_ab"), pa.int64()), sup)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        marg = marg.map_batches(
+            lambda t: t.filter(pc.greater_equal(pc.cast(t.column("c"), pa.int64()), sup)),
+            batch_format="pyarrow", zero_copy_batch=True)
 
-    ma = pa.concat_tables(
-        list(marg.iter_batches(batch_format="pyarrow", batch_size=None))
-    ).rename_columns(["item_a", "__ca"])
-    mb = ma.rename_columns(["item_b", "__cb"])
-    counts = broadcast_join(counts, ma, keys="item_a")
-    counts = broadcast_join(counts, mb, keys="item_b")
+    from .joins import broadcast_join, bucket_hash_join
+
+    marg = marg.materialize()
+    if marg.count() <= broadcast_threshold:
+        ma = pa.concat_tables(
+            list(marg.iter_batches(batch_format="pyarrow", batch_size=None))
+        ).rename_columns(["item_a", "__ca"])
+        mb = ma.rename_columns(["item_b", "__cb"])
+        counts = broadcast_join(counts, ma, keys="item_a")
+        counts = broadcast_join(counts, mb, keys="item_b")
+    else:
+        ma_ds = marg.map_batches(
+            lambda t: t.rename_columns(["item_a", "__ca"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        mb_ds = marg.map_batches(
+            lambda t: t.rename_columns(["item_b", "__cb"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        counts = bucket_hash_join(counts, ma_ds, on="item_a")
+        counts = bucket_hash_join(counts, mb_ds, on="item_b")
 
     def finish(t: pa.Table) -> pa.Table:
         n_ab = t.column("n_ab").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -1256,6 +1289,7 @@ def rollup_agg(
     sum_alias: str = "sum_v",
     count_alias: str = "n",
     num_final_partitions: int = 16,
+    level_col: str | None = None,
 ) -> ray.data.Dataset:
     """SQL ``GROUP BY ROLLUP(k1, k2, …)``: every prefix grouping level plus
     the grand total, rolled-up keys emitted as NULL.
@@ -1264,6 +1298,13 @@ def rollup_agg(
     combiner; every coarser level re-aggregates the finest RESULT (already
     ≤ |k1×k2…| rows — partials, never rows, so the extra levels cost
     nothing at corpus scale; DuckDB does the same leaf-rollup internally).
+
+    NULL-key caveat (SQL's own ROLLUP ambiguity): rolled-up levels mark
+    keys with NULL, so a genuine NULL key value in the input is
+    indistinguishable from a subtotal marker in the default output. Pass
+    ``level_col`` to append the GROUPING()-style disambiguator — the
+    number of rolled-up (suffix) keys on each row: 0 = finest level, …,
+    len(keys) = grand total — whenever the key columns are nullable.
     """
     if not keys:
         raise ValueError("rollup_agg needs at least one key")
@@ -1279,6 +1320,8 @@ def rollup_agg(
     for k in keys:
         key_types[k] = fschema.field(k).type
     out_names = keys + [count_alias, sum_alias]
+    if level_col:
+        out_names.append(level_col)
 
     def null_fill(level_keys: list[str]):
         """Re-aggregate the finest table to ``level_keys``; NULL the rest."""
@@ -1293,15 +1336,25 @@ def rollup_agg(
                 cols[sum_alias] = res.column(f"{sum_alias}_sum")
             else:
                 import pyarrow.compute as _pc2
+                n_rows = 1
                 cols = {k: pa.nulls(1, key_types[k]) for k in keys}
                 cols[count_alias] = pa.array(
                     [_pc2.sum(t.column(count_alias)).as_py() or 0], pa.int64())
                 cols[sum_alias] = pa.array(
                     [_pc2.sum(t.column(sum_alias)).as_py()], pa.float64())
+            if level_col:
+                cols[level_col] = pa.array(
+                    [len(keys) - len(level_keys)] * n_rows, pa.int64())
             return pa.table({n: cols[n] for n in out_names})
         return fn
 
-    levels = [finest.select_columns(out_names)]
+    level0 = finest
+    if level_col:
+        level0 = level0.map_batches(
+            lambda t: t.append_column(
+                level_col, pa.array([0] * t.num_rows, pa.int64())),
+            batch_format="pyarrow", zero_copy_batch=True)
+    levels = [level0.select_columns(out_names)]
     for i in range(len(keys) - 1, -1, -1):
         levels.append(
             finest.repartition(1).map_batches(
@@ -1381,9 +1434,11 @@ def approx_distinct_grouped(
         t = t.take(order)
         kcol = t.column(key).combine_chunks()
         g = kcol.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        regs = np.frombuffer(
-            b"".join(t.column("__regs").to_pylist()), dtype=np.uint8
-        ).reshape(n, m)
+        # read the FixedSizeBinary registers from the flat Arrow buffer —
+        # one zero-copy view, not one Python bytes object per (block, key)
+        rc = t.column("__regs").combine_chunks()
+        flat = np.frombuffer(rc.buffers()[1], dtype=np.uint8)
+        regs = flat[rc.offset * m:(rc.offset + n) * m].reshape(n, m)
         starts = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
         merged = np.maximum.reduceat(regs, starts, axis=0)
         est = alpha * m * m / np.sum(np.power(2.0, -merged.astype(np.float64)), axis=1)

@@ -407,58 +407,77 @@ def minhash_dedup_verified(
 
     LSH recalls candidates cheaply (est_threshold is set below the exact
     threshold so the S-curve doesn't drop true pairs); only the candidate
-    documents' texts — a tiny fraction of the corpus — are fetched and
-    broadcast for the exact verification pass. This is the standard
-    sketch-then-verify near-dup shape for 100 TB corpora.
+    documents' texts — a tiny fraction of the corpus — are fetched for the
+    exact verification pass. This is the standard sketch-then-verify
+    near-dup shape for 100 TB corpora.
 
-    The per-band ``max_group`` cap bounds each task, and ``max_candidates``
-    is the GLOBAL cap on the driver touch-point: a pathological corpus
-    (everything near-dup) keeps only the ``max_candidates`` highest-estimate
-    pairs — ranked, deterministic, and LOGGED, never a silent overflow.
+    The per-band ``max_group`` cap bounds each task. ``max_candidates``
+    is NOT a truncation cap: at or below it the candidate ids are
+    collected and the texts broadcast (one object-store put, zero
+    shuffles — the fast path for the normal case where near-dup pairs
+    are a tiny corpus fraction); ABOVE it the pair stream never touches
+    the driver — the texts are fetched with two distributed
+    :func:`~.joins.bucket_hash_join` passes (pairs ⋈ texts on id_a, then
+    id_b — the same exchange the signature-prefix verify path uses at
+    :func:`minhash_dedup_pairs` ``sig_prefix`` handling) and verified
+    in place. Both routes verify EVERY candidate; output is identical.
     """
-    import logging
-
     import ray as _ray
 
     pairs = minhash_dedup_pairs(
         ds, id_col, text_col, threshold=est_threshold, shingle_k=shingle_k, **minhash_kwargs
     )
     n_cand = pairs.count()
-    if n_cand > max_candidates:
-        logging.getLogger(__name__).warning(
-            "minhash_dedup_verified: %d candidate pairs exceed max_candidates=%d; "
-            "verifying only the top pairs by estimated Jaccard (deterministic "
-            "truncation — raise max_candidates or est_threshold for full recall)",
-            n_cand, max_candidates,
-        )
-        pairs = pairs.sort(
-            ["est_jaccard", "id_a", "id_b"], descending=[True, False, False]
-        ).limit(max_candidates)
-    pair_t = pairs.take_all()  # bounded by max_candidates
-    if not pair_t:
+    if n_cand == 0:
         return pairs.filter(expr="est_jaccard > 2.0")  # empty, schema-stable
-    from .joins import broadcast_semi_join
 
-    cand_ids = sorted({r["id_a"] for r in pair_t} | {r["id_b"] for r in pair_t})
-    texts_t = pa.concat_tables(
-        list(
-            broadcast_semi_join(ds, pa.table({id_col: pa.array(cand_ids, pa.int64())}), key=id_col)
-            .select_columns([id_col, text_col])
-            .iter_batches(batch_format="pyarrow", batch_size=None)
-        )
-    )
-    text_map = dict(zip(texts_t.column(id_col).to_pylist(), texts_t.column(text_col).to_pylist()))
-    ref = _ray.put(text_map)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        tm = _ray.get(ref)
-        ia = batch.column("id_a").to_pylist()
-        ib = batch.column("id_b").to_pylist()
-        exact = [ngram_jaccard(tm.get(a, ""), tm.get(b, ""), shingle_k) for a, b in zip(ia, ib)]
+    def verify_cols(batch: pa.Table, ta: list, tb: list) -> pa.Table:
+        exact = [ngram_jaccard(a or "", b or "", shingle_k) for a, b in zip(ta, tb)]
         out = batch.append_column("exact_jaccard", pa.array(exact, pa.float64()))
         return out.filter(pc.greater_equal(out.column("exact_jaccard"), exact_threshold))
 
-    return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    if n_cand <= max_candidates:
+        # fast path: candidate id set is driver-bounded; broadcast the texts
+        from .joins import broadcast_semi_join
+
+        pair_t = pairs.take_all()
+        cand_ids = sorted({r["id_a"] for r in pair_t} | {r["id_b"] for r in pair_t})
+        texts_t = pa.concat_tables(
+            list(
+                broadcast_semi_join(ds, pa.table({id_col: pa.array(cand_ids, pa.int64())}), key=id_col)
+                .select_columns([id_col, text_col])
+                .iter_batches(batch_format="pyarrow", batch_size=None)
+            )
+        )
+        text_map = dict(zip(texts_t.column(id_col).to_pylist(), texts_t.column(text_col).to_pylist()))
+        ref = _ray.put(text_map)
+
+        def verify(batch: pa.Table) -> pa.Table:
+            tm = _ray.get(ref)
+            ia = batch.column("id_a").to_pylist()
+            ib = batch.column("id_b").to_pylist()
+            return verify_cols(batch, [tm.get(a, "") for a in ia],
+                               [tm.get(b, "") for b in ib])
+
+        return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+    # distributed path: texts joined to the pair stream, nothing on the driver
+    from .joins import bucket_hash_join
+
+    texts = ds.select_columns([id_col, text_col])
+    ta = texts.map_batches(lambda t: t.rename_columns(["__ia", "__ta"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    tb = texts.map_batches(lambda t: t.rename_columns(["__ib", "__tb"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    joined = bucket_hash_join(pairs, ta, on="id_a", right_on="__ia")
+    joined = bucket_hash_join(joined, tb, on="id_b", right_on="__ib")
+
+    def verify_joined(batch: pa.Table) -> pa.Table:
+        ta_v = batch.column("__ta").to_pylist()
+        tb_v = batch.column("__tb").to_pylist()
+        return verify_cols(batch.drop_columns(["__ta", "__tb"]), ta_v, tb_v)
+
+    return joined.map_batches(verify_joined, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def hamming_dedup_pairs(

@@ -215,8 +215,6 @@ class PatchFeatures:
         self.grid = grid
         _ = codecs._D8, codecs._QSTEP  # warm per-actor codec state
 
-    OUT_SCHEMA = None  # set lazily (class-level, shared)
-
     def _schema(self) -> pa.schema:
         return pa.schema([
             pa.field("image_id", pa.string()),

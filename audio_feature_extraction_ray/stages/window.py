@@ -1666,6 +1666,7 @@ def time_weighted_avg(
     key: str,
     ts: str,
     col: str,
+    tiebreak: str | None = None,
     n_partitions: int = 64,
 ) -> ray.data.Dataset:
     """Per-entity time-weighted average (trapezoidal): irregular samples
@@ -1674,6 +1675,12 @@ def time_weighted_avg(
     mean over-weights bursts). Entities with < 2 events are ABSENT (no
     trapezoid exists — SQL `WHERE dt IS NOT NULL` semantics); zero total
     span → NULL.
+
+    With duplicate (key, ts) rows the trapezoid pairing depends on which
+    duplicate sorts first — pass ``tiebreak`` (a numeric column) to pin
+    that order deterministically, mirroring the oracle's
+    ``ORDER BY ts, tiebreak`` (same contract as :func:`value_runs` /
+    :func:`transition_counts`).
 
     One entity-hash shuffle; each partition computes every entity's
     trapezoid sum in one vectorized pass (segment-bounded shifted arrays),
@@ -1694,7 +1701,10 @@ def time_weighted_avg(
         g = block.column(key).combine_chunks().dictionary_encode().indices \
             .to_numpy(zero_copy_only=False).astype(np.int64)
         tsv = _ts_i64(block.column(ts))
-        order = np.lexsort((tsv, g))
+        if tiebreak is not None:
+            order = np.lexsort((_f64(block.column(tiebreak)), tsv, g))
+        else:
+            order = np.lexsort((tsv, g))
         block = block.take(pa.array(order, pa.int64()))
         g = g[order]
         tsv = tsv[order]

@@ -385,11 +385,21 @@ def completed_partitions(out_dir: str, n_partitions: int) -> set[int]:
     mdir = os.path.join(out_dir, "_manifest")
     if not os.path.isdir(mdir):
         return set()
-    if os.path.exists(os.path.join(mdir, "_scheme.json")):
-        _check_scheme(out_dir, n_partitions)  # raises on mismatch
     done: set[int] = set()
     for name in os.listdir(mdir):
         stem, ext = os.path.splitext(name)
         if ext == ".json" and stem.isdigit():
             done.add(int(stem))
+    if done:
+        if not os.path.exists(os.path.join(mdir, "_scheme.json")):
+            # commit markers without a scheme marker: the layout they were
+            # written under is unknowable — refusing beats pruning sources
+            # against a possibly different partition hash/count
+            raise RuntimeError(
+                f"{mdir} has {len(done)} commit marker(s) but no "
+                f"_scheme.json — cannot verify they used the same "
+                f"partitioning scheme (n_partitions={n_partitions}); "
+                f"delete the manifest or restore its _scheme.json"
+            )
+        _check_scheme(out_dir, n_partitions)  # raises on mismatch
     return done

@@ -161,6 +161,15 @@ def test_minhash_verified_exact_jaccard():
     # identical docs verify at exactly 1.0
     assert verified.set_index(["id_a", "id_b"]).loc[(200, 201), "exact_jaccard"] == 1.0
 
+    # max_candidates below the pair count forces the distributed
+    # bucket_hash_join text fetch — identical verified pairs, no truncation
+    dist = minhash_dedup_verified(
+        ds, id_col="doc_id", est_threshold=0.5, exact_threshold=0.8,
+        max_candidates=1,
+    ).to_pandas()
+    key = lambda df: sorted(zip(df.id_a, df.id_b, df.exact_jaccard.round(12)))
+    assert key(dist) == key(verified)
+
 
 def test_knn_ivf_recall():
     from audio_feature_extraction_ray.stages.similarity import knn_bruteforce, knn_ivf

@@ -1012,6 +1012,39 @@ def test_cooccurrence_lift_hand_case():
     assert abs(out[("x", "y")]["lift"] - (2 * 4 / (3 * 2))) < 1e-12
 
 
+def test_cooccurrence_lift_distributed_marginal_join_and_support():
+    """Marginals above broadcast_threshold must route through
+    bucket_hash_join and produce the identical pair table; min_support
+    prunes consistently (pairs by n_ab, marginals by n_x)."""
+    import numpy as np
+
+    from audio_feature_extraction_ray.stages.aggregates import cooccurrence_lift
+
+    rng = np.random.default_rng(7)
+    n = 1200
+    b = rng.integers(0, 120, n)
+    i = np.array([f"it{v}" for v in rng.integers(0, 40, n)])
+    tbl = pa.table({"b": pa.array(b, pa.int64()), "i": pa.array(i)})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+
+    def key(rows):
+        return {(r["item_a"], r["item_b"]): (r["n_ab"], round(r["lift"], 9))
+                for r in rows}
+
+    via_bcast = key(cooccurrence_lift(ds, "b", "i").take_all())
+    # 40 distinct items >> threshold 10 -> bucket_hash_join path
+    via_shuffle = key(cooccurrence_lift(ds, "b", "i",
+                                        broadcast_threshold=10).take_all())
+    assert via_bcast == via_shuffle and len(via_bcast) > 100
+
+    pruned = key(cooccurrence_lift(ds, "b", "i", min_support=5).take_all())
+    assert pruned == {k: v for k, v in via_bcast.items() if v[0] >= 5}
+    # and the same pruning via the distributed join path
+    pruned2 = key(cooccurrence_lift(ds, "b", "i", min_support=5,
+                                    broadcast_threshold=1).take_all())
+    assert pruned2 == pruned
+
+
 def test_augment_stage_determinism_and_semantics():
     import numpy as np
 

@@ -111,6 +111,29 @@ def test_time_weighted_avg_trapezoid():
     assert 2 not in got.index
 
 
+def test_time_weighted_avg_tiebreak_pins_duplicate_ts_order():
+    from audio_feature_extraction_ray.stages.window import time_weighted_avg
+
+    # duplicate (k, ts) at t=10s: which duplicate pairs with the neighbors
+    # changes the trapezoids — tiebreak pins it deterministically
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1], pa.int64()),
+        "ts": pa.array(np.array([0, 10_000_000, 10_000_000, 30_000_000],
+                                "datetime64[us]")),
+        "v": pa.array([0.0, 10.0, 100.0, 0.0]),
+        "tb": pa.array([0, 1, 2, 3], pa.int64()),
+        "tb_rev": pa.array([0, 2, 1, 3], pa.int64()),
+    })
+    asc = time_weighted_avg(ray.data.from_arrow(t), key="k", ts="ts",
+                            col="v", tiebreak="tb").to_pandas()
+    # order 0,10,100,0: (0+10)/2*10 + 0 + (100+0)/2*20 = 1050 over 30s
+    assert asc.set_index("k")["twa"][1] == pytest.approx(35.0)
+    rev = time_weighted_avg(ray.data.from_arrow(t), key="k", ts="ts",
+                            col="v", tiebreak="tb_rev").to_pandas()
+    # order 0,100,10,0: (0+100)/2*10 + 0 + (10+0)/2*20 = 600 over 30s
+    assert rev.set_index("k")["twa"][1] == pytest.approx(20.0)
+
+
 # ------------------------------------------------------------------ rollup
 
 def test_rollup_levels_and_totals():
@@ -132,6 +155,24 @@ def test_rollup_levels_and_totals():
     leaf = out[out.b.notna()].set_index(["a", "b"])
     assert leaf.loc[("y", "p"), "sum_v"] == pytest.approx(7.0)
     assert leaf.loc[("y", "p"), "n"] == 2
+
+
+def test_rollup_level_col_disambiguates_null_keys():
+    from audio_feature_extraction_ray.stages.aggregates import rollup_agg
+
+    # a genuine NULL key value: without level_col its leaf row is
+    # indistinguishable from the level-1 subtotal; with it, GROUPING()-style
+    t = pa.table({
+        "a": pa.array(["x", None, "x"]),
+        "v": pa.array([1.0, 2.0, 4.0]),
+    })
+    out = rollup_agg(ray.data.from_arrow(t), keys=["a"], value_col="v",
+                     level_col="lvl").to_pandas()
+    leaf_null = out[(out.lvl == 0) & out.a.isna()]
+    total = out[out.lvl == 1]
+    assert len(leaf_null) == 1 and leaf_null.iloc[0]["sum_v"] == pytest.approx(2.0)
+    assert len(total) == 1 and total.iloc[0]["sum_v"] == pytest.approx(7.0)
+    assert set(out.lvl) == {0, 1} and len(out) == 3
 
 
 # ------------------------------------------------------------------ aspect bucketing
