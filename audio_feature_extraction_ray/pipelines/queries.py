@@ -1262,10 +1262,15 @@ FROM orders GROUP BY 1
 
 
 def q_mad_events(sf_dir: str):
-    """Per-group median absolute deviation (DuckDB ``mad()``): median and
-    MAD computed inside one map_groups pass per event_type — low group
-    cardinality is the documented contract (same as percentiles_by_type);
-    high-cardinality keys route through the bucketed quantile path."""
+    """Per-group median absolute deviation (DuckDB ``mad()``), oracle-checked
+    via the sketch tolerance-flag scheme (:func:`q_approx_percentiles_events`):
+    the exact per-group MAD carries the values, and one boolean asserts the
+    scale path — :func:`~.stages.aggregates.mad_grouped`, mergeable t-digest
+    sketches with NO low-cardinality contract (q=0.5 twice, only centroid
+    rows shuffle) — landed within 10% of each group's exact MAD. The oracle
+    replays the exact values and literal TRUE (measured sketch error ≲1%)."""
+    from ..stages.aggregates import mad_grouped
+
     ev = read_table(sf_dir, "events", columns=["event_type", "value"])
 
     def per_group(group: pa.Table) -> pa.Table:
@@ -1278,12 +1283,24 @@ def q_mad_events(sf_dir: str):
             "mad": pa.array([mad], pa.float64()),
         })
 
-    agg = ev.groupby("event_type").map_groups(per_group, batch_format="pyarrow")
-    return _round_cols(agg, ["mad"], digits=6)
+    exact = {r["event_type"]: r["mad"]
+             for r in ev.groupby("event_type").map_groups(
+                 per_group, batch_format="pyarrow").take_all()}
+    sketch = {r["event_type"]: r["mad"]
+              for r in mad_grouped(ev, key="event_type", col="value").take_all()}
+    ok = set(exact) == set(sketch) and all(
+        abs(sketch[k] - exact[k]) <= 0.10 * max(exact[k], 1e-9) for k in exact)
+    tbl = pa.table({
+        "event_type": pa.array(sorted(exact), pa.string()),
+        "mad": pa.array([exact[k] for k in sorted(exact)], pa.float64()),
+        "mad_sketch_within_tol": pa.array([bool(ok)] * len(exact), pa.bool_()),
+    })
+    return _round_cols(ray.data.from_arrow(tbl), ["mad"], digits=6)
 
 
 SQL_MAD_EVENTS = """
-SELECT event_type, ROUND(mad(value), 6) AS mad
+SELECT event_type, ROUND(mad(value), 6) AS mad,
+       TRUE AS mad_sketch_within_tol
 FROM events GROUP BY 1
 """
 

@@ -342,6 +342,53 @@ def approx_quantiles_grouped(
     return sketches.groupby(key).map_groups(per_key, batch_format="pyarrow")
 
 
+def mad_grouped(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    compression: int = 300,
+    out_col: str = "mad",
+    broadcast_threshold: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Per-group median absolute deviation via mergeable t-digest sketches —
+    MAD = median(|x − median_g(x)|), i.e. q=0.5 twice through
+    :func:`approx_quantiles_grouped`. NO low-cardinality contract: no
+    whole-group value materialization anywhere — each pass ships only
+    per-(block, key) centroid rows (≤ keys × compression per block) and the
+    per-group merge runs over sketch rows, so million-key inputs stream.
+
+    The per-group median table (|keys| rows of one float) joins back
+    broadcast below ``broadcast_threshold`` rows, else through one
+    :func:`~.joins.bucket_hash_join` exchange. Accuracy follows the
+    t-digest median error (≲1% of spread at compression 300); use the
+    exact ``map_groups`` path only when group cardinality is small and
+    bit-exactness is required.
+    """
+    from .joins import broadcast_join, bucket_hash_join
+
+    base = ds.select_columns([key, col])
+    med = approx_quantiles_grouped(base, key=key, col=col, qs=[0.5],
+                                   compression=compression)
+    med = med.map_batches(lambda t: t.rename_columns([key, "__med"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    med = med.materialize()
+    if med.count() <= broadcast_threshold:
+        joined = broadcast_join(base, med, keys=key)
+    else:
+        joined = bucket_hash_join(base, med, on=key)
+
+    def dev(t: pa.Table) -> pa.Table:
+        x = pc.cast(t.column(col), pa.float64())
+        d = pc.abs(pc.subtract(x, t.column("__med")))
+        return pa.table({key: t.column(key), "__dev": d})
+
+    devs = joined.map_batches(dev, batch_format="pyarrow", zero_copy_batch=True)
+    out = approx_quantiles_grouped(devs, key=key, col="__dev", qs=[0.5],
+                                   compression=compression)
+    return out.map_batches(lambda t: t.rename_columns([key, out_col]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
 def approx_distinct(
     ds: ray.data.Dataset, col: str, precision: int = 12
 ) -> int:

@@ -631,3 +631,62 @@ def salt_hot_keys(
         return t.append_column("__salt", pa.array(np.where(is_hot, salt, 0)))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def auto_salt_hot_keys(
+    ds: ray.data.Dataset,
+    key: str,
+    phi: float = 0.01,
+    salt_buckets: int = 8,
+    salt_by: str | None = None,
+    sample_fraction: float | None = None,
+    sample_by: list[str] | None = None,
+) -> tuple[ray.data.Dataset, list]:
+    """Self-protecting skew mitigation: detect the φ-heavy keys with
+    :func:`~.aggregates.heavy_hitters` (candidate-prune + verify over JUST
+    the key column — at most 1/φ candidates ever reach the driver) and
+    salt exactly those via :func:`salt_hot_keys`, leaving the long tail on
+    salt 0. No hand-maintained hot list: a grouped stage keyed on
+    ``(key, __salt)`` bounds its largest task at ~φ·N/salt_buckets rows
+    no matter how the key distribution drifts.
+
+    ``sample_fraction`` runs the detection pass on a DETERMINISTIC
+    content-hash row sample (identical hashed tuples sample identically
+    across cluster sizes and reruns — never a positional or seeded-RNG
+    sample) with the detection threshold halved as sampling-noise margin:
+    over-detection just salts a warm key (harmless — its groups still
+    reunite in phase 2), under-detection is what the margin guards. The
+    hash covers ``sample_by`` (default: every column) — it must include a
+    near-unique column (an id, a timestamp): rows with identical hashed
+    content sample all-or-nothing, which would bias key frequencies.
+    Column-prune the sampling scan by passing the smallest such set.
+
+    Returns ``(salted_ds, hot_keys)`` — hot_keys so the caller's phase-2
+    reduce knows which groups arrive in ``salt_buckets`` pieces.
+    """
+    from .aggregates import heavy_hitters
+
+    base = ds.select_columns([key])
+    det_phi = phi
+    if sample_fraction is not None:
+        if not (0.0 < sample_fraction <= 1.0):
+            raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
+        cutoff = np.uint64(int(sample_fraction * 2**64))
+        cols = sorted(set((sample_by or ds.schema().names) + [key]))
+
+        def samp(t: pa.Table) -> pa.Table:
+            import polars as _pl
+
+            if t.num_rows == 0:
+                return t.select([key])
+            h = _pl.from_arrow(t).hash_rows(seed=23).to_numpy()
+            return t.filter(pa.array(h < cutoff)).select([key])
+
+        base = ds.select_columns(cols).map_batches(
+            samp, batch_format="pyarrow", zero_copy_batch=True)
+        det_phi = phi * 0.5
+
+    hot_rows = heavy_hitters(base, key, det_phi).take_all()  # ≤ 1/det_phi rows
+    hot_keys = sorted(r[key] for r in hot_rows)
+    return salt_hot_keys(ds, key, hot_keys, salt_buckets=salt_buckets,
+                         salt_by=salt_by), hot_keys

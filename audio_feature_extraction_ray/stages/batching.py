@@ -86,6 +86,223 @@ def with_batch_ids(
     return ds.groupby(bucket_col).map_groups(per_bucket, batch_format="pyarrow")
 
 
+def training_batches_ds(
+    ds: ray.data.Dataset,
+    batch_size: int = 8,
+    target_area: int = 256 * 256,
+    buckets: tuple[float, ...] = DEFAULT_BUCKETS,
+    start_after: int | None = None,
+    concurrency: int | tuple[int, int] = (1, 8),
+    decode_batch_size: int = 32,
+) -> ray.data.Dataset:
+    """One packed row per deterministic training batch — the distributed
+    half of :func:`iter_training_batches`.
+
+    Shape (ONE pixel exchange total): decode + bucket-canonical resize +
+    caption tokenization run IN PLACE over the source blocks (raw bytes
+    never shuffle — the flagship's fused-actor-pool rule), then a single
+    ``groupby(aspect_bucket)`` exchange orders each bucket by
+    ``(image_id, ts)``, chunks it into ``batch_size`` groups and packs
+    every batch into one row: stacked uint8 pixel blob + int32 caption
+    token-id blob + per-image offsets. Batch ids are
+    ``(bucket << 32) | seq`` — deterministic from metadata alone, so a
+    resumed job rebuilds identical batches (same contract as
+    :func:`with_batch_ids`; per-bucket task-size trade documented there).
+
+    ``start_after`` is the resume cursor (the last fully consumed
+    batch_id): because iteration order is ascending batch_id, the consumed
+    set is a per-bucket PREFIX, so the cursor compiles to one
+    ``(image_id, ts)`` boundary for the cursor's bucket — computed from a
+    metadata-only pass (no decode) and applied as a row filter BEFORE the
+    decode stage. Rows must be unique on ``(image_id, ts)`` (the batch
+    order key). Failed decodes stay deterministic: they occupy their
+    metadata-assigned batch slot and are reported in ``failed_ids``
+    rather than shifting later batches.
+
+    Reference lifecycle analog: the per-batch student-feature loop at
+    04_feature_extraction_experiment/feature_extraction_for_student.py:152-197.
+    """
+    from ..functions import codecs
+    from ..functions.imagefx import resize_area
+    from ..functions.textfx import _token_hash32, bpe_ish_tokens
+
+    b = np.asarray(sorted(buckets), dtype=np.float64)
+    targets = []
+    for r in b:
+        th = int(round(np.sqrt(target_area / r)))
+        tw = int(round(np.sqrt(target_area * r)))
+        targets.append((max(th, 1), max(tw, 1)))
+
+    meta_ds = assign_aspect_buckets(ds)
+
+    # ---- resume cursor -> (bucket, boundary) prefix filter, pre-decode
+    cursor_bucket = -1
+    boundary: tuple[str, int] | None = None
+    seq_offset = 0
+    if start_after is not None:
+        cursor_bucket = int(start_after) >> 32
+        seq_offset = (int(start_after) & 0xFFFFFFFF) + 1
+        ids = with_batch_ids(
+            assign_aspect_buckets(
+                ds.select_columns(["image_id", "ts", "w", "h"]), buckets=buckets),
+            batch_size, bucket_col="aspect_bucket",
+        )
+        nxt = ids.filter(expr=f"batch_id == {int(start_after) + 1}").take_all()
+        if nxt:
+            first = min((r["image_id"], r["ts"]) for r in nxt)
+            boundary = (first[0], int(np.datetime64(first[1], "us").astype(np.int64)))
+        # no next batch in the cursor's bucket -> skip that bucket entirely
+
+        def keep(t: pa.Table) -> pa.Table:
+            bkt = t.column("aspect_bucket").to_numpy(zero_copy_only=False)
+            mask = bkt > cursor_bucket
+            if boundary is not None:
+                iid = np.asarray(t.column("image_id").to_pylist(), dtype=object)
+                tsv = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+                at = (iid > boundary[0]) | ((iid == boundary[0]) & (tsv >= boundary[1]))
+                mask = mask | ((bkt == cursor_bucket) & at)
+            return t.filter(pa.array(mask))
+
+        meta_ds = meta_ds.map_batches(keep, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+    class DecodeResizeTokenize:
+        def __init__(self):
+            _ = codecs._D8, codecs._QSTEP  # warm per-actor codec state
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            raw = batch.column("bytes")
+            bkt = batch.column("aspect_bucket").to_numpy(zero_copy_only=False)
+            caps = batch.column("caption").to_pylist()
+            px_out, st_out, tok_out = [], [], []
+            for i in range(n):
+                th, tw = targets[int(bkt[i])]
+                try:
+                    px = codecs.decode_image(raw[i].as_py())
+                    rz = np.stack(
+                        [resize_area(px[:, :, c].astype(np.float64), th, tw)
+                         for c in range(px.shape[2])], axis=2)
+                    px_out.append(np.clip(np.rint(rz), 0, 255)
+                                  .astype(np.uint8).tobytes())
+                    st_out.append("ok")
+                except codecs.DecodeError as e:
+                    px_out.append(None)
+                    st_out.append(f"decode_error:{str(e).split(':')[0]}")
+                toks = bpe_ish_tokens(caps[i] or "")
+                tok_out.append(np.array([_token_hash32(t) for t in toks],
+                                        dtype=np.int32).tobytes())
+            return pa.table({
+                "image_id": batch.column("image_id"),
+                "ts": batch.column("ts"),
+                "aspect_bucket": batch.column("aspect_bucket"),
+                "status": pa.array(st_out, pa.string()),
+                "pixels": pa.array(px_out, pa.large_binary()),
+                "token_ids": pa.array(tok_out, pa.large_binary()),
+            })
+
+    decoded = meta_ds.map_batches(
+        DecodeResizeTokenize, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=decode_batch_size, concurrency=concurrency,
+    )
+
+    out_schema = pa.schema([
+        pa.field("batch_id", pa.int64()),
+        pa.field("aspect_bucket", pa.int32()),
+        pa.field("th", pa.int32()), pa.field("tw", pa.int32()),
+        pa.field("n_ok", pa.int32()),
+        pa.field("image_ids", pa.list_(pa.string())),
+        pa.field("ts_us", pa.list_(pa.int64())),
+        pa.field("pixels", pa.large_binary()),
+        pa.field("token_ids", pa.large_binary()),
+        pa.field("token_offsets", pa.list_(pa.int32())),
+        pa.field("failed_ids", pa.list_(pa.string())),
+    ])
+
+    def pack_bucket(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        t = t.combine_chunks()
+        iid = np.asarray(t.column("image_id").to_pylist(), dtype=object)
+        tsv = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tsv, iid))
+        t = t.take(pa.array(order, pa.int64()))
+        bucket = int(t.column("aspect_bucket")[0].as_py())
+        th, tw = targets[bucket]
+        off = seq_offset if bucket == cursor_bucket else 0
+        ids_l = t.column("image_id").to_pylist()
+        ts_l = t.column("ts").cast(pa.int64()).to_pylist()
+        st_l = t.column("status").to_pylist()
+        px_l = t.column("pixels").to_pylist()
+        tk_l = t.column("token_ids").to_pylist()
+        rows: dict[str, list] = {f.name: [] for f in out_schema}
+        for c0 in range(0, n, batch_size):
+            sl = slice(c0, min(c0 + batch_size, n))
+            ok = [j for j in range(sl.start, sl.stop) if st_l[j] == "ok"]
+            toks = [tk_l[j] for j in ok]
+            lens = [len(x) // 4 for x in toks]
+            rows["batch_id"].append(
+                (np.int64(bucket) << np.int64(32)) | np.int64(off + c0 // batch_size))
+            rows["aspect_bucket"].append(bucket)
+            rows["th"].append(th); rows["tw"].append(tw)
+            rows["n_ok"].append(len(ok))
+            rows["image_ids"].append([ids_l[j] for j in ok])
+            rows["ts_us"].append([ts_l[j] for j in ok])
+            rows["pixels"].append(b"".join(px_l[j] for j in ok))
+            rows["token_ids"].append(b"".join(toks))
+            rows["token_offsets"].append(
+                np.concatenate(([0], np.cumsum(lens))).astype(np.int32).tolist())
+            rows["failed_ids"].append(
+                [ids_l[j] for j in range(sl.start, sl.stop) if st_l[j] != "ok"])
+        return pa.table({f.name: pa.array(rows[f.name], f.type) for f in out_schema},
+                        schema=out_schema)
+
+    return decoded.groupby("aspect_bucket").map_groups(
+        pack_bucket, batch_format="pyarrow")
+
+
+def iter_training_batches(
+    ds: ray.data.Dataset,
+    batch_size: int = 8,
+    target_area: int = 256 * 256,
+    buckets: tuple[float, ...] = DEFAULT_BUCKETS,
+    start_after: int | None = None,
+    concurrency: int | tuple[int, int] = (1, 8),
+):
+    """Consume :func:`training_batches_ds` as a training loop would: yields
+    one dict per batch in ascending ``batch_id`` order —
+    ``pixels`` float32 (n_ok, th, tw, 3) in [0, 1], ``token_ids`` a list of
+    int32 arrays (hashed BPE-ish caption tokens, one per image), plus
+    ``batch_id`` / ``aspect_bucket`` / ``image_ids`` / ``ts_us`` /
+    ``failed_ids``. Stacking happened in the workers; the driver only
+    reshapes one packed blob per batch (streaming ``iter_rows``, never a
+    whole-dataset collect).
+
+    Resume: persist the last fully consumed ``batch_id``; passing it as
+    ``start_after`` replays the remaining batches byte-identically, with
+    the skip pushed BEFORE the decode stage (finished work is never
+    re-decoded)."""
+    packed = training_batches_ds(
+        ds, batch_size=batch_size, target_area=target_area, buckets=buckets,
+        start_after=start_after, concurrency=concurrency,
+    )
+    for row in packed.sort("batch_id").iter_rows():
+        n, th, tw = int(row["n_ok"]), int(row["th"]), int(row["tw"])
+        px = np.frombuffer(row["pixels"], dtype=np.uint8).reshape(n, th, tw, 3)
+        toks = np.frombuffer(row["token_ids"], dtype=np.int32)
+        offs = np.asarray(row["token_offsets"], dtype=np.int64)
+        yield {
+            "batch_id": int(row["batch_id"]),
+            "aspect_bucket": int(row["aspect_bucket"]),
+            "pixels": px.astype(np.float32) / np.float32(255.0),
+            "token_ids": [toks[offs[i]:offs[i + 1]] for i in range(n)],
+            "image_ids": list(row["image_ids"]),
+            "ts_us": list(row["ts_us"]),
+            "failed_ids": list(row["failed_ids"]),
+        }
+
+
 def resize_to_bucket_stage(
     ds: ray.data.Dataset,
     target_area: int = 256 * 256,

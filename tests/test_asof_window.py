@@ -275,3 +275,46 @@ def test_salt_hot_keys_two_phase_equivalence():
     # the hot key was actually spread over multiple salt buckets
     hot_parts = p1.to_pandas().query("k == 'hot'")
     assert hot_parts["__salt"].nunique() > 1
+
+
+def test_auto_salt_detects_hot_key_and_bounds_tasks():
+    """auto_salt_hot_keys needs no hand list: one entity owning 50% of the
+    rows is detected by the heavy-hitters pre-pass and spread over salt
+    buckets (bounding the largest per-task group), tail keys stay on salt
+    0, and the two-phase result is identical to the unsalted oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    from audio_feature_extraction_ray.stages.asof import auto_salt_hot_keys
+
+    n = 20_000
+    rng = np.random.default_rng(3)
+    tail = rng.integers(0, 100, n // 2)
+    df = pd.DataFrame({
+        "k": ["hot"] * (n // 2) + [f"t{v}" for v in tail],  # 50% one entity
+        "v": np.arange(n, dtype=np.float64),
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+
+    salted, hot_keys = auto_salt_hot_keys(ds, "k", phi=0.2, salt_buckets=8)
+    assert hot_keys == ["hot"]
+
+    p1 = salted.groupby(["k", "__salt"]).aggregate(
+        Sum(on="v", alias_name="s"), Count(alias_name="n")).to_pandas()
+    # per-task bound: the biggest (key, salt) group is far below the hot
+    # key's 10k rows — content-hash salting splits it ~uniformly over 8
+    assert p1.n.max() < 0.35 * (n // 2)
+    assert p1.query("k == 'hot'")["__salt"].nunique() == 8
+    # tail keys keep salt 0 (no pointless group splitting)
+    assert (p1.query("k != 'hot'")["__salt"] == 0).all()
+
+    p2 = p1.groupby("k").agg(s=("s", "sum"), n=("n", "sum")).sort_index()
+    oracle = df.groupby("k").agg(s=("v", "sum"), n=("v", "count")).sort_index()
+    assert (p2["n"] == oracle["n"]).all()
+    np.testing.assert_allclose(p2["s"], oracle["s"])
+
+    # sampled pre-pass finds the same hot key deterministically
+    _, hot2 = auto_salt_hot_keys(ds, "k", phi=0.2, sample_fraction=0.25)
+    assert hot2 == ["hot"]
+    _, hot3 = auto_salt_hot_keys(ds.repartition(3), "k", phi=0.2,
+                                 sample_fraction=0.25)
+    assert hot3 == hot2  # layout-independent (content-hash sample)

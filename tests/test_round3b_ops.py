@@ -157,6 +157,31 @@ def test_rollup_levels_and_totals():
     assert leaf.loc[("y", "p"), "n"] == 2
 
 
+def test_mad_grouped_sketch_many_groups():
+    """Sketch-based grouped MAD: no low-cardinality contract — 200 groups,
+    within 10% of the numpy exact MAD per group, both join routes equal."""
+    from audio_feature_extraction_ray.stages.aggregates import mad_grouped
+
+    rng = np.random.default_rng(11)
+    k = rng.integers(0, 200, 20_000)
+    v = rng.normal(loc=k.astype(float), scale=1.0 + (k % 5))
+    t = pa.table({"k": pa.array(k, pa.int64()), "v": pa.array(v)})
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    got = {r["k"]: r["mad"] for r in mad_grouped(ds, "k", "v").take_all()}
+    assert len(got) == 200
+    import pandas as pd
+    exact = pd.DataFrame({"k": k, "v": v}).groupby("k")["v"].apply(
+        lambda s: float(np.median(np.abs(s - np.median(s)))))
+    for kk, e in exact.items():
+        assert abs(got[kk] - e) <= 0.10 * max(e, 1e-9), (kk, got[kk], e)
+
+    # forcing the bucket_hash_join route must not change the estimates
+    got2 = {r["k"]: r["mad"] for r in mad_grouped(
+        ds, "k", "v", broadcast_threshold=1).take_all()}
+    assert got2 == got
+
+
 def test_rollup_level_col_disambiguates_null_keys():
     from audio_feature_extraction_ray.stages.aggregates import rollup_agg
 

@@ -1,0 +1,59 @@
+"""Training-loop handoff: deterministic packed batches + byte-identical
+resume (reference lifecycle analog: the per-batch student-feature loop at
+04_feature_extraction_experiment/feature_extraction_for_student.py:152-197)."""
+import numpy as np
+import ray
+
+from audio_feature_extraction_ray.sources.images import synth_images
+from audio_feature_extraction_ray.stages.batching import iter_training_batches
+
+
+def _collect(ds, **kw):
+    return list(iter_training_batches(ds, batch_size=4, concurrency=(1, 2), **kw))
+
+
+def test_training_batches_shapes_order_and_failures():
+    full = _collect(synth_images(24, seed=42))
+    assert len(full) > 3
+    ids = [b["batch_id"] for b in full]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    n_failed = 0
+    for b in full:
+        n = b["pixels"].shape[0]
+        assert n == b["n_ok"] if "n_ok" in b else True
+        assert b["pixels"].dtype == np.float32
+        assert b["pixels"].shape == (n, b["pixels"].shape[1], b["pixels"].shape[2], 3)
+        assert 0.0 <= float(b["pixels"].min()) and float(b["pixels"].max()) <= 1.0
+        assert len(b["token_ids"]) == n == len(b["image_ids"]) == len(b["ts_us"])
+        assert n + len(b["failed_ids"]) <= 4  # metadata-assigned slots
+        assert all(t.dtype == np.int32 and len(t) > 0 for t in b["token_ids"])
+        n_failed += len(b["failed_ids"])
+        # batch id encodes its aspect bucket
+        assert b["batch_id"] >> 32 == b["aspect_bucket"]
+    assert n_failed > 0  # synth corpus contains corrupt rows; they are data
+    # per-bucket canonical shape: all batches of one bucket stack identically
+    by_bucket = {}
+    for b in full:
+        if b["pixels"].shape[0]:
+            by_bucket.setdefault(b["aspect_bucket"], set()).add(b["pixels"].shape[1:3])
+    assert all(len(s) == 1 for s in by_bucket.values())
+
+
+def test_training_batches_killed_iteration_resumes_byte_identical():
+    full = _collect(synth_images(24, seed=42))
+    consumed = 3  # "crash" after three fully consumed batches
+    cursor = full[consumed - 1]["batch_id"]
+    resumed = _collect(synth_images(24, seed=42), start_after=cursor)
+    assert [b["batch_id"] for b in resumed] == [b["batch_id"] for b in full[consumed:]]
+    for a, b in zip(full[consumed:], resumed):
+        assert a["image_ids"] == b["image_ids"]
+        assert a["ts_us"] == b["ts_us"]
+        assert a["failed_ids"] == b["failed_ids"]
+        assert a["pixels"].tobytes() == b["pixels"].tobytes()  # byte identity
+        assert len(a["token_ids"]) == len(b["token_ids"])
+        assert all(np.array_equal(x, y)
+                   for x, y in zip(a["token_ids"], b["token_ids"]))
+
+    # cursor at the very last batch -> nothing left, not an error
+    tail = _collect(synth_images(24, seed=42), start_after=full[-1]["batch_id"])
+    assert tail == []
