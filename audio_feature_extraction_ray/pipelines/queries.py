@@ -942,6 +942,37 @@ FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """
 
 
+def q_training_batches_images(sf_dir: str):
+    """Training-loop handoff (rows-only: images aren't a driver view): the
+    packed-batch table from :func:`~.stages.batching.training_batches_ds` —
+    decode + bucket-canonical resize + caption tokenization in place, one
+    pixel exchange packing each deterministic (bucket << 32 | seq) batch id
+    into a single stacked row. Emits per-batch metadata + content digests
+    (pixel/token blob lengths), deterministic across runs and layouts."""
+    from ..sources.images import synth_images
+    from ..stages.batching import training_batches_ds
+
+    n = max(12, int(600 * _sf_of(sf_dir)))
+    packed = training_batches_ds(synth_images(n), batch_size=8)
+
+    def digest(t: pa.Table) -> pa.Table:
+        px = t.column("pixels").to_pylist()
+        tk = t.column("token_ids").to_pylist()
+        return pa.table({
+            "batch_id": t.column("batch_id"),
+            "aspect_bucket": t.column("aspect_bucket"),
+            "th": t.column("th"), "tw": t.column("tw"),
+            "n_ok": t.column("n_ok"),
+            "n_failed": pa.array([len(x) for x in t.column("failed_ids").to_pylist()],
+                                 pa.int32()),
+            "pixel_bytes": pa.array([len(x) for x in px], pa.int64()),
+            "token_count": pa.array([len(x) // 4 for x in tk], pa.int64()),
+        })
+
+    return packed.map_batches(digest, batch_format="pyarrow",
+                              zero_copy_batch=True).sort("batch_id")
+
+
 def q_aspect_buckets_images(sf_dir: str):
     """Aspect-ratio bucketing + deterministic global batch assignment over
     the synthetic image table (rows-only: images aren't a driver view) —
@@ -4217,6 +4248,7 @@ QUERIES = {
     "time_weighted_avg_events": (q_time_weighted_avg_events, SQL_TIME_WEIGHTED_AVG_EVENTS),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "aspect_buckets_images": (q_aspect_buckets_images, None),
+    "training_batches_images": (q_training_batches_images, None),
     "patch_features_images": (q_patch_features_images, None),
     "resize_buckets_images": (q_resize_buckets_images, None),
     "consecutive_neardups_images": (q_consecutive_neardups_images, None),

@@ -59,6 +59,8 @@ HEADLINE = [
     # round 3, second batch
     "pit_trailing_events",
     "transition_counts_events",
+    # round 4
+    "training_batches_images",
 ]
 
 
