@@ -426,7 +426,7 @@ def minhash_dedup_verified(
 
     pairs = minhash_dedup_pairs(
         ds, id_col, text_col, threshold=est_threshold, shingle_k=shingle_k, **minhash_kwargs
-    )
+    ).materialize()  # candidate stream is re-read by count + verify; pin it
     n_cand = pairs.count()
     if n_cand == 0:
         return pairs.filter(expr="est_jaccard > 2.0")  # empty, schema-stable
