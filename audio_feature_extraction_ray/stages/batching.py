@@ -262,12 +262,49 @@ def training_batches_ds(
         pack_bucket, batch_format="pyarrow")
 
 
+def _unpack_batch_row(row) -> dict:
+    n, th, tw = int(row["n_ok"]), int(row["th"]), int(row["tw"])
+    px = np.frombuffer(row["pixels"], dtype=np.uint8).reshape(n, th, tw, 3)
+    toks = np.frombuffer(row["token_ids"], dtype=np.int32)
+    offs = np.asarray(row["token_offsets"], dtype=np.int64)
+    return {
+        "batch_id": int(row["batch_id"]),
+        "aspect_bucket": int(row["aspect_bucket"]),
+        "pixels": px.astype(np.float32) / np.float32(255.0),
+        "token_ids": [toks[offs[i]:offs[i + 1]] for i in range(n)],
+        "image_ids": list(row["image_ids"]),
+        "ts_us": list(row["ts_us"]),
+        "failed_ids": list(row["failed_ids"]),
+    }
+
+
+def _read_cursor(path: str) -> int | None:
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return int(json.load(f)["last_batch_id"])
+
+
+def _write_cursor(path: str, batch_id: int) -> None:
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"last_batch_id": int(batch_id)}, f)
+    os.replace(tmp, path)  # atomic: a crash never leaves a torn cursor
+
+
 def iter_training_batches(
     ds: ray.data.Dataset,
     batch_size: int = 8,
     target_area: int = 256 * 256,
     buckets: tuple[float, ...] = DEFAULT_BUCKETS,
     start_after: int | None = None,
+    cursor_path: str | None = None,
     concurrency: int | tuple[int, int] = (1, 8),
 ):
     """Consume :func:`training_batches_ds` as a training loop would: yields
@@ -282,25 +319,67 @@ def iter_training_batches(
     Resume: persist the last fully consumed ``batch_id``; passing it as
     ``start_after`` replays the remaining batches byte-identically, with
     the skip pushed BEFORE the decode stage (finished work is never
-    re-decoded)."""
+    re-decoded). ``cursor_path`` automates that contract with AT-LEAST-ONCE
+    delivery: the cursor file is atomically rewritten when the caller comes
+    back for the NEXT batch (the only point the iterator can know the
+    previous one was fully processed — the reference's
+    save-progress-every-N analog,
+    05_dtw_alignment_experiment/dtw_alignment.py:1323-1325). A crash (or
+    ``break``) between receiving a batch and requesting the next replays
+    that one batch byte-identically on resume — deterministic ids make the
+    replay idempotent for any sink keyed on ``batch_id``. An explicit
+    ``start_after`` overrides the cursor file."""
+    if start_after is None and cursor_path is not None:
+        start_after = _read_cursor(cursor_path)
     packed = training_batches_ds(
         ds, batch_size=batch_size, target_area=target_area, buckets=buckets,
         start_after=start_after, concurrency=concurrency,
     )
     for row in packed.sort("batch_id").iter_rows():
-        n, th, tw = int(row["n_ok"]), int(row["th"]), int(row["tw"])
-        px = np.frombuffer(row["pixels"], dtype=np.uint8).reshape(n, th, tw, 3)
-        toks = np.frombuffer(row["token_ids"], dtype=np.int32)
-        offs = np.asarray(row["token_offsets"], dtype=np.int64)
-        yield {
-            "batch_id": int(row["batch_id"]),
-            "aspect_bucket": int(row["aspect_bucket"]),
-            "pixels": px.astype(np.float32) / np.float32(255.0),
-            "token_ids": [toks[offs[i]:offs[i + 1]] for i in range(n)],
-            "image_ids": list(row["image_ids"]),
-            "ts_us": list(row["ts_us"]),
-            "failed_ids": list(row["failed_ids"]),
-        }
+        out = _unpack_batch_row(row)
+        yield out
+        if cursor_path is not None:
+            _write_cursor(cursor_path, out["batch_id"])
+
+
+def write_training_shards(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    batch_size: int = 8,
+    n_shards: int = 32,
+    target_area: int = 256 * 256,
+    buckets: tuple[float, ...] = DEFAULT_BUCKETS,
+    concurrency: int | tuple[int, int] = (1, 8),
+):
+    """Offline complement of :func:`iter_training_batches`: materialize the
+    packed-batch table as ``n_shards`` hash-partitioned parquet shards with
+    the engine's lineage manifest — multiple trainers each read a disjoint
+    shard set; a failed write resumes skipping committed shards (the
+    :func:`~..state.checkpoint.write_partitioned_resumable` protocol).
+    Returns the manifest table (one row per shard)."""
+    from ..state.checkpoint import write_partitioned_resumable
+
+    packed = training_batches_ds(
+        ds, batch_size=batch_size, target_area=target_area, buckets=buckets,
+        concurrency=concurrency,
+    )
+    return write_partitioned_resumable(
+        packed, out_dir, key="batch_id", n_partitions=n_shards,
+        sort_keys=["batch_id"],
+    )
+
+
+def iter_shard_batches(out_dir: str, start_after: int | None = None):
+    """Replay written shards (:func:`write_training_shards`) as unpacked
+    training batches in ascending ``batch_id`` order — the no-recompute
+    resume path: reading skips nothing but decoding already happened."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(out_dir)
+    if start_after is not None:
+        ds = ds.filter(expr=f"batch_id > {int(start_after)}")
+    for row in ds.sort("batch_id").iter_rows():
+        yield _unpack_batch_row(row)
 
 
 def resize_to_bucket_stage(

@@ -57,3 +57,64 @@ def test_training_batches_killed_iteration_resumes_byte_identical():
     # cursor at the very last batch -> nothing left, not an error
     tail = _collect(synth_images(24, seed=42), start_after=full[-1]["batch_id"])
     assert tail == []
+
+
+def test_cursor_file_resumes_automatically(tmp_path):
+    from audio_feature_extraction_ray.stages.batching import _read_cursor
+
+    cur = str(tmp_path / "cursor.json")
+    full = _collect(synth_images(16, seed=5))
+    assert len(full) > 4
+
+    got = []
+    for i, b in enumerate(iter_training_batches(
+            synth_images(16, seed=5), batch_size=4, concurrency=(1, 2),
+            cursor_path=cur)):
+        got.append(b)
+        if i == 2:
+            break  # "crash" after receiving batch 3, before requesting 4
+    # at-least-once: the interrupted batch is NOT yet marked consumed
+    assert _read_cursor(cur) == got[-2]["batch_id"]
+
+    resumed = list(iter_training_batches(
+        synth_images(16, seed=5), batch_size=4, concurrency=(1, 2),
+        cursor_path=cur))
+    # the in-flight batch replays byte-identically, then the rest follow
+    assert resumed[0]["batch_id"] == got[-1]["batch_id"]
+    assert resumed[0]["pixels"].tobytes() == got[-1]["pixels"].tobytes()
+    seq = got[:-1] + resumed
+    assert [b["batch_id"] for b in seq] == [b["batch_id"] for b in full]
+    assert all(a["pixels"].tobytes() == b["pixels"].tobytes()
+               for a, b in zip(seq, full))
+    # a clean full drain leaves the cursor at the last batch
+    assert _read_cursor(cur) == full[-1]["batch_id"]
+
+
+def test_training_shards_roundtrip_and_skip_on_rerun(tmp_path):
+    from audio_feature_extraction_ray.stages.batching import (
+        iter_shard_batches, write_training_shards)
+
+    out = str(tmp_path / "shards")
+    man1 = write_training_shards(synth_images(16, seed=5), out,
+                                 batch_size=4, n_shards=4, concurrency=(1, 2))
+    assert man1.num_rows == 4
+
+    live = _collect(synth_images(16, seed=5))
+    replay = list(iter_shard_batches(out))
+    assert [b["batch_id"] for b in replay] == [b["batch_id"] for b in live]
+    for a, b in zip(replay, live):
+        assert a["pixels"].tobytes() == b["pixels"].tobytes()
+        assert a["image_ids"] == b["image_ids"]
+        assert all(np.array_equal(x, y)
+                   for x, y in zip(a["token_ids"], b["token_ids"]))
+
+    # second write run: all shards committed -> skipped, read-back unchanged
+    write_training_shards(synth_images(16, seed=5), out,
+                          batch_size=4, n_shards=4, concurrency=(1, 2))
+    replay2 = list(iter_shard_batches(out))
+    assert all(a["pixels"].tobytes() == b["pixels"].tobytes()
+               for a, b in zip(replay2, replay))
+
+    # shard-level resume cursor
+    tail = list(iter_shard_batches(out, start_after=replay[1]["batch_id"]))
+    assert [b["batch_id"] for b in tail] == [b["batch_id"] for b in replay[2:]]
