@@ -23,6 +23,121 @@ import ray.data
 
 DEFAULT_BUCKETS: tuple[float, ...] = (0.5, 2 / 3, 0.75, 1.0, 4 / 3, 1.5, 2.0)
 
+_PACK_SCHEMA = pa.schema([
+    pa.field("batch_id", pa.int64()),
+    pa.field("aspect_bucket", pa.int32()),
+    pa.field("th", pa.int32()), pa.field("tw", pa.int32()),
+    pa.field("n_ok", pa.int32()),
+    pa.field("image_ids", pa.list_(pa.string())),
+    pa.field("ts_us", pa.list_(pa.int64())),
+    pa.field("pixels", pa.large_binary()),
+    pa.field("token_ids", pa.large_binary()),
+    pa.field("token_offsets", pa.list_(pa.int32())),
+    pa.field("failed_ids", pa.list_(pa.string())),
+])
+
+
+def _bucket_targets(buckets: tuple[float, ...], target_area: int) -> list[tuple[int, int]]:
+    """Canonical (th, tw) per aspect bucket: constant area, bucket's ratio."""
+    out = []
+    for r in np.asarray(sorted(buckets), dtype=np.float64):
+        th = int(round(np.sqrt(target_area / r)))
+        tw = int(round(np.sqrt(target_area * r)))
+        out.append((max(th, 1), max(tw, 1)))
+    return out
+
+
+def _decode_resize_tokenize_cls(targets: list[tuple[int, int]]):
+    """Actor-pool stage: decode bytes, area-resize to the row's bucket
+    target, hash-tokenize the caption. Failures are data (status rows).
+    Passes ``batch_id`` through when the input carries one (the
+    shard-resume path assigns ids BEFORE decode)."""
+    from ..functions import codecs
+    from ..functions.imagefx import resize_area
+    from ..functions.textfx import _token_hash32, bpe_ish_tokens
+
+    class DecodeResizeTokenize:
+        def __init__(self):
+            _ = codecs._D8, codecs._QSTEP  # warm per-actor codec state
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            raw = batch.column("bytes")
+            bkt = batch.column("aspect_bucket").to_numpy(zero_copy_only=False)
+            caps = batch.column("caption").to_pylist()
+            px_out, st_out, tok_out = [], [], []
+            for i in range(n):
+                th, tw = targets[int(bkt[i])]
+                try:
+                    px = codecs.decode_image(raw[i].as_py())
+                    rz = np.stack(
+                        [resize_area(px[:, :, c].astype(np.float64), th, tw)
+                         for c in range(px.shape[2])], axis=2)
+                    px_out.append(np.clip(np.rint(rz), 0, 255)
+                                  .astype(np.uint8).tobytes())
+                    st_out.append("ok")
+                except codecs.DecodeError as e:
+                    px_out.append(None)
+                    st_out.append(f"decode_error:{str(e).split(':')[0]}")
+                toks = bpe_ish_tokens(caps[i] or "")
+                tok_out.append(np.array([_token_hash32(t) for t in toks],
+                                        dtype=np.int32).tobytes())
+            cols = {
+                "image_id": batch.column("image_id"),
+                "ts": batch.column("ts"),
+                "aspect_bucket": batch.column("aspect_bucket"),
+                "status": pa.array(st_out, pa.string()),
+                "pixels": pa.array(px_out, pa.large_binary()),
+                "token_ids": pa.array(tok_out, pa.large_binary()),
+            }
+            if "batch_id" in batch.column_names:
+                cols["batch_id"] = batch.column("batch_id")
+            return pa.table(cols)
+
+    return DecodeResizeTokenize
+
+
+def _sort_by_order_key(t: pa.Table) -> pa.Table:
+    """Stable (image_id, ts) lexsort — THE batch order key everywhere."""
+    t = t.combine_chunks()
+    iid = np.asarray(t.column("image_id").to_pylist(), dtype=object)
+    tsv = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return t.take(pa.array(np.lexsort((tsv, iid)), pa.int64()))
+
+
+def _pack_chunks(t: pa.Table, bucket: int, targets: list[tuple[int, int]],
+                 starts: list[int], batch_ids: list) -> pa.Table:
+    """Pack a SORTED single-bucket table into one row per chunk: chunk i is
+    rows [starts[i], starts[i+1]) with id batch_ids[i]."""
+    n = t.num_rows
+    th, tw = targets[bucket]
+    ids_l = t.column("image_id").to_pylist()
+    ts_l = t.column("ts").cast(pa.int64()).to_pylist()
+    st_l = t.column("status").to_pylist()
+    px_l = t.column("pixels").to_pylist()
+    tk_l = t.column("token_ids").to_pylist()
+    rows: dict[str, list] = {f.name: [] for f in _PACK_SCHEMA}
+    bounds = list(starts) + [n]
+    for i, bid in enumerate(batch_ids):
+        lo, hi = bounds[i], bounds[i + 1]
+        ok = [j for j in range(lo, hi) if st_l[j] == "ok"]
+        toks = [tk_l[j] for j in ok]
+        lens = [len(x) // 4 for x in toks]
+        rows["batch_id"].append(int(bid))
+        rows["aspect_bucket"].append(bucket)
+        rows["th"].append(th); rows["tw"].append(tw)
+        rows["n_ok"].append(len(ok))
+        rows["image_ids"].append([ids_l[j] for j in ok])
+        rows["ts_us"].append([ts_l[j] for j in ok])
+        rows["pixels"].append(b"".join(px_l[j] for j in ok))
+        rows["token_ids"].append(b"".join(toks))
+        rows["token_offsets"].append(
+            np.concatenate(([0], np.cumsum(lens))).astype(np.int32).tolist())
+        rows["failed_ids"].append(
+            [ids_l[j] for j in range(lo, hi) if st_l[j] != "ok"])
+    return pa.table({f.name: pa.array(rows[f.name], f.type) for f in _PACK_SCHEMA},
+                    schema=_PACK_SCHEMA)
+
 
 def assign_aspect_buckets(
     ds: ray.data.Dataset,
@@ -122,17 +237,7 @@ def training_batches_ds(
     Reference lifecycle analog: the per-batch student-feature loop at
     04_feature_extraction_experiment/feature_extraction_for_student.py:152-197.
     """
-    from ..functions import codecs
-    from ..functions.imagefx import resize_area
-    from ..functions.textfx import _token_hash32, bpe_ish_tokens
-
-    b = np.asarray(sorted(buckets), dtype=np.float64)
-    targets = []
-    for r in b:
-        th = int(round(np.sqrt(target_area / r)))
-        tw = int(round(np.sqrt(target_area * r)))
-        targets.append((max(th, 1), max(tw, 1)))
-
+    targets = _bucket_targets(buckets, target_area)
     meta_ds = assign_aspect_buckets(ds)
 
     # ---- resume cursor -> (bucket, boundary) prefix filter, pre-decode
@@ -166,97 +271,23 @@ def training_batches_ds(
         meta_ds = meta_ds.map_batches(keep, batch_format="pyarrow",
                                       zero_copy_batch=True)
 
-    class DecodeResizeTokenize:
-        def __init__(self):
-            _ = codecs._D8, codecs._QSTEP  # warm per-actor codec state
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            raw = batch.column("bytes")
-            bkt = batch.column("aspect_bucket").to_numpy(zero_copy_only=False)
-            caps = batch.column("caption").to_pylist()
-            px_out, st_out, tok_out = [], [], []
-            for i in range(n):
-                th, tw = targets[int(bkt[i])]
-                try:
-                    px = codecs.decode_image(raw[i].as_py())
-                    rz = np.stack(
-                        [resize_area(px[:, :, c].astype(np.float64), th, tw)
-                         for c in range(px.shape[2])], axis=2)
-                    px_out.append(np.clip(np.rint(rz), 0, 255)
-                                  .astype(np.uint8).tobytes())
-                    st_out.append("ok")
-                except codecs.DecodeError as e:
-                    px_out.append(None)
-                    st_out.append(f"decode_error:{str(e).split(':')[0]}")
-                toks = bpe_ish_tokens(caps[i] or "")
-                tok_out.append(np.array([_token_hash32(t) for t in toks],
-                                        dtype=np.int32).tobytes())
-            return pa.table({
-                "image_id": batch.column("image_id"),
-                "ts": batch.column("ts"),
-                "aspect_bucket": batch.column("aspect_bucket"),
-                "status": pa.array(st_out, pa.string()),
-                "pixels": pa.array(px_out, pa.large_binary()),
-                "token_ids": pa.array(tok_out, pa.large_binary()),
-            })
-
     decoded = meta_ds.map_batches(
-        DecodeResizeTokenize, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=decode_batch_size, concurrency=concurrency,
+        _decode_resize_tokenize_cls(targets), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=decode_batch_size,
+        concurrency=concurrency,
     )
-
-    out_schema = pa.schema([
-        pa.field("batch_id", pa.int64()),
-        pa.field("aspect_bucket", pa.int32()),
-        pa.field("th", pa.int32()), pa.field("tw", pa.int32()),
-        pa.field("n_ok", pa.int32()),
-        pa.field("image_ids", pa.list_(pa.string())),
-        pa.field("ts_us", pa.list_(pa.int64())),
-        pa.field("pixels", pa.large_binary()),
-        pa.field("token_ids", pa.large_binary()),
-        pa.field("token_offsets", pa.list_(pa.int32())),
-        pa.field("failed_ids", pa.list_(pa.string())),
-    ])
 
     def pack_bucket(t: pa.Table) -> pa.Table:
         n = t.num_rows
         if n == 0:
-            return out_schema.empty_table()
-        t = t.combine_chunks()
-        iid = np.asarray(t.column("image_id").to_pylist(), dtype=object)
-        tsv = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        order = np.lexsort((tsv, iid))
-        t = t.take(pa.array(order, pa.int64()))
+            return _PACK_SCHEMA.empty_table()
+        t = _sort_by_order_key(t)
         bucket = int(t.column("aspect_bucket")[0].as_py())
-        th, tw = targets[bucket]
         off = seq_offset if bucket == cursor_bucket else 0
-        ids_l = t.column("image_id").to_pylist()
-        ts_l = t.column("ts").cast(pa.int64()).to_pylist()
-        st_l = t.column("status").to_pylist()
-        px_l = t.column("pixels").to_pylist()
-        tk_l = t.column("token_ids").to_pylist()
-        rows: dict[str, list] = {f.name: [] for f in out_schema}
-        for c0 in range(0, n, batch_size):
-            sl = slice(c0, min(c0 + batch_size, n))
-            ok = [j for j in range(sl.start, sl.stop) if st_l[j] == "ok"]
-            toks = [tk_l[j] for j in ok]
-            lens = [len(x) // 4 for x in toks]
-            rows["batch_id"].append(
-                (np.int64(bucket) << np.int64(32)) | np.int64(off + c0 // batch_size))
-            rows["aspect_bucket"].append(bucket)
-            rows["th"].append(th); rows["tw"].append(tw)
-            rows["n_ok"].append(len(ok))
-            rows["image_ids"].append([ids_l[j] for j in ok])
-            rows["ts_us"].append([ts_l[j] for j in ok])
-            rows["pixels"].append(b"".join(px_l[j] for j in ok))
-            rows["token_ids"].append(b"".join(toks))
-            rows["token_offsets"].append(
-                np.concatenate(([0], np.cumsum(lens))).astype(np.int32).tolist())
-            rows["failed_ids"].append(
-                [ids_l[j] for j in range(sl.start, sl.stop) if st_l[j] != "ok"])
-        return pa.table({f.name: pa.array(rows[f.name], f.type) for f in out_schema},
-                        schema=out_schema)
+        starts = list(range(0, n, batch_size))
+        ids = [(np.int64(bucket) << np.int64(32)) | np.int64(off + i)
+               for i in range(len(starts))]
+        return _pack_chunks(t, bucket, targets, starts, ids)
 
     return decoded.groupby("aspect_bucket").map_groups(
         pack_bucket, batch_format="pyarrow")
@@ -356,17 +387,98 @@ def write_training_shards(
     the engine's lineage manifest — multiple trainers each read a disjoint
     shard set; a failed write resumes skipping committed shards (the
     :func:`~..state.checkpoint.write_partitioned_resumable` protocol).
-    Returns the manifest table (one row per shard)."""
-    from ..state.checkpoint import write_partitioned_resumable
+    Returns the manifest table (one row per shard).
 
-    packed = training_batches_ds(
-        ds, batch_size=batch_size, target_area=target_area, buckets=buckets,
-        concurrency=concurrency,
-    )
+    Resume prunes at the SOURCE, not just the sink (the same invariant the
+    flagship checkpointed job holds): a fully-committed re-run returns the
+    manifest without touching the data, and a partial re-run recomputes
+    ONLY images whose batch lands in an uncommitted shard — batch ids are
+    metadata-deterministic, so a no-decode metadata pass assigns them,
+    drops rows of committed shards, and ONE
+    :func:`~.joins.bucket_hash_join` brings just the surviving rows' bytes
+    to their batch id before the decode stage. Resume cost is proportional
+    to the UNFINISHED work, never the corpus.
+    """
+    from ..state.checkpoint import (completed_partitions, read_manifest,
+                                    write_partitioned_resumable)
+
+    done = completed_partitions(out_dir, n_shards)  # scheme-verified
+    if len(done) == n_shards:
+        rows = read_manifest(out_dir)
+        return pa.Table.from_pylist(rows)
+    if done:
+        packed = _packed_for_uncommitted_shards(
+            ds, done, batch_size=batch_size, n_shards=n_shards,
+            target_area=target_area, buckets=buckets, concurrency=concurrency)
+    else:
+        packed = training_batches_ds(
+            ds, batch_size=batch_size, target_area=target_area,
+            buckets=buckets, concurrency=concurrency)
     return write_partitioned_resumable(
         packed, out_dir, key="batch_id", n_partitions=n_shards,
         sort_keys=["batch_id"],
     )
+
+
+def _packed_for_uncommitted_shards(
+    ds: ray.data.Dataset,
+    done: set[int],
+    batch_size: int,
+    n_shards: int,
+    target_area: int,
+    buckets: tuple[float, ...],
+    concurrency: int | tuple[int, int],
+) -> ray.data.Dataset:
+    """Packed batches restricted to shards NOT in ``done``: metadata-only
+    batch-id assignment → committed-shard drop → one bucket-join of the
+    survivors against the raw rows (only unfinished bytes move) → decode →
+    per-batch pack keyed by the PRE-ASSIGNED ids (no renumbering, so the
+    shard layout matches a clean run exactly)."""
+    import pyarrow.compute as pc
+
+    from ..state.checkpoint import partition_of
+    from .joins import bucket_hash_join
+
+    targets = _bucket_targets(buckets, target_area)
+    ids = with_batch_ids(
+        assign_aspect_buckets(ds.select_columns(["image_id", "ts", "w", "h"]),
+                              buckets=buckets),
+        batch_size)
+    done_arr = np.asarray(sorted(done), dtype=np.int64)
+
+    def rk_of(t: pa.Table) -> pa.Array:
+        return pc.binary_join_element_wise(
+            t.column("image_id").cast(pa.string()),
+            pc.cast(t.column("ts").cast(pa.int64()), pa.string()), "@")
+
+    def drop_done(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"__rk": pa.array([], pa.string()),
+                             "batch_id": pa.array([], pa.int64())})
+        sh = partition_of(t.column("batch_id"), n_shards)
+        t = t.filter(pa.array(~np.isin(sh, done_arr)))
+        return pa.table({"__rk": rk_of(t), "batch_id": t.column("batch_id")})
+
+    surv = ids.map_batches(drop_done, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    raw = ds.map_batches(lambda t: t.append_column("__rk", rk_of(t)),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    joined = bucket_hash_join(raw, surv, on="__rk")
+    meta = assign_aspect_buckets(joined)
+    decoded = meta.map_batches(
+        _decode_resize_tokenize_cls(targets), batch_format="pyarrow",
+        zero_copy_batch=True, concurrency=concurrency)
+
+    def pack_by_id(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PACK_SCHEMA.empty_table()
+        t = _sort_by_order_key(t)
+        bucket = int(t.column("aspect_bucket")[0].as_py())
+        bid = int(t.column("batch_id")[0].as_py())
+        return _pack_chunks(t, bucket, targets, [0], [bid])
+
+    return decoded.groupby("batch_id").map_groups(pack_by_id,
+                                                  batch_format="pyarrow")
 
 
 def iter_shard_batches(out_dir: str, start_after: int | None = None):

@@ -280,12 +280,83 @@ def run_minhash(cap: StatsCapture, sf_dir: str, scale: int) -> int:
     return n
 
 
+def run_asof_bucketed(cap: StatsCapture, sf_dir: str, scale: int) -> int:
+    import pyarrow as pa
+
+    from audio_feature_extraction_ray.sources.tables import read_table
+    from audio_feature_extraction_ray.stages.asof import asof_join_bucketed
+
+    HOUR_US = 3600 * 1_000_000
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type", "value"])
+    if scale > 1:
+        ev = _tile(ev, scale, {"user_id": 10_000_000, "event_id": 1 << 40})
+    clicks = ev.filter(expr="event_type == 'click'") \
+        .select_columns(["event_id", "user_id", "ts"])
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+        .select_columns(["user_id", "ts", "value"]) \
+        .map_batches(lambda t: t.rename_columns(["user_id", "r_ts", "value"]),
+                     batch_format="pyarrow")
+    out = asof_join_bucketed(clicks, purchases, on="user_id", left_ts="ts",
+                             right_ts="r_ts", value_cols=["value"],
+                             bucket_us=6 * HOUR_US, suffix="_purchase")
+    n = consume(out)
+    cap.add_final(out)
+    return n
+
+
+def run_top10(cap: StatsCapture, sf_dir: str, scale: int) -> int:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from audio_feature_extraction_ray.sources.tables import read_table
+    from audio_feature_extraction_ray.stages.aggregates import grouped_agg_fast
+    from audio_feature_extraction_ray.stages.util import topk
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    if scale > 1:
+        li = _tile(li, scale, {"l_orderkey": 1 << 40})
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "revenue": r})
+
+    per_order = grouped_agg_fast(
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_orderkey"], specs=[("revenue", "revenue", "sum")])
+    top = topk(per_order, ["revenue", "l_orderkey"], k=10,
+               descending=[True, False])
+    n = consume(top)
+    cap.add_final(top)
+    return n
+
+
+def run_dedup_keep(cap: StatsCapture, sf_dir: str, scale: int) -> int:
+    from audio_feature_extraction_ray.pipelines.queries import QUERIES
+    from audio_feature_extraction_ray.sources.tables import read_table
+
+    res = QUERIES["dedup_keep_documents"][0](sf_dir)
+    n = consume(res)
+    cap.add_final(res)
+    return n
+
+
+# cross-copy prefix groups would merge tiled copies into one cluster and
+# change dedup semantics; audit the dedup-keep exchange at 1x only
+run_dedup_keep.scales = (1,)
+
+
 PIPELINES = {
     "flagship_images_pit": run_flagship,
     "rolling_time_mean_bucketed": run_rolling_bucketed,
     "interval_join_events": run_interval_join,
     "native_hash_join": run_native_join,
     "minhash_pairs_documents": run_minhash,
+    "asof_events_bucketed": run_asof_bucketed,
+    "top10_order_revenue": run_top10,
+    "dedup_keep_documents": run_dedup_keep,
 }
 
 
@@ -312,7 +383,7 @@ def main():
     for name, fn in PIPELINES.items():
         if args.only and name != args.only:
             continue
-        for scale in (1, 4):
+        for scale in getattr(fn, "scales", (1, 4)):
             cap = StatsCapture()
             t0 = time.time()
             with cap:

@@ -118,3 +118,53 @@ def test_training_shards_roundtrip_and_skip_on_rerun(tmp_path):
     # shard-level resume cursor
     tail = list(iter_shard_batches(out, start_after=replay[1]["batch_id"]))
     assert [b["batch_id"] for b in tail] == [b["batch_id"] for b in replay[2:]]
+
+
+def test_shard_resume_is_source_pruned_and_exact(tmp_path):
+    """Partial resume recomputes ONLY uncommitted shards' batches (pruned
+    before decode) and reproduces the clean run byte-identically."""
+    import os
+
+    from audio_feature_extraction_ray.stages.batching import (
+        _packed_for_uncommitted_shards, iter_shard_batches,
+        training_batches_ds, write_training_shards)
+    from audio_feature_extraction_ray.state.checkpoint import partition_of
+    import pyarrow as pa
+
+    out = str(tmp_path / "shards")
+    write_training_shards(synth_images(16, seed=5), out, batch_size=4,
+                          n_shards=4, concurrency=(1, 2))
+    clean = list(iter_shard_batches(out))
+
+    # the pruned pipeline emits exactly the uncommitted shards' batches
+    done = {0, 2}
+    packed = _packed_for_uncommitted_shards(
+        synth_images(16, seed=5), done, batch_size=4, n_shards=4,
+        target_area=256 * 256, buckets=(0.5, 2 / 3, 0.75, 1.0, 4 / 3, 1.5, 2.0),
+        concurrency=(1, 2)).take_all()
+    got_ids = sorted(r["batch_id"] for r in packed)
+    want = sorted(
+        b["batch_id"] for b in clean
+        if partition_of(pa.chunked_array([pa.array([b["batch_id"]], pa.int64())]),
+                        4)[0] not in done)
+    assert got_ids == want and len(want) > 0
+    by_id = {b["batch_id"]: b for b in clean}
+    for r in packed:
+        c = by_id[r["batch_id"]]
+        assert r["pixels"] == (c["pixels"] * 255).astype("uint8").tobytes()
+        assert list(r["image_ids"]) == c["image_ids"]
+
+    # end-to-end: delete two commit markers, re-run, read back identical
+    for p in done:
+        os.remove(os.path.join(out, "_manifest", f"{p:05d}.json"))
+    write_training_shards(synth_images(16, seed=5), out, batch_size=4,
+                          n_shards=4, concurrency=(1, 2))
+    again = list(iter_shard_batches(out))
+    assert [b["batch_id"] for b in again] == [b["batch_id"] for b in clean]
+    assert all(a["pixels"].tobytes() == b["pixels"].tobytes()
+               for a, b in zip(again, clean))
+
+    # fully-committed fast path returns the manifest without recompute
+    man = write_training_shards(synth_images(16, seed=5), out, batch_size=4,
+                                n_shards=4, concurrency=(1, 2))
+    assert man.num_rows == 4
