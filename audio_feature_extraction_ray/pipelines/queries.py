@@ -1255,8 +1255,12 @@ def q_time_weighted_avg_events(sf_dir: str):
     over-weight bursts). Entities with < 2 events → NULL."""
     from ..stages.window import time_weighted_avg
 
-    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
-    out = time_weighted_avg(ev, key="user_id", ts="ts", col="value")
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    # event_id tiebreak pins the trapezoid pairing for duplicate (user, ts)
+    # rows — the oracle's ORDER BY ts, event_id replays it (no ties in the
+    # current synth data, but parity must not depend on that)
+    out = time_weighted_avg(ev, key="user_id", ts="ts", col="value",
+                            tiebreak="event_id")
     return _round_cols(out, ["twa"], digits=6)
 
 
@@ -1266,7 +1270,7 @@ WITH t AS (
          LEAD(value) OVER w AS nv,
          epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS dt
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id,
        ROUND(SUM((value + nv) * 0.5 * dt) / NULLIF(SUM(dt), 0), 6) AS twa

@@ -280,6 +280,29 @@ def run_minhash(cap: StatsCapture, sf_dir: str, scale: int) -> int:
     return n
 
 
+def run_asof_plain(cap: StatsCapture, sf_dir: str, scale: int) -> int:
+    """The shuffle-based as-of join — the flagship PIT's fallback path when
+    the probe set exceeds the broadcast limit."""
+    from audio_feature_extraction_ray.sources.tables import read_table
+    from audio_feature_extraction_ray.stages.asof import asof_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type", "value"])
+    if scale > 1:
+        ev = _tile(ev, scale, {"user_id": 10_000_000, "event_id": 1 << 40})
+    clicks = ev.filter(expr="event_type == 'click'") \
+        .select_columns(["event_id", "user_id", "ts"])
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+        .select_columns(["user_id", "ts", "value"]) \
+        .map_batches(lambda t: t.rename_columns(["user_id", "r_ts", "value"]),
+                     batch_format="pyarrow")
+    out = asof_join(clicks, purchases, on="user_id", left_ts="ts",
+                    right_ts="r_ts", value_cols=["value"], suffix="_purchase")
+    n = consume(out)
+    cap.add_final(out)
+    return n
+
+
 def run_asof_bucketed(cap: StatsCapture, sf_dir: str, scale: int) -> int:
     import pyarrow as pa
 
@@ -354,6 +377,7 @@ PIPELINES = {
     "interval_join_events": run_interval_join,
     "native_hash_join": run_native_join,
     "minhash_pairs_documents": run_minhash,
+    "asof_events": run_asof_plain,
     "asof_events_bucketed": run_asof_bucketed,
     "top10_order_revenue": run_top10,
     "dedup_keep_documents": run_dedup_keep,
