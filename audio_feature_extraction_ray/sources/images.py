@@ -31,6 +31,22 @@ from ..functions import codecs
 from ..functions.imagefx import phash64
 
 BASE_EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z, fixed
+
+
+def _coprime_stride(n: int) -> int:
+    """Smallest odd k ≥ 0.618·n with gcd(k, n) == 1 — a deterministic
+    multiplicative bijection ``i ↦ (i·k) mod n`` used to scatter hot entities
+    across source blocks. Depends only on n, so the generated TABLE (a set of
+    per-entity timelines keyed by Philox(seed, eid)) is identical at any
+    block layout or cluster size; only task↦entity assignment changes."""
+    import math
+
+    if n <= 2:
+        return 1
+    k = (int(0.6180339887 * n)) | 1
+    while math.gcd(k, n) != 1:
+        k += 2
+    return k
 SIZES = (8, 16, 32, 64, 128)
 FMTS = codecs.FORMATS  # raw, ppm, png, jpgl
 
@@ -150,16 +166,23 @@ def synth_images(
     if override_num_blocks is None:
         # enough input blocks that the fused gen->featurize actor pool can
         # actually fan out (default range() blocking gave ~3 tasks for 600
-        # entities → 3-way parallelism ceiling), but not so many that the
-        # downstream sort shuffle drowns in per-block overhead
-        override_num_blocks = max(8, n_entities // 50)
+        # entities → 3-way parallelism ceiling). ~8 entities per task keeps a
+        # hot entity (hot_mult× the events) a bounded fraction of one task
+        # instead of a straggler; per-task overhead is amortized by the pool.
+        override_num_blocks = max(8, n_entities // 8)
     ents = ray.data.range(n_entities, override_num_blocks=override_num_blocks)
+    stride = _coprime_stride(n_entities)
     skips = frozenset(skip_partitions or ())
     if skips and not n_partitions:
         raise ValueError("skip_partitions requires n_partitions (the sink's count)")
 
     def gen(batch: dict[str, np.ndarray]) -> pa.Table:
-        eids = np.asarray(batch["id"], dtype=np.int64)
+        # scatter hot entities across blocks: range() hands each task a
+        # CONTIGUOUS id span, and the hot entities (ids < n_hot) would all
+        # land in task 0 — one task owning hot_mult× the work (measured 36%
+        # of all images in one straggler at bench scale). The multiplicative
+        # bijection reassigns ids to tasks; the generated table is identical.
+        eids = (np.asarray(batch["id"], dtype=np.int64) * stride) % max(1, n_entities)
         if skips:
             from ..state.checkpoint import partition_of
 
@@ -168,7 +191,10 @@ def synth_images(
             eids = eids[~np.isin(part, list(skips))]
         return generate_entity_events(eids, n_entities, seed=seed, **gen_kwargs)
 
-    return ents.map_batches(gen, batch_format="numpy", batch_size=50)
+    # batch_size=None → one batch per input block: a row-count batch size
+    # would re-BUNDLE the small id blocks into bigger tasks (measured: 50
+    # collapsed 75 blocks into 11 tasks → 11-way parallelism ceiling)
+    return ents.map_batches(gen, batch_format="numpy", batch_size=None)
 
 
 def count_events(

@@ -220,6 +220,8 @@ def asof_join_broadcast(
     direction: str = "backward",
     tolerance_us: int | None = None,
     matched_ts_col: str = "matched_ts",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Zero-shuffle as-of join for a SMALL probe side over an ENTITY-LOCAL
     build side.
@@ -245,8 +247,17 @@ def asof_join_broadcast(
 
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
-    left, lschema = arrow_schema_of(left)
-    right, rschema = arrow_schema_of(right)
+    # caller-supplied schemas skip the ds.schema() probes — on a lazy
+    # map_batches pipeline each probe costs a partial EXECUTION (executor +
+    # actor-pool spin-up) before the real run starts
+    if left_schema is not None:
+        lschema = left_schema
+    else:
+        left, lschema = arrow_schema_of(left)
+    if right_schema is not None:
+        rschema = right_schema
+    else:
+        right, rschema = arrow_schema_of(right)
     rtypes = {n: t for n, t in zip(rschema.names, rschema.types)}
     rts_type = rtypes[right_ts]
     left_cols = list(zip(lschema.names, lschema.types))

@@ -178,6 +178,60 @@ def _interp_time_cubic(x: np.ndarray, tsv: np.ndarray) -> np.ndarray:
     return out
 
 
+def window_out_schema(
+    in_schema: pa.Schema,
+    value_cols: list[str],
+    lags: tuple[int, ...] = (1,),
+    leads: tuple[int, ...] = (1,),
+    deltas: bool = True,
+    fill_cols: list[str] | None = None,
+    interp_cols: list[str] | None = None,
+    cumulative: list[str] | None = None,
+    trailing: list[str] | None = None,
+    rolling: dict[str, int] | None = None,
+    rolling_time_us: dict[str, int] | None = None,
+    session_gap_us: int | None = None,
+    **_ignored,
+) -> pa.Schema:
+    """Output schema of :func:`window_features` for a given input schema —
+    computable WITHOUT executing the input pipeline, so schema-dependent
+    downstream operators (e.g. the broadcast as-of join) can skip their
+    ``ds.schema()`` probe. Extra kwargs matching :func:`window_features`'s
+    non-schema parameters (key/ts/assume_partitioned/...) are ignored so a
+    caller can splat one shared kwargs dict into both functions."""
+    out_fields = [pa.field(n, t) for n, t in zip(in_schema.names, in_schema.types)]
+    for c in value_cols:
+        for k in lags:
+            out_fields.append(pa.field(f"{c}_lag_{k}", pa.float64()))
+        for k in leads:
+            out_fields.append(pa.field(f"{c}_lead_{k}", pa.float64()))
+        if deltas:
+            out_fields.append(pa.field(f"{c}_delta", pa.float64()))
+            out_fields.append(pa.field(f"{c}_delta2", pa.float64()))
+    for c in fill_cols or []:
+        out_fields.append(pa.field(f"{c}_ffill", pa.float64()))
+        out_fields.append(pa.field(f"{c}_bfill", pa.float64()))
+    for c in interp_cols or []:
+        out_fields.append(pa.field(f"{c}_interp", pa.float64()))
+    for c in cumulative or []:
+        out_fields.append(pa.field(f"{c}_cumsum", pa.float64()))
+        out_fields.append(pa.field(f"{c}_cummean", pa.float64()))
+        out_fields.append(pa.field(f"{c}_cummax", pa.float64()))
+        out_fields.append(pa.field(f"{c}_cumcount", pa.int64()))
+    for c in trailing or []:
+        out_fields.append(pa.field(f"{c}_trail_sum", pa.float64()))
+        out_fields.append(pa.field(f"{c}_trail_mean", pa.float64()))
+        out_fields.append(pa.field(f"{c}_trail_std", pa.float64()))
+        out_fields.append(pa.field(f"{c}_trail_count", pa.int64()))
+    for c, k in (rolling or {}).items():
+        out_fields.append(pa.field(f"{c}_rollmean_{k}", pa.float64()))
+    for c, w in (rolling_time_us or {}).items():
+        out_fields.append(pa.field(f"{c}_rollmean_t{w}", pa.float64()))
+    if session_gap_us is not None:
+        out_fields.append(pa.field("session_id", pa.int64()))
+    return pa.schema(out_fields)
+
+
 def window_features(
     ds: ray.data.Dataset,
     key: str,
@@ -196,6 +250,7 @@ def window_features(
     cumulative: list[str] | None = None,
     trailing: list[str] | None = None,
     interp_method: str = "linear",
+    in_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Add per-entity window columns in one shuffle.
 
@@ -221,39 +276,28 @@ def window_features(
     if interp_method not in ("linear", "cubic"):
         raise ValueError(f"interp_method must be 'linear' or 'cubic', got {interp_method!r}")
     _interp_fn = _interp_time if interp_method == "linear" else _interp_time_cubic
-    ds, schema = arrow_schema_of(ds)
+    if in_schema is not None:
+        # caller-supplied input schema: skips the ds.schema() probe, which on
+        # a lazy map_batches pipeline costs a full partial EXECUTION (executor
+        # + actor-pool spin-up) before the real run even starts
+        schema = in_schema
+    else:
+        ds, schema = arrow_schema_of(ds)
     fields = list(zip(schema.names, schema.types))
-    out_fields = [pa.field(n, t) for n, t in fields]
-    for c in value_cols:
-        for k in lags:
-            out_fields.append(pa.field(f"{c}_lag_{k}", pa.float64()))
-        for k in leads:
-            out_fields.append(pa.field(f"{c}_lead_{k}", pa.float64()))
-        if deltas:
-            out_fields.append(pa.field(f"{c}_delta", pa.float64()))
-            out_fields.append(pa.field(f"{c}_delta2", pa.float64()))
-    for c in fill_cols:
-        out_fields.append(pa.field(f"{c}_ffill", pa.float64()))
-        out_fields.append(pa.field(f"{c}_bfill", pa.float64()))
-    for c in interp_cols:
-        out_fields.append(pa.field(f"{c}_interp", pa.float64()))
-    for c in cumulative:
-        out_fields.append(pa.field(f"{c}_cumsum", pa.float64()))
-        out_fields.append(pa.field(f"{c}_cummean", pa.float64()))
-        out_fields.append(pa.field(f"{c}_cummax", pa.float64()))
-        out_fields.append(pa.field(f"{c}_cumcount", pa.int64()))
-    for c in trailing:
-        out_fields.append(pa.field(f"{c}_trail_sum", pa.float64()))
-        out_fields.append(pa.field(f"{c}_trail_mean", pa.float64()))
-        out_fields.append(pa.field(f"{c}_trail_std", pa.float64()))
-        out_fields.append(pa.field(f"{c}_trail_count", pa.int64()))
-    for c, k in (rolling or {}).items():
-        out_fields.append(pa.field(f"{c}_rollmean_{k}", pa.float64()))
-    for c, w in (rolling_time_us or {}).items():
-        out_fields.append(pa.field(f"{c}_rollmean_t{w}", pa.float64()))
-    if session_gap_us is not None:
-        out_fields.append(pa.field("session_id", pa.int64()))
-    out_schema = pa.schema(out_fields)
+    out_schema = window_out_schema(
+        schema,
+        value_cols=value_cols,
+        lags=lags,
+        leads=leads,
+        deltas=deltas,
+        fill_cols=fill_cols,
+        interp_cols=interp_cols,
+        cumulative=cumulative,
+        trailing=trailing,
+        rolling=rolling,
+        rolling_time_us=rolling_time_us,
+        session_gap_us=session_gap_us,
+    )
 
     def vector_block(block: pa.Table) -> pa.Table:
         """ALL entities of a co-located block in ONE vectorized pass (round

@@ -184,10 +184,10 @@ def run_flagship(cap: StatsCapture, sf_dir: str, scale: int) -> int:
     # dataset's lineage stops there — audit the feature pipeline's stats by
     # consuming it explicitly (expected: ZERO exchange operators end-to-end;
     # windows ride the entity partitioning, the PIT probe set is broadcast)
-    feats = feature_table(n_entities=n_entities, concurrency=(1, 16))
+    feats = feature_table(n_entities=n_entities, concurrency=None)
     consume(feats)
     cap.add_final(feats)
-    feats = feature_table(n_entities=n_entities, concurrency=(1, 16))
+    feats = feature_table(n_entities=n_entities, concurrency=None)
     joined = pit_join(feats, n_entities, n_queries=4 * n_entities)
     n = consume(joined)
     cap.add_final(joined)
