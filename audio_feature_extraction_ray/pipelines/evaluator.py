@@ -13,27 +13,81 @@ import json
 import os
 
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Std
-
 from ..stages.aggregates import exact_quantiles
 
 
-def feature_statistics(ds: ray.data.Dataset, cols: list[str]) -> dict:
-    """A1: per-feature min/max/mean/std over the corpus (one pass)."""
-    aggs = [Count(alias_name="n_rows")]
+def _det_moments(ds: ray.data.Dataset, cols: list[str]) -> dict:
+    """Per-column (count, sum, sumsq, min, max) via one distributed pass of
+    per-block partials, folded on the driver with SORTED summation — the
+    result is bit-identical no matter the block arrival order (Ray's native
+    ``ds.aggregate`` merges partials in streaming-completion order, which
+    made repeated report runs differ in the last ulp)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def partials(t: pa.Table) -> pa.Table:
+        out: dict[str, list] = {"n_rows": [t.num_rows]}
+        for c in cols:
+            x = t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            x = x[~np.isnan(x)]
+            out[f"{c}__n"] = [float(len(x))]
+            out[f"{c}__sum"] = [float(x.sum()) if len(x) else 0.0]
+            out[f"{c}__sumsq"] = [float((x * x).sum()) if len(x) else 0.0]
+            out[f"{c}__min"] = [float(x.min()) if len(x) else np.inf]
+            out[f"{c}__max"] = [float(x.max()) if len(x) else -np.inf]
+        return pa.table(out)
+
+    parts = list(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    if not parts:
+        return {"n_rows": 0, **{f"{c}_{s}": None for c in cols
+                                for s in ("n", "sum", "sumsq", "min", "max")}}
+    pt = pa.concat_tables(parts)
+
+    def ssum(name: str) -> float:
+        v = np.sort(pt.column(name).to_numpy(zero_copy_only=False))
+        return float(v.sum())
+
+    out: dict[str, float] = {"n_rows": int(ssum("n_rows"))}
     for c in cols:
-        aggs += [
-            Min(on=c, alias_name=f"{c}_min"),
-            Max(on=c, alias_name=f"{c}_max"),
-            Mean(on=c, alias_name=f"{c}_mean"),
-            Std(on=c, alias_name=f"{c}_std"),
-        ]
-    return ds.aggregate(*aggs)
+        out[f"{c}_n"] = ssum(f"{c}__n")
+        out[f"{c}_sum"] = ssum(f"{c}__sum")
+        out[f"{c}_sumsq"] = ssum(f"{c}__sumsq")
+        mn = float(pt.column(f"{c}__min").to_numpy(zero_copy_only=False).min())
+        mx = float(pt.column(f"{c}__max").to_numpy(zero_copy_only=False).max())
+        out[f"{c}_min"] = mn if np.isfinite(mn) else None
+        out[f"{c}_max"] = mx if np.isfinite(mx) else None
+    return out
+
+
+def feature_statistics(ds: ray.data.Dataset, cols: list[str]) -> dict:
+    """A1: per-feature min/max/mean/std over the corpus (one deterministic
+    pass; see :func:`_det_moments`). Std uses ddof=1 like Ray's ``Std``."""
+    import math
+
+    m = _det_moments(ds, cols)
+    rep: dict = {"n_rows": m["n_rows"]}
+    for c in cols:
+        n = m[f"{c}_n"] or 0.0
+        rep[f"{c}_min"] = m[f"{c}_min"]
+        rep[f"{c}_max"] = m[f"{c}_max"]
+        if n >= 1:
+            mean = m[f"{c}_sum"] / n
+            rep[f"{c}_mean"] = mean
+            var = max(0.0, (m[f"{c}_sumsq"] - n * mean * mean) / (n - 1)) if n > 1 else 0.0
+            rep[f"{c}_std"] = math.sqrt(var)
+        else:
+            rep[f"{c}_mean"] = None
+            rep[f"{c}_std"] = None
+    return rep
 
 
 def quality_rates(ds: ray.data.Dataset, flag_cols: list[str], score_col: str | None) -> dict:
     """A2: fraction-true per boolean flag + mean quality score (the
-    '%files passing each check' table, evaluator.py:57-99)."""
+    '%files passing each check' table, evaluator.py:57-99); deterministic
+    fold like :func:`feature_statistics`."""
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -46,12 +100,18 @@ def quality_rates(ds: ray.data.Dataset, flag_cols: list[str], score_col: str | N
             out[score_col] = t.column(score_col)
         return pa.table(out)
 
-    aggs = [Count(alias_name="n_rows")] + [
-        Mean(on=c, alias_name=f"{c}_rate") for c in flag_cols
-    ]
+    cols = list(flag_cols) + ([score_col] if score_col else [])
+    m = _det_moments(
+        ds.map_batches(to_float, batch_format="pyarrow", zero_copy_batch=True), cols
+    )
+    rep: dict = {"n_rows": m["n_rows"]}
+    for c in flag_cols:
+        n = m[f"{c}_n"] or 0.0
+        rep[f"{c}_rate"] = (m[f"{c}_sum"] / n) if n else None
     if score_col:
-        aggs.append(Mean(on=score_col, alias_name=f"{score_col}_mean"))
-    return ds.map_batches(to_float, batch_format="pyarrow", zero_copy_batch=True).aggregate(*aggs)
+        n = m[f"{score_col}_n"] or 0.0
+        rep[f"{score_col}_mean"] = (m[f"{score_col}_sum"] / n) if n else None
+    return rep
 
 
 def generate_evaluation_report(

@@ -329,6 +329,20 @@ def asof_join_broadcast(
         ).iter_batches(batch_format="pyarrow", batch_size=None)
     )
     matched_t = pa.concat_tables(_mbatches) if _mbatches else mid_schema.empty_table()
+    if matched_t.num_rows:
+        # an entity's build rows may span blocks (skew-chunked sources split a
+        # hot entity's timeline across tasks): every owning block then emits a
+        # candidate row per probe, so keep the BEST per probe — backward: the
+        # latest matched_ts; forward: the earliest; any match beats a null.
+        # The reduce is over the probe-sized result (bounded by the broadcast
+        # contract), never the build side.
+        pidx = matched_t.column("__pidx").to_numpy(zero_copy_only=False)
+        mts = _ts_i64_nullsafe(matched_t.column(matched_ts_col)).astype(np.float64)
+        nullm = pc.is_null(matched_t.column(matched_ts_col)).to_numpy(zero_copy_only=False)
+        rank = np.where(nullm, -np.inf, -mts if fwd else mts)
+        order = np.lexsort((rank, pidx))  # per probe: best candidate last
+        last_of_run = np.concatenate((pidx[order][1:] != pidx[order][:-1], [True]))
+        matched_t = matched_t.take(pa.array(order[last_of_run], pa.int64()))
     handled = matched_t.column("__pidx").to_numpy(zero_copy_only=False)
     miss_mask = np.ones(probes_t.num_rows, dtype=bool)
     miss_mask[handled] = False

@@ -93,7 +93,11 @@ def _warm_workers(num_cpus: int):
     import ray.data as rd
 
     def _warm(batch):
-        import audio_feature_extraction_ray  # noqa: F401  (worker-side import)
+        # import the modules the hot paths actually touch: a bare package
+        # import leaves ~0.9 s of submodule imports to be paid inside every
+        # worker's FIRST real task (measured as phantom straggler tasks)
+        import audio_feature_extraction_ray.pipelines.flagship  # noqa: F401
+        import audio_feature_extraction_ray.pipelines.queries  # noqa: F401
         import time as _t
 
         _t.sleep(0.2)  # hold the worker so the fan-out reaches every slot
