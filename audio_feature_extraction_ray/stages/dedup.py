@@ -31,7 +31,7 @@ from ..functions.textfx import (
     ngram_jaccard,
     simhash_batch,
 )
-from .util import coarse_partitioned
+from .util import coarse_partitioned, widen_blocks
 
 
 def dedup_exact(
@@ -260,7 +260,7 @@ def minhash_dedup_pairs(
                 }
             )
 
-        cand = banded.groupby("band").map_groups(candidates_prefix, batch_format="pyarrow")
+        cand = widen_blocks(banded).groupby("band").map_groups(candidates_prefix, batch_format="pyarrow")
         # same pair from multiple bands → one verify each; truncated = any band
         # (materialized: pair-bounded, and the verify joins' schema inference
         # would otherwise re-run the band shuffle)
@@ -388,7 +388,7 @@ def minhash_dedup_pairs(
             }
         )
 
-    pairs = banded.groupby("band").map_groups(candidates, batch_format="pyarrow")
+    pairs = widen_blocks(banded).groupby("band").map_groups(candidates, batch_format="pyarrow")
     # same pair can surface from multiple bands → dedup on (id_a, id_b)
     return dedup_exact(pairs, ["id_a", "id_b"], order_col="est_jaccard", keep="max")
 
@@ -548,7 +548,7 @@ def hamming_dedup_pairs(
             }
         )
 
-    pairs = banded.groupby("band").map_groups(candidates, batch_format="pyarrow")
+    pairs = widen_blocks(banded).groupby("band").map_groups(candidates, batch_format="pyarrow")
     return dedup_exact(pairs, ["id_a", "id_b"], order_col="hamming", keep="min")
 
 
@@ -761,7 +761,7 @@ def distributed_anti_join(
         hit = pc.is_in(lpart.column(key), value_set=rkeys)
         return lpart.filter(pc.invert(hit))
 
-    return lt.union(rt).groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
+    return widen_blocks(lt.union(rt)).groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def dedup_keep_representatives(
@@ -845,7 +845,7 @@ def embedding_dedup_pairs(
             }
         )
 
-    pairs = bucketed.groupby("bucket").map_groups(candidates, batch_format="pyarrow")
+    pairs = widen_blocks(bucketed).groupby("bucket").map_groups(candidates, batch_format="pyarrow")
     return dedup_exact(pairs, ["id_a", "id_b"], order_col="cosine", keep="max")
 
 
@@ -1012,8 +1012,8 @@ def consecutive_neardup_flags(
         return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
 
     cols = [key, ts, hash_col]
-    return ds.select_columns(cols).map_batches(
+    return widen_blocks(ds.select_columns(cols).map_batches(
         add_part, batch_format="pyarrow"
-    ).groupby("__part").map_groups(
+    )).groupby("__part").map_groups(
         lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
     )

