@@ -949,11 +949,12 @@ def q_training_batches_images(sf_dir: str):
     pixel exchange packing each deterministic (bucket << 32 | seq) batch id
     into a single stacked row. Emits per-batch metadata + content digests
     (pixel/token blob lengths), deterministic across runs and layouts."""
-    from ..sources.images import synth_images
+    from ..sources.images import synth_images_balanced, synth_images_meta
     from ..stages.batching import training_batches_ds
 
     n = max(12, int(600 * _sf_of(sf_dir)))
-    packed = training_batches_ds(synth_images(n), batch_size=8)
+    packed = training_batches_ds(synth_images_balanced(n), batch_size=8,
+                                 meta_ds=synth_images_meta(n))
 
     def digest(t: pa.Table) -> pa.Table:
         px = t.column("pixels").to_pylist()

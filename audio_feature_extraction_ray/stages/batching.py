@@ -21,6 +21,8 @@ import pyarrow as pa
 
 import ray.data
 
+from .util import widen_blocks
+
 DEFAULT_BUCKETS: tuple[float, ...] = (0.5, 2 / 3, 0.75, 1.0, 4 / 3, 1.5, 2.0)
 
 _PACK_SCHEMA = pa.schema([
@@ -201,96 +203,158 @@ def with_batch_ids(
     return ds.groupby(bucket_col).map_groups(per_bucket, batch_format="pyarrow")
 
 
+
+# per-worker-process decoder cache for the task-pool path (same
+# load-once-per-worker semantics as the actor pool without its
+# per-execution spin-up; see stages/features.py for the measured trade)
+_DECODE_WORKERS: dict = {}
+
+
+def _decode_task(batch, *, buckets, target_area):
+    key = (tuple(buckets), int(target_area))
+    f = _DECODE_WORKERS.get(key)
+    if f is None:
+        f = _DECODE_WORKERS[key] = _decode_resize_tokenize_cls(
+            _bucket_targets(list(buckets), target_area))()
+    return f(batch)
+
+
+def _decode_stage(ds, *, buckets, target_area, concurrency, batch_size=32):
+    """Decode+resize+tokenize: cached task pool by default; an explicit
+    ``concurrency`` keeps the actor-pool variant (heavyweight stage state)."""
+    if concurrency is None:
+        return ds.map_batches(
+            _decode_task, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size,
+            fn_kwargs={"buckets": tuple(buckets), "target_area": int(target_area)},
+        )
+    targets = _bucket_targets(list(buckets), target_area)
+    return ds.map_batches(
+        _decode_resize_tokenize_cls(targets), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+
+def _pack_by_id_fn(targets: list[tuple[int, int]]):
+    """Per-batch packer for ``groupby(batch_id).map_groups`` — each group is
+    exactly one pre-assigned batch."""
+
+    def pack_by_id(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PACK_SCHEMA.empty_table()
+        t = _sort_by_order_key(t)
+        bucket = int(t.column("aspect_bucket")[0].as_py())
+        bid = int(t.column("batch_id")[0].as_py())
+        return _pack_chunks(t, bucket, targets, [0], [bid])
+
+    return pack_by_id
+
+
 def training_batches_ds(
     ds: ray.data.Dataset,
     batch_size: int = 8,
     target_area: int = 256 * 256,
     buckets: tuple[float, ...] = DEFAULT_BUCKETS,
     start_after: int | None = None,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
     decode_batch_size: int = 32,
+    broadcast_ids_threshold: int = 2_000_000,
+    meta_ds: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """One packed row per deterministic training batch — the distributed
     half of :func:`iter_training_batches`.
 
-    Shape (ONE pixel exchange total): decode + bucket-canonical resize +
-    caption tokenization run IN PLACE over the source blocks (raw bytes
-    never shuffle — the flagship's fused-actor-pool rule), then a single
-    ``groupby(aspect_bucket)`` exchange orders each bucket by
-    ``(image_id, ts)``, chunks it into ``batch_size`` groups and packs
-    every batch into one row: stacked uint8 pixel blob + int32 caption
-    token-id blob + per-image offsets. Batch ids are
-    ``(bucket << 32) | seq`` — deterministic from metadata alone, so a
-    resumed job rebuilds identical batches (same contract as
-    :func:`with_batch_ids`; per-bucket task-size trade documented there).
+    Shape (metadata first, ONE pixel exchange, per-BATCH packing): batch ids
+    are assigned by a no-decode pass over (image_id, ts, w, h) scalars
+    (:func:`with_batch_ids` — ``(bucket << 32) | seq``), attached to the raw
+    rows via a broadcast lookup (``ray.put`` of the id table; above
+    ``broadcast_ids_threshold`` rows, one
+    :func:`~.joins.bucket_hash_join` exchange of scalars instead), decode +
+    bucket-canonical resize + caption tokenization run IN PLACE, then a
+    single ``groupby(batch_id)`` exchange packs every batch into one row:
+    stacked uint8 pixel blob + int32 caption token-id blob + per-image
+    offsets. Packing is keyed by batch_id — cardinality ≈ images/batch_size
+    — so no task ever holds more than one batch; the earlier
+    ``groupby(aspect_bucket)`` variant serialized each bucket's whole packing
+    into one task (measured: a 51.7 s straggler packing the dominant bucket
+    at 6.5k images while 43 tasks idled).
 
     ``start_after`` is the resume cursor (the last fully consumed
-    batch_id): because iteration order is ascending batch_id, the consumed
-    set is a per-bucket PREFIX, so the cursor compiles to one
-    ``(image_id, ts)`` boundary for the cursor's bucket — computed from a
-    metadata-only pass (no decode) and applied as a row filter BEFORE the
-    decode stage. Rows must be unique on ``(image_id, ts)`` (the batch
-    order key). Failed decodes stay deterministic: they occupy their
-    metadata-assigned batch slot and are reported in ``failed_ids``
-    rather than shifting later batches.
+    batch_id): ids are metadata-deterministic, so resume is a plain
+    ``batch_id > cursor`` filter BEFORE any byte is decoded, and a resumed
+    run's batches are bit-identical to a clean run's. Rows must be unique
+    on ``(image_id, ts)`` (the batch order key). Failed decodes stay
+    deterministic: they occupy their metadata-assigned batch slot and are
+    reported in ``failed_ids`` rather than shifting later batches.
 
     Reference lifecycle analog: the per-batch student-feature loop at
     04_feature_extraction_experiment/feature_extraction_for_student.py:152-197.
     """
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
     targets = _bucket_targets(buckets, target_area)
-    meta_ds = assign_aspect_buckets(ds)
-
-    # ---- resume cursor -> (bucket, boundary) prefix filter, pre-decode
-    cursor_bucket = -1
-    boundary: tuple[str, int] | None = None
-    seq_offset = 0
-    if start_after is not None:
-        cursor_bucket = int(start_after) >> 32
-        seq_offset = (int(start_after) & 0xFFFFFFFF) + 1
-        ids = with_batch_ids(
-            assign_aspect_buckets(
-                ds.select_columns(["image_id", "ts", "w", "h"]), buckets=buckets),
-            batch_size, bucket_col="aspect_bucket",
-        )
-        nxt = ids.filter(expr=f"batch_id == {int(start_after) + 1}").take_all()
-        if nxt:
-            first = min((r["image_id"], r["ts"]) for r in nxt)
-            boundary = (first[0], int(np.datetime64(first[1], "us").astype(np.int64)))
-        # no next batch in the cursor's bucket -> skip that bucket entirely
-
-        def keep(t: pa.Table) -> pa.Table:
-            bkt = t.column("aspect_bucket").to_numpy(zero_copy_only=False)
-            mask = bkt > cursor_bucket
-            if boundary is not None:
-                iid = np.asarray(t.column("image_id").to_pylist(), dtype=object)
-                tsv = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-                at = (iid > boundary[0]) | ((iid == boundary[0]) & (tsv >= boundary[1]))
-                mask = mask | ((bkt == cursor_bucket) & at)
-            return t.filter(pa.array(mask))
-
-        meta_ds = meta_ds.map_batches(keep, batch_format="pyarrow",
-                                      zero_copy_batch=True)
-
-    decoded = meta_ds.map_batches(
-        _decode_resize_tokenize_cls(targets), batch_format="pyarrow",
-        zero_copy_batch=True, batch_size=decode_batch_size,
-        concurrency=concurrency,
+    # metadata pass: pass ``meta_ds`` (a column-pruned read of the same
+    # table) so id assignment never touches pixel bytes; the default derives
+    # it from ``ds`` by projection, which over a generator source re-runs
+    # generation just to drop the bytes
+    meta_src = (meta_ds if meta_ds is not None
+                else ds.select_columns(["image_id", "ts", "w", "h"]))
+    ids = with_batch_ids(
+        assign_aspect_buckets(meta_src, buckets=buckets),
+        batch_size, bucket_col="aspect_bucket",
     )
+    if start_after is not None:
+        ids = ids.filter(expr=f"batch_id > {int(start_after)}")
 
-    def pack_bucket(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        if n == 0:
-            return _PACK_SCHEMA.empty_table()
-        t = _sort_by_order_key(t)
-        bucket = int(t.column("aspect_bucket")[0].as_py())
-        off = seq_offset if bucket == cursor_bucket else 0
-        starts = list(range(0, n, batch_size))
-        ids = [(np.int64(bucket) << np.int64(32)) | np.int64(off + i)
-               for i in range(len(starts))]
-        return _pack_chunks(t, bucket, targets, starts, ids)
+    def rk_of(t: pa.Table) -> pa.Array:
+        return pc.binary_join_element_wise(
+            t.column("image_id").cast(pa.string()),
+            pc.cast(t.column("ts").cast(pa.int64()), pa.string()), "@")
 
-    return decoded.groupby("aspect_bucket").map_groups(
-        pack_bucket, batch_format="pyarrow")
+    def id_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"__rk": rk_of(t), "batch_id": t.column("batch_id")})
+
+    ids_mat = ids.map_batches(id_rows, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    if ids_mat.count() <= broadcast_ids_threshold:
+        _parts = list(ids_mat.iter_batches(batch_format="pyarrow", batch_size=None))
+        idt = (pa.concat_tables(_parts).combine_chunks() if _parts
+               else pa.schema([pa.field("__rk", pa.string()),
+                               pa.field("batch_id", pa.int64())]).empty_table())
+        ref = _ray.put(idt)
+
+        def attach(t: pa.Table) -> pa.Table:
+            m: pa.Table = _ray.get(ref)
+            idx = pc.index_in(rk_of(t), value_set=m.column("__rk").combine_chunks())
+            t = t.append_column(
+                "batch_id", pc.take(m.column("batch_id").combine_chunks(), idx))
+            return t.filter(pc.is_valid(t.column("batch_id")))
+
+        tagged = ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        from .joins import bucket_hash_join
+
+        raw = ds.map_batches(lambda t: t.append_column("__rk", rk_of(t)),
+                             batch_format="pyarrow", zero_copy_batch=True)
+        tagged = bucket_hash_join(raw, ids_mat, on="__rk").drop_columns(["__rk"])
+
+    # exchange RAW rows by batch id, decode AFTER the shuffle, fused into the
+    # per-batch pack: encoded bytes are ~10x smaller than decoded canonical
+    # pixels, and the sort-shuffle cost is per byte (measured 428 core-s to
+    # move 6.2 GB of decoded pixels vs ~40 for the raw rows). Decoded pixels
+    # never cross the wire.
+    meta = assign_aspect_buckets(tagged)
+    pack = _pack_by_id_fn(targets)
+    bkts, area = tuple(buckets), int(target_area)
+
+    def decode_pack(group: pa.Table) -> pa.Table:
+        return pack(_decode_task(group, buckets=bkts, target_area=area))
+
+    return widen_blocks(meta).groupby("batch_id").map_groups(
+        decode_pack, batch_format="pyarrow")
 
 
 def _unpack_batch_row(row) -> dict:
@@ -336,7 +400,7 @@ def iter_training_batches(
     buckets: tuple[float, ...] = DEFAULT_BUCKETS,
     start_after: int | None = None,
     cursor_path: str | None = None,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
 ):
     """Consume :func:`training_batches_ds` as a training loop would: yields
     one dict per batch in ascending ``batch_id`` order —
@@ -380,7 +444,8 @@ def write_training_shards(
     n_shards: int = 32,
     target_area: int = 256 * 256,
     buckets: tuple[float, ...] = DEFAULT_BUCKETS,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
+    meta_ds: ray.data.Dataset | None = None,
 ):
     """Offline complement of :func:`iter_training_batches`: materialize the
     packed-batch table as ``n_shards`` hash-partitioned parquet shards with
@@ -409,11 +474,12 @@ def write_training_shards(
     if done:
         packed = _packed_for_uncommitted_shards(
             ds, done, batch_size=batch_size, n_shards=n_shards,
-            target_area=target_area, buckets=buckets, concurrency=concurrency)
+            target_area=target_area, buckets=buckets, concurrency=concurrency,
+            meta_ds=meta_ds)
     else:
         packed = training_batches_ds(
             ds, batch_size=batch_size, target_area=target_area,
-            buckets=buckets, concurrency=concurrency)
+            buckets=buckets, concurrency=concurrency, meta_ds=meta_ds)
     return write_partitioned_resumable(
         packed, out_dir, key="batch_id", n_partitions=n_shards,
         sort_keys=["batch_id"],
@@ -428,6 +494,7 @@ def _packed_for_uncommitted_shards(
     target_area: int,
     buckets: tuple[float, ...],
     concurrency: int | tuple[int, int],
+    meta_ds: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Packed batches restricted to shards NOT in ``done``: metadata-only
     batch-id assignment → committed-shard drop → one bucket-join of the
@@ -440,10 +507,10 @@ def _packed_for_uncommitted_shards(
     from .joins import bucket_hash_join
 
     targets = _bucket_targets(buckets, target_area)
-    ids = with_batch_ids(
-        assign_aspect_buckets(ds.select_columns(["image_id", "ts", "w", "h"]),
-                              buckets=buckets),
-        batch_size)
+    meta_src = (meta_ds if meta_ds is not None
+                else ds.select_columns(["image_id", "ts", "w", "h"]))
+    ids = with_batch_ids(assign_aspect_buckets(meta_src, buckets=buckets),
+                         batch_size)
     done_arr = np.asarray(sorted(done), dtype=np.int64)
 
     def rk_of(t: pa.Table) -> pa.Array:
@@ -465,20 +532,14 @@ def _packed_for_uncommitted_shards(
                          batch_format="pyarrow", zero_copy_batch=True)
     joined = bucket_hash_join(raw, surv, on="__rk")
     meta = assign_aspect_buckets(joined)
-    decoded = meta.map_batches(
-        _decode_resize_tokenize_cls(targets), batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=concurrency)
+    pack = _pack_by_id_fn(targets)
+    bkts, area = tuple(buckets), int(target_area)
 
-    def pack_by_id(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _PACK_SCHEMA.empty_table()
-        t = _sort_by_order_key(t)
-        bucket = int(t.column("aspect_bucket")[0].as_py())
-        bid = int(t.column("batch_id")[0].as_py())
-        return _pack_chunks(t, bucket, targets, [0], [bid])
+    def decode_pack(group: pa.Table) -> pa.Table:
+        return pack(_decode_task(group, buckets=bkts, target_area=area))
 
-    return decoded.groupby("batch_id").map_groups(pack_by_id,
-                                                  batch_format="pyarrow")
+    return widen_blocks(meta).groupby("batch_id").map_groups(
+        decode_pack, batch_format="pyarrow")
 
 
 def iter_shard_batches(out_dir: str, start_after: int | None = None):
@@ -498,7 +559,7 @@ def resize_to_bucket_stage(
     ds: ray.data.Dataset,
     target_area: int = 256 * 256,
     buckets: tuple[float, ...] = DEFAULT_BUCKETS,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 64,
     keep_pixels: bool = False,
 ) -> ray.data.Dataset:
@@ -515,6 +576,11 @@ def resize_to_bucket_stage(
     from ..functions import codecs
     from ..functions.imagefx import resize_area
 
+    if concurrency is None:
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        concurrency = (1, max(2, ncpu))
     b = np.asarray(sorted(buckets), dtype=np.float64)
     targets = []
     for r in b:
