@@ -219,21 +219,79 @@ def _decode_task(batch, *, buckets, target_area):
     return f(batch)
 
 
-def _decode_stage(ds, *, buckets, target_area, concurrency, batch_size=32):
-    """Decode+resize+tokenize: cached task pool by default; an explicit
-    ``concurrency`` keeps the actor-pool variant (heavyweight stage state)."""
-    if concurrency is None:
-        return ds.map_batches(
-            _decode_task, batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=batch_size,
-            fn_kwargs={"buckets": tuple(buckets), "target_area": int(target_area)},
-        )
-    targets = _bucket_targets(list(buckets), target_area)
-    return ds.map_batches(
-        _decode_resize_tokenize_cls(targets), batch_format="pyarrow",
-        zero_copy_batch=True, batch_size=batch_size, concurrency=concurrency,
-    )
+def _rk_of(t: pa.Table) -> pa.Array:
+    """The batch order key (image_id, ts) folded into one string column —
+    Acero-joinable and broadcast-lookupable without nested types."""
+    import pyarrow.compute as pc
 
+    return pc.binary_join_element_wise(
+        t.column("image_id").cast(pa.string()),
+        pc.cast(t.column("ts").cast(pa.int64()), pa.string()), "@")
+
+
+def _attach_ids(
+    ds: ray.data.Dataset,
+    id_rows_ds: ray.data.Dataset,
+    broadcast_threshold: int,
+) -> ray.data.Dataset:
+    """Attach metadata-assigned ``batch_id`` to raw image rows by row key.
+
+    ``id_rows_ds`` holds (``__rk``, ``batch_id``) scalars. Below
+    ``broadcast_threshold`` id rows the table is ``ray.put`` once and looked
+    up inside every map task — the raw bytes never enter an exchange; above
+    it, one :func:`~.joins.bucket_hash_join` of the raw rows against the id
+    scalars. Raw rows without an id (committed shards, rows before a resume
+    cursor) are dropped either way."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    ids_mat = id_rows_ds.materialize()
+    if ids_mat.count() <= broadcast_threshold:
+        parts = list(ids_mat.iter_batches(batch_format="pyarrow", batch_size=None))
+        idt = (pa.concat_tables(parts).combine_chunks() if parts
+               else pa.schema([pa.field("__rk", pa.string()),
+                               pa.field("batch_id", pa.int64())]).empty_table())
+        ref = _ray.put(idt)
+
+        def attach(t: pa.Table) -> pa.Table:
+            m: pa.Table = _ray.get(ref)
+            idx = pc.index_in(_rk_of(t), value_set=m.column("__rk").combine_chunks())
+            t = t.append_column(
+                "batch_id", pc.take(m.column("batch_id").combine_chunks(), idx))
+            return t.filter(pc.is_valid(t.column("batch_id")))
+
+        return ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+    from .joins import bucket_hash_join
+
+    raw = ds.map_batches(lambda t: t.append_column("__rk", _rk_of(t)),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    return bucket_hash_join(raw, ids_mat, on="__rk").drop_columns(["__rk"])
+
+
+def _decode_pack_by_id(
+    tagged: ray.data.Dataset,
+    targets: list[tuple[int, int]],
+    buckets: tuple[float, ...],
+    target_area: int,
+) -> ray.data.Dataset:
+    """Shared tail of the packed-batch pipelines: exchange RAW rows by
+    batch id, decode AFTER the shuffle, fused into the per-batch pack —
+    encoded bytes are ~10x smaller than decoded canonical pixels and the
+    sort-shuffle cost is per byte (measured 428 core-s to move 6.2 GB of
+    decoded pixels vs ~40 for the raw rows), so decoded pixels never cross
+    the wire. Group cardinality is images/batch_size; no task ever holds
+    more than one batch."""
+    meta = assign_aspect_buckets(tagged)
+    pack = _pack_by_id_fn(targets)
+    bkts, area = tuple(buckets), int(target_area)
+
+    def decode_pack(group: pa.Table) -> pa.Table:
+        return pack(_decode_task(group, buckets=bkts, target_area=area))
+
+    return widen_blocks(meta).groupby("batch_id").map_groups(
+        decode_pack, batch_format="pyarrow")
 
 
 def _pack_by_id_fn(targets: list[tuple[int, int]]):
@@ -288,13 +346,14 @@ def training_batches_ds(
     deterministic: they occupy their metadata-assigned batch slot and are
     reported in ``failed_ids`` rather than shifting later batches.
 
+    ``concurrency`` and ``decode_batch_size`` are accepted for backward
+    compatibility and ignored: decode now runs fused inside the per-batch
+    pack task, so there is no separate decode stage to size.
+
     Reference lifecycle analog: the per-batch student-feature loop at
     04_feature_extraction_experiment/feature_extraction_for_student.py:152-197.
     """
-    import pyarrow.compute as pc
-
-    import ray as _ray
-
+    del concurrency, decode_batch_size
     targets = _bucket_targets(buckets, target_area)
     # metadata pass: pass ``meta_ds`` (a column-pruned read of the same
     # table) so id assignment never touches pixel bytes; the default derives
@@ -309,52 +368,15 @@ def training_batches_ds(
     if start_after is not None:
         ids = ids.filter(expr=f"batch_id > {int(start_after)}")
 
-    def rk_of(t: pa.Table) -> pa.Array:
-        return pc.binary_join_element_wise(
-            t.column("image_id").cast(pa.string()),
-            pc.cast(t.column("ts").cast(pa.int64()), pa.string()), "@")
-
     def id_rows(t: pa.Table) -> pa.Table:
-        return pa.table({"__rk": rk_of(t), "batch_id": t.column("batch_id")})
+        return pa.table({"__rk": _rk_of(t), "batch_id": t.column("batch_id")})
 
-    ids_mat = ids.map_batches(id_rows, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
-    if ids_mat.count() <= broadcast_ids_threshold:
-        _parts = list(ids_mat.iter_batches(batch_format="pyarrow", batch_size=None))
-        idt = (pa.concat_tables(_parts).combine_chunks() if _parts
-               else pa.schema([pa.field("__rk", pa.string()),
-                               pa.field("batch_id", pa.int64())]).empty_table())
-        ref = _ray.put(idt)
-
-        def attach(t: pa.Table) -> pa.Table:
-            m: pa.Table = _ray.get(ref)
-            idx = pc.index_in(rk_of(t), value_set=m.column("__rk").combine_chunks())
-            t = t.append_column(
-                "batch_id", pc.take(m.column("batch_id").combine_chunks(), idx))
-            return t.filter(pc.is_valid(t.column("batch_id")))
-
-        tagged = ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
-    else:
-        from .joins import bucket_hash_join
-
-        raw = ds.map_batches(lambda t: t.append_column("__rk", rk_of(t)),
-                             batch_format="pyarrow", zero_copy_batch=True)
-        tagged = bucket_hash_join(raw, ids_mat, on="__rk").drop_columns(["__rk"])
-
-    # exchange RAW rows by batch id, decode AFTER the shuffle, fused into the
-    # per-batch pack: encoded bytes are ~10x smaller than decoded canonical
-    # pixels, and the sort-shuffle cost is per byte (measured 428 core-s to
-    # move 6.2 GB of decoded pixels vs ~40 for the raw rows). Decoded pixels
-    # never cross the wire.
-    meta = assign_aspect_buckets(tagged)
-    pack = _pack_by_id_fn(targets)
-    bkts, area = tuple(buckets), int(target_area)
-
-    def decode_pack(group: pa.Table) -> pa.Table:
-        return pack(_decode_task(group, buckets=bkts, target_area=area))
-
-    return widen_blocks(meta).groupby("batch_id").map_groups(
-        decode_pack, batch_format="pyarrow")
+    tagged = _attach_ids(
+        ds,
+        ids.map_batches(id_rows, batch_format="pyarrow", zero_copy_batch=True),
+        broadcast_ids_threshold,
+    )
+    return _decode_pack_by_id(tagged, targets, buckets, target_area)
 
 
 def _unpack_batch_row(row) -> dict:
@@ -459,10 +481,10 @@ def write_training_shards(
     manifest without touching the data, and a partial re-run recomputes
     ONLY images whose batch lands in an uncommitted shard — batch ids are
     metadata-deterministic, so a no-decode metadata pass assigns them,
-    drops rows of committed shards, and ONE
-    :func:`~.joins.bucket_hash_join` brings just the surviving rows' bytes
-    to their batch id before the decode stage. Resume cost is proportional
-    to the UNFINISHED work, never the corpus.
+    drops rows of committed shards, and the surviving ids are attached to
+    the raw rows by broadcast lookup (or one scalar bucket join above the
+    threshold) before any byte is decoded. Resume cost is proportional to
+    the UNFINISHED work, never the corpus.
     """
     from ..state.checkpoint import (completed_partitions, read_manifest,
                                     write_partitioned_resumable)
@@ -495,16 +517,17 @@ def _packed_for_uncommitted_shards(
     buckets: tuple[float, ...],
     concurrency: int | tuple[int, int],
     meta_ds: ray.data.Dataset | None = None,
+    broadcast_ids_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Packed batches restricted to shards NOT in ``done``: metadata-only
-    batch-id assignment → committed-shard drop → one bucket-join of the
-    survivors against the raw rows (only unfinished bytes move) → decode →
+    batch-id assignment → committed-shard drop → survivor ids attached to
+    the raw rows (broadcast lookup below the threshold — the usual case on
+    a mostly-complete resume, where the survivor set is small and raw bytes
+    should not enter an exchange; one bucket join above it) → decode →
     per-batch pack keyed by the PRE-ASSIGNED ids (no renumbering, so the
     shard layout matches a clean run exactly)."""
-    import pyarrow.compute as pc
-
+    del concurrency
     from ..state.checkpoint import partition_of
-    from .joins import bucket_hash_join
 
     targets = _bucket_targets(buckets, target_area)
     meta_src = (meta_ds if meta_ds is not None
@@ -513,33 +536,18 @@ def _packed_for_uncommitted_shards(
                          batch_size)
     done_arr = np.asarray(sorted(done), dtype=np.int64)
 
-    def rk_of(t: pa.Table) -> pa.Array:
-        return pc.binary_join_element_wise(
-            t.column("image_id").cast(pa.string()),
-            pc.cast(t.column("ts").cast(pa.int64()), pa.string()), "@")
-
     def drop_done(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"__rk": pa.array([], pa.string()),
                              "batch_id": pa.array([], pa.int64())})
         sh = partition_of(t.column("batch_id"), n_shards)
         t = t.filter(pa.array(~np.isin(sh, done_arr)))
-        return pa.table({"__rk": rk_of(t), "batch_id": t.column("batch_id")})
+        return pa.table({"__rk": _rk_of(t), "batch_id": t.column("batch_id")})
 
     surv = ids.map_batches(drop_done, batch_format="pyarrow",
                            zero_copy_batch=True)
-    raw = ds.map_batches(lambda t: t.append_column("__rk", rk_of(t)),
-                         batch_format="pyarrow", zero_copy_batch=True)
-    joined = bucket_hash_join(raw, surv, on="__rk")
-    meta = assign_aspect_buckets(joined)
-    pack = _pack_by_id_fn(targets)
-    bkts, area = tuple(buckets), int(target_area)
-
-    def decode_pack(group: pa.Table) -> pa.Table:
-        return pack(_decode_task(group, buckets=bkts, target_area=area))
-
-    return widen_blocks(meta).groupby("batch_id").map_groups(
-        decode_pack, batch_format="pyarrow")
+    tagged = _attach_ids(ds, surv, broadcast_ids_threshold)
+    return _decode_pack_by_id(tagged, targets, buckets, target_area)
 
 
 def iter_shard_batches(out_dir: str, start_after: int | None = None):

@@ -371,6 +371,24 @@ def run_dedup_keep(cap: StatsCapture, sf_dir: str, scale: int) -> int:
 run_dedup_keep.scales = (1,)
 
 
+def run_training_batches(cap: StatsCapture, sf_dir: str, scale: int) -> int:
+    """Packed-training-batch pipeline: the audit claim is that the ONE data
+    exchange moves ENCODED image bytes (not decoded canonical pixels, ~10x
+    larger) plus a scalar id exchange from the metadata pass."""
+    from audio_feature_extraction_ray.sources.images import (
+        synth_images_balanced, synth_images_meta)
+    from audio_feature_extraction_ray.stages.batching import training_batches_ds
+
+    sf = float(re.search(r"sf([0-9.]+)", sf_dir).group(1)) if "sf" in sf_dir else 0.1
+    n_entities = scale * max(12, int(600 * sf))
+    packed = training_batches_ds(
+        synth_images_balanced(n_entities), batch_size=8,
+        meta_ds=synth_images_meta(n_entities))
+    n = consume(packed)
+    cap.add_final(packed)
+    return n
+
+
 PIPELINES = {
     "flagship_images_pit": run_flagship,
     "rolling_time_mean_bucketed": run_rolling_bucketed,
@@ -381,6 +399,7 @@ PIPELINES = {
     "asof_events_bucketed": run_asof_bucketed,
     "top10_order_revenue": run_top10,
     "dedup_keep_documents": run_dedup_keep,
+    "training_batches_images": run_training_batches,
 }
 
 
