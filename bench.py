@@ -178,14 +178,16 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
 
     n_images = count_events(n_entities)
 
+    # recycle the Ray session every N pipelines (0 = never, the default):
+    # one observed window showed repeated executions in one session creeping
+    # 2-3x per query (NOTES #9); later probes could NOT reproduce it on a
+    # calm box (flat times over 21 consecutive pipelines incl. a 6x loop of
+    # one query), and the no-recycle suite measures 2x faster end-to-end
+    # (29-30 s vs 53-61 s: each recycle pays ~3.5 s of session + re-warm).
+    # Set BENCH_RECYCLE=10 to restore the hedge under ambient contention.
+    recycle_every = int(os.environ.get("BENCH_RECYCLE", "0"))
     for i, name in enumerate(HEADLINE):
-        if i and i % 10 == 0:
-            # recycle the Ray session every few pipelines: repeated dataset
-            # executions in one session accumulate driver-side state that
-            # shows as a gradual 2-3x per-query slowdown plus occasional
-            # multi-second stalls (NOTES #9; reproduced with a 10x loop of a
-            # single unchanged query). A fresh session restores per-query
-            # times to their fresh-process values for ~3.5 s per recycle.
+        if recycle_every and i and i % recycle_every == 0:
             ray.shutdown()
             ray = _init_ray(num_cpus)
         impl, _sql = QUERIES[name]
