@@ -168,3 +168,23 @@ def test_shard_resume_is_source_pruned_and_exact(tmp_path):
     man = write_training_shards(synth_images(16, seed=5), out, batch_size=4,
                                 n_shards=4, concurrency=(1, 2))
     assert man.num_rows == 4
+
+
+def test_attach_ids_join_route_matches_broadcast():
+    """The >threshold bucket-join id-attach route must produce batches
+    identical to the default broadcast-lookup route (same pin style as
+    minhash verify's two text-fetch routes)."""
+    from audio_feature_extraction_ray.stages.batching import training_batches_ds
+
+    def packed(threshold):
+        ds = training_batches_ds(synth_images(16, seed=5), batch_size=4,
+                                 broadcast_ids_threshold=threshold)
+        return sorted(ds.take_all(), key=lambda r: r["batch_id"])
+
+    via_broadcast = packed(2_000_000)
+    via_join = packed(0)  # force the bucket_hash_join route
+    assert [r["batch_id"] for r in via_join] == [r["batch_id"] for r in via_broadcast]
+    for a, b in zip(via_join, via_broadcast):
+        assert a["pixels"] == b["pixels"]
+        assert a["token_ids"] == b["token_ids"]
+        assert a["image_ids"] == b["image_ids"]
