@@ -188,3 +188,20 @@ def test_attach_ids_join_route_matches_broadcast():
         assert a["pixels"] == b["pixels"]
         assert a["token_ids"] == b["token_ids"]
         assert a["image_ids"] == b["image_ids"]
+
+
+def test_packed_batches_invariant_to_input_block_layout():
+    """Batch ids and packed bytes must not depend on how the input rows are
+    split into blocks (a resumed/repartitioned read sees different layouts)."""
+    from audio_feature_extraction_ray.stages.batching import training_batches_ds
+
+    base = synth_images(16, seed=5)
+    a = sorted(training_batches_ds(base, batch_size=4).take_all(),
+               key=lambda r: r["batch_id"])
+    relaid = synth_images(16, seed=5).repartition(7)
+    b = sorted(training_batches_ds(relaid, batch_size=4).take_all(),
+               key=lambda r: r["batch_id"])
+    assert [r["batch_id"] for r in a] == [r["batch_id"] for r in b]
+    for x, y in zip(a, b):
+        assert x["pixels"] == y["pixels"]
+        assert x["token_ids"] == y["token_ids"]
