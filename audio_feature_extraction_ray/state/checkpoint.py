@@ -152,11 +152,12 @@ class _PartitionWriter:
     manifest row. ``fail_partitions`` injects crashes for resume testing."""
 
     def __init__(self, out_dir: str, sort_keys: list[str], fail_partitions=(),
-                 file_format: str = "parquet"):
+                 file_format: str = "parquet", group_transform=None):
         self.out_dir = out_dir
         self.sort_keys = sort_keys
         self.fail_partitions = set(fail_partitions)
         self.file_format = file_format
+        self.group_transform = group_transform
         os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -171,6 +172,10 @@ class _PartitionWriter:
         if pid in self.fail_partitions:
             raise RuntimeError(f"injected failure for partition {pid}")
         data = group.drop_columns(["__part"])
+        if self.group_transform is not None:
+            # runs AFTER the commit-marker skip, so resumed partitions never
+            # pay the transform; the manifest hash covers transformed rows
+            data = self.group_transform(data)
         # canonical row order INSIDE the file: upstream arrival order is
         # scheduling-dependent; byte-identical resume/rerun requires the
         # file bytes to be a pure function of the row multiset
@@ -204,6 +209,7 @@ def write_partitioned_resumable(
     sort_keys: list[str] | None = None,
     fail_partitions: tuple[int, ...] = (),
     file_format: str = "parquet",
+    group_transform=None,
 ) -> pa.Table:
     """Write ``ds`` as ``n_partitions`` hash-partitioned parquet files with a
     lineage manifest; re-running after a failure skips committed partitions.
@@ -211,6 +217,14 @@ def write_partitioned_resumable(
     Returns the manifest table (one row per partition). The shuffle key is
     ``key`` (entities never split across partitions → per-entity window state
     stays local on downstream reads).
+
+    ``group_transform`` (optional, deterministic ``pa.Table -> pa.Table``)
+    runs inside each partition's write task, after the commit-marker skip
+    and before the canonical sort — FUSING an expensive per-partition
+    transform (e.g. decode + pack) into the write so its OUTPUT never enters
+    a second exchange; only the pre-transform rows cross the wire. The
+    partition key must be a column of the PRE-transform rows that the
+    transform preserves per row-group.
     """
     sort_keys = sort_keys or [key]
     os.makedirs(out_dir, exist_ok=True)
@@ -220,7 +234,8 @@ def write_partitioned_resumable(
         return t.append_column("__part", pa.array(_partition_of(t.column(key), n_partitions)))
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-    writer = _PartitionWriter(out_dir, sort_keys, fail_partitions, file_format)
+    writer = _PartitionWriter(out_dir, sort_keys, fail_partitions, file_format,
+                              group_transform=group_transform)
 
     def write_group(group: pa.Table) -> pa.Table:
         return writer(group)

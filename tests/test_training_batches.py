@@ -121,13 +121,13 @@ def test_training_shards_roundtrip_and_skip_on_rerun(tmp_path):
 
 
 def test_shard_resume_is_source_pruned_and_exact(tmp_path):
-    """Partial resume recomputes ONLY uncommitted shards' batches (pruned
-    before decode) and reproduces the clean run byte-identically."""
+    """Partial resume ships and decodes ONLY uncommitted shards' rows
+    (pruned before decode) and reproduces the clean run byte-identically."""
     import os
 
     from audio_feature_extraction_ray.stages.batching import (
-        _packed_for_uncommitted_shards, iter_shard_batches,
-        training_batches_ds, write_training_shards)
+        _attach_ids, _rk_of, assign_aspect_buckets, iter_shard_batches,
+        with_batch_ids, write_training_shards)
     from audio_feature_extraction_ray.state.checkpoint import partition_of
     import pyarrow as pa
 
@@ -136,23 +136,28 @@ def test_shard_resume_is_source_pruned_and_exact(tmp_path):
                           n_shards=4, concurrency=(1, 2))
     clean = list(iter_shard_batches(out))
 
-    # the pruned pipeline emits exactly the uncommitted shards' batches
+    # the pruned tagged stream (what resume ships to the writer) carries
+    # exactly the uncommitted shards' rows — no committed bytes move
     done = {0, 2}
-    packed = _packed_for_uncommitted_shards(
-        synth_images(16, seed=5), done, batch_size=4, n_shards=4,
-        target_area=256 * 256, buckets=(0.5, 2 / 3, 0.75, 1.0, 4 / 3, 1.5, 2.0),
-        concurrency=(1, 2)).take_all()
-    got_ids = sorted(r["batch_id"] for r in packed)
-    want = sorted(
-        b["batch_id"] for b in clean
-        if partition_of(pa.chunked_array([pa.array([b["batch_id"]], pa.int64())]),
-                        4)[0] not in done)
-    assert got_ids == want and len(want) > 0
-    by_id = {b["batch_id"]: b for b in clean}
-    for r in packed:
-        c = by_id[r["batch_id"]]
-        assert r["pixels"] == (c["pixels"] * 255).astype("uint8").tobytes()
-        assert list(r["image_ids"]) == c["image_ids"]
+    src = synth_images(16, seed=5)
+    ids = with_batch_ids(
+        assign_aspect_buckets(src.select_columns(["image_id", "ts", "w", "h"])), 4)
+
+    def drop_done(t):
+        import numpy as _np
+        sh = partition_of(t.column("batch_id"), 4)
+        t = t.filter(pa.array(~_np.isin(sh, sorted(done))))
+        return pa.table({"__rk": _rk_of(t), "batch_id": t.column("batch_id")})
+
+    surv = ids.map_batches(drop_done, batch_format="pyarrow", zero_copy_batch=True)
+    tagged = _attach_ids(synth_images(16, seed=5), surv, 2_000_000).take_all()
+    got_shards = {int(partition_of(pa.chunked_array(
+        [pa.array([r["batch_id"]], pa.int64())]), 4)[0]) for r in tagged}
+    assert got_shards and got_shards.isdisjoint(done)
+    want_ids = {b["batch_id"] for b in clean
+                if partition_of(pa.chunked_array(
+                    [pa.array([b["batch_id"]], pa.int64())]), 4)[0] not in done}
+    assert {r["batch_id"] for r in tagged} == want_ids
 
     # end-to-end: delete two commit markers, re-run, read back identical
     for p in done:
