@@ -216,7 +216,8 @@ def run_scaling(sf_dir: str) -> dict:
     sf = _sf_of(sf_dir)
     n = max(60, int(6000 * sf))
     out = {}
-    for label, cpus, ents in (("low", 8, n), ("high", 32, n), ("high_4x", 32, 4 * n)):
+    for label, cpus, ents in (("low", 8, n), ("high", 32, n),
+                              ("low_4x", 8, 4 * n), ("high_4x", 32, 4 * n)):
         cmd = [sys.executable, __file__, "--flagship-only", "--cpus", str(cpus),
                "--entities", str(ents)]
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
@@ -224,6 +225,10 @@ def run_scaling(sf_dir: str) -> dict:
         out[label] = json.loads(line)
     tp_low, tp_high = out["low"]["images_per_sec"], out["high"]["images_per_sec"]
     strong_eff = (tp_high / tp_low) / (32 / 8)
+    # strong scaling at 4x input: the fairer pair — at 1x the 32-CPU run is
+    # ~1 s, so fixed per-stage dispatch dominates and understates efficiency
+    strong_eff_4x = (out["high_4x"]["images_per_sec"]
+                     / out["low_4x"]["images_per_sec"]) / (32 / 8)
     weak_eff = out["low"]["seconds"] / out["high_4x"]["seconds"]
     return {
         "metric": "flagship images/sec at num_cpus=8 vs 32 (fresh processes, same input) + 4x-input weak scaling",
@@ -232,8 +237,10 @@ def run_scaling(sf_dir: str) -> dict:
         "sf": sf,
         "low": out["low"],
         "high": out["high"],
+        "low_4x_input": out["low_4x"],
         "high_4x_input": out["high_4x"],
         "strong_scaling_efficiency": round(strong_eff, 3),
+        "strong_scaling_efficiency_4x": round(strong_eff_4x, 3),
         "weak_scaling_efficiency": round(weak_eff, 3),
     }
 
