@@ -231,22 +231,30 @@ def _rk_of(t: pa.Table) -> pa.Array:
 
 def _attach_ids(
     ds: ray.data.Dataset,
-    id_rows_ds: ray.data.Dataset,
+    ids: ray.data.Dataset,
     broadcast_threshold: int,
 ) -> ray.data.Dataset:
     """Attach metadata-assigned ``batch_id`` to raw image rows by row key.
 
-    ``id_rows_ds`` holds (``__rk``, ``batch_id``) scalars. Below
-    ``broadcast_threshold`` id rows the table is ``ray.put`` once and looked
-    up inside every map task — the raw bytes never enter an exchange; above
-    it, one :func:`~.joins.bucket_hash_join` of the raw rows against the id
-    scalars. Raw rows without an id (committed shards, rows before a resume
-    cursor) are dropped either way."""
+    ``ids`` carries (``image_id``, ``ts``, ``batch_id``); the projection to
+    (``__rk``, ``batch_id``) scalars happens here — the row-key scheme lives
+    in ONE place. Below ``broadcast_threshold`` id rows the id table is
+    ``ray.put`` once and looked up inside every map task — the raw bytes
+    never enter an exchange; above it, one :func:`~.joins.bucket_hash_join`
+    co-locates the raw rows with the id scalars (that route DOES move the
+    raw bytes through the join's bucket exchange — count it when tuning the
+    threshold). Raw rows without an id (committed shards, rows before a
+    resume cursor) are dropped either way. The metadata pass executes HERE,
+    at pipeline-construction time (the id table must exist to broadcast)."""
     import pyarrow.compute as pc
 
     import ray as _ray
 
-    ids_mat = id_rows_ds.materialize()
+    def id_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"__rk": _rk_of(t), "batch_id": t.column("batch_id")})
+
+    ids_mat = ids.map_batches(id_rows, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
     if ids_mat.count() <= broadcast_threshold:
         parts = list(ids_mat.iter_batches(batch_format="pyarrow", batch_size=None))
         idt = (pa.concat_tables(parts).combine_chunks() if parts
@@ -283,7 +291,7 @@ def _decode_pack_by_id(
     decoded pixels vs ~40 for the raw rows), so decoded pixels never cross
     the wire. Group cardinality is images/batch_size; no task ever holds
     more than one batch."""
-    meta = assign_aspect_buckets(tagged)
+    meta = assign_aspect_buckets(tagged, buckets=buckets)
     pack = _pack_by_id_fn(targets)
     bkts, area = tuple(buckets), int(target_area)
 
@@ -323,12 +331,13 @@ def training_batches_ds(
     """One packed row per deterministic training batch — the distributed
     half of :func:`iter_training_batches`.
 
-    Shape (metadata first, ONE pixel exchange, per-BATCH packing): batch ids
-    are assigned by a no-decode pass over (image_id, ts, w, h) scalars
+    Shape (metadata first, ONE raw-byte exchange, per-BATCH packing): batch
+    ids are assigned by a no-decode pass over (image_id, ts, w, h) scalars
     (:func:`with_batch_ids` — ``(bucket << 32) | seq``), attached to the raw
     rows via a broadcast lookup (``ray.put`` of the id table; above
-    ``broadcast_ids_threshold`` rows, one
-    :func:`~.joins.bucket_hash_join` exchange of scalars instead), decode +
+    ``broadcast_ids_threshold`` rows a :func:`~.joins.bucket_hash_join`
+    instead — NOTE that route moves the raw bytes through the join's bucket
+    exchange too, i.e. two raw-byte exchanges total), decode +
     bucket-canonical resize + caption tokenization run IN PLACE, then a
     single ``groupby(batch_id)`` exchange packs every batch into one row:
     stacked uint8 pixel blob + int32 caption token-id blob + per-image
@@ -368,14 +377,7 @@ def training_batches_ds(
     if start_after is not None:
         ids = ids.filter(expr=f"batch_id > {int(start_after)}")
 
-    def id_rows(t: pa.Table) -> pa.Table:
-        return pa.table({"__rk": _rk_of(t), "batch_id": t.column("batch_id")})
-
-    tagged = _attach_ids(
-        ds,
-        ids.map_batches(id_rows, batch_format="pyarrow", zero_copy_batch=True),
-        broadcast_ids_threshold,
-    )
+    tagged = _attach_ids(ds, ids, broadcast_ids_threshold)
     return _decode_pack_by_id(tagged, targets, buckets, target_area)
 
 
@@ -423,6 +425,7 @@ def iter_training_batches(
     start_after: int | None = None,
     cursor_path: str | None = None,
     concurrency: int | tuple[int, int] | None = None,
+    meta_ds: ray.data.Dataset | None = None,
 ):
     """Consume :func:`training_batches_ds` as a training loop would: yields
     one dict per batch in ascending ``batch_id`` order —
@@ -445,12 +448,17 @@ def iter_training_batches(
     ``break``) between receiving a batch and requesting the next replays
     that one batch byte-identically on resume — deterministic ids make the
     replay idempotent for any sink keyed on ``batch_id``. An explicit
-    ``start_after`` overrides the cursor file."""
+    ``start_after`` overrides the cursor file.
+
+    Pass ``meta_ds`` (a column-pruned (image_id, ts, w, h) read of the SAME
+    table) so the batch-id metadata pass never executes the full source a
+    second time; the default derives it by projecting ``ds``, which a
+    columnar read prunes but a generator source re-runs."""
     if start_after is None and cursor_path is not None:
         start_after = _read_cursor(cursor_path)
     packed = training_batches_ds(
         ds, batch_size=batch_size, target_area=target_area, buckets=buckets,
-        start_after=start_after, concurrency=concurrency,
+        start_after=start_after, concurrency=concurrency, meta_ds=meta_ds,
     )
     for row in packed.sort("batch_id").iter_rows():
         out = _unpack_batch_row(row)
@@ -513,9 +521,10 @@ def write_training_shards(
     accepted for backward compatibility and ignored (decode runs fused in
     the shard write tasks).
 
-    Shape (ONE exchange total): batch ids come from the no-decode metadata
-    pass, committed shards' ids are dropped, survivors attach to the raw
-    rows (broadcast lookup / scalar bucket join), and the writer's shard
+    Shape (ONE raw-byte exchange on the broadcast id-attach route; the
+    >threshold bucket-join route adds a second): batch ids come from the
+    no-decode metadata pass, committed shards' ids are dropped, survivors
+    attach to the raw rows, and the writer's shard
     exchange moves those RAW encoded rows once — decode + per-batch pack
     run INSIDE each shard's write task (``group_transform``), so the packed
     table (decoded pixels, ~10x the encoded bytes; measured 6.2 GB vs
@@ -551,14 +560,9 @@ def write_training_shards(
         ids = ids.map_batches(drop_done, batch_format="pyarrow",
                               zero_copy_batch=True)
 
-    def id_rows(t: pa.Table) -> pa.Table:
-        return pa.table({"__rk": _rk_of(t), "batch_id": t.column("batch_id")})
-
-    tagged = _attach_ids(
-        ds, ids.map_batches(id_rows, batch_format="pyarrow", zero_copy_batch=True),
-        broadcast_ids_threshold)
+    tagged = _attach_ids(ds, ids, broadcast_ids_threshold)
     return write_partitioned_resumable(
-        assign_aspect_buckets(tagged), out_dir, key="batch_id",
+        assign_aspect_buckets(tagged, buckets=buckets), out_dir, key="batch_id",
         n_partitions=n_shards, sort_keys=["batch_id"],
         group_transform=_pack_shard_fn(targets, buckets, target_area))
 

@@ -126,7 +126,7 @@ def test_shard_resume_is_source_pruned_and_exact(tmp_path):
     import os
 
     from audio_feature_extraction_ray.stages.batching import (
-        _attach_ids, _rk_of, assign_aspect_buckets, iter_shard_batches,
+        _attach_ids, assign_aspect_buckets, iter_shard_batches,
         with_batch_ids, write_training_shards)
     from audio_feature_extraction_ray.state.checkpoint import partition_of
     import pyarrow as pa
@@ -146,8 +146,7 @@ def test_shard_resume_is_source_pruned_and_exact(tmp_path):
     def drop_done(t):
         import numpy as _np
         sh = partition_of(t.column("batch_id"), 4)
-        t = t.filter(pa.array(~_np.isin(sh, sorted(done))))
-        return pa.table({"__rk": _rk_of(t), "batch_id": t.column("batch_id")})
+        return t.filter(pa.array(~_np.isin(sh, sorted(done))))
 
     surv = ids.map_batches(drop_done, batch_format="pyarrow", zero_copy_batch=True)
     tagged = _attach_ids(synth_images(16, seed=5), surv, 2_000_000).take_all()
@@ -210,3 +209,34 @@ def test_packed_batches_invariant_to_input_block_layout():
     for x, y in zip(a, b):
         assert x["pixels"] == y["pixels"]
         assert x["token_ids"] == y["token_ids"]
+
+
+def test_custom_buckets_consistent_end_to_end(tmp_path):
+    """A custom ``buckets`` tuple must flow to BOTH the metadata bucket
+    assignment and the decode-side re-assignment (regression: the decode
+    side once used DEFAULT_BUCKETS, indexing a 2-element targets list with
+    bucket ids up to 6)."""
+    from audio_feature_extraction_ray.stages.batching import (
+        iter_shard_batches, training_batches_ds, write_training_shards)
+
+    custom = (1.0, 2.0)
+    rows = sorted(
+        training_batches_ds(synth_images(12, seed=7), batch_size=4,
+                            buckets=custom).take_all(),
+        key=lambda r: r["batch_id"])
+    assert rows
+    for r in rows:
+        assert 0 <= r["aspect_bucket"] < len(custom)
+        assert len(r["pixels"]) == r["n_ok"] * r["th"] * r["tw"] * 3
+
+    out = str(tmp_path / "shards")
+    write_training_shards(synth_images(12, seed=7), out, batch_size=4,
+                          n_shards=2, buckets=custom)
+    replay = list(iter_shard_batches(out))
+    assert [b["batch_id"] for b in replay] == [r["batch_id"] for r in rows]
+    by_id = {r["batch_id"]: r for r in rows}
+    for b in replay:
+        exp = (np.frombuffer(by_id[b["batch_id"]]["pixels"], dtype=np.uint8)
+               .astype(np.float32) / np.float32(255.0))
+        assert b["pixels"].ravel().tobytes() == exp.tobytes()
+        assert list(b["image_ids"]) == list(by_id[b["batch_id"]]["image_ids"])
