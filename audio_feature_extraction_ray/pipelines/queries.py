@@ -2488,6 +2488,30 @@ SELECT token, COUNT(*) AS n FROM toks GROUP BY token ORDER BY n DESC, token LIMI
 """
 
 
+def q_vocab_documents(sf_dir: str):
+    """Dense-id vocabulary build (token, n, token_id by count-desc rank) —
+    the tokenizer/embedding-table prerequisite. Counts combine map-side;
+    only the distinct-token table sorts; global row numbers via one tiny
+    per-block offset pass (one dict entry per block on the driver)."""
+    from ..stages.text import build_vocab
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return build_vocab(docs, "text", min_count=3)
+
+
+SQL_VOCAB_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT UNNEST(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+')) AS token
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
+),
+counts AS (
+  SELECT token, COUNT(*) AS n FROM toks GROUP BY token HAVING COUNT(*) >= 3
+)
+SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS token_id
+FROM counts
+"""
+
+
 
 
 def q_align_image_pairs(sf_dir: str):
@@ -3389,6 +3413,28 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_rolling_corr_events(sf_dir: str):
+    """Trailing 8-row Pearson correlation of value vs time per user — the
+    local trend-strength feature (corr→±1 when the recent trajectory is
+    monotone-linear, →0 when it is noise). Same one-shuffle (rows,k)
+    masked-matrix shape as the rolling median family."""
+    from ..stages.window import rolling_corr
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = rolling_corr(ds, "user_id", "ts", x="ts", y="value", k=8, out="trend_corr_8")
+    out = out.select_columns(["event_id", "user_id", "trend_corr_8"])
+    return _round_cols(out, ["trend_corr_8"], digits=6)
+
+
+SQL_ROLLING_CORR_EVENTS = """
+SELECT event_id, user_id,
+       ROUND(corr(value, CAST(epoch_us(ts) AS DOUBLE)) OVER w, 6) AS trend_corr_8
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
 """
 
 
@@ -4298,6 +4344,8 @@ QUERIES = {
     "label_centroids_embeddings": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "resample_events": (q_resample_events, SQL_RESAMPLE_EVENTS),
     "rolling_median_events": (q_rolling_median_events, SQL_ROLLING_MEDIAN_EVENTS),
+    "rolling_corr_events": (q_rolling_corr_events, SQL_ROLLING_CORR_EVENTS),
+    "vocab_documents": (q_vocab_documents, SQL_VOCAB_DOCUMENTS),
     "pmi_documents": (q_pmi_documents, SQL_PMI_DOCUMENTS),
     "group_share_events": (q_group_share_events, SQL_GROUP_SHARE_EVENTS),
     "winsorize_events": (q_winsorize_events, SQL_WINSORIZE_EVENTS),

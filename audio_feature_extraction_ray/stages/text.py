@@ -641,3 +641,86 @@ def pmi_collocations(
 
     scored = pairs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     return topk(scored, ["pmi", "gram"], k=k, descending=[True, False])
+
+
+def build_vocab(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_size: int | None = None,
+) -> ray.data.Dataset:
+    """Corpus vocabulary construction: whitespace tokens → global counts →
+    contiguous ``token_id`` assignment by ``(count DESC, token ASC)`` —
+    the id table a tokenizer-training / embedding-table step consumes.
+    Output columns: (token, n, token_id), token_id zero-based and dense.
+
+    Scale shape: token counts stream through the map-side combiner (raw
+    tokens never shuffle); the sort ranks the VOCABULARY (≪ corpus — the
+    distinct-token table), and the global row numbers come from one
+    per-block offset pass: each sorted block reports (first_n, first_token,
+    rows) — one tiny row per block — the driver prefix-sums the block
+    offsets in key order, and a second per-block pass adds
+    ``offset + arange(rows)``. Range-partitioned sort blocks are disjoint
+    in the total order, so block-first keys identify each block's rank
+    span exactly; the driver holds one dict entry per BLOCK, never per
+    token. SQL equivalent: ``ROW_NUMBER() OVER (ORDER BY n DESC, token)``.
+    """
+    import numpy as np
+    import ray as _ray
+    import pyarrow.compute as pc
+
+    from .aggregates import grouped_agg_fast
+
+    def to_tokens(t: pa.Table) -> pa.Table:
+        flat, _, _ = _flat_tokens(t.column(text_col))
+        flat = flat.filter(pc.not_equal(pc.utf8_length(flat), 0))
+        return pa.table({"token": flat})
+
+    counts = grouped_agg_fast(
+        ds.select_columns([text_col]).map_batches(
+            to_tokens, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["token"],
+        specs=[],
+        count_alias="n",
+    )
+    if min_count > 1:
+        counts = counts.filter(expr=f"n >= {min_count}")
+    srt = counts.sort(["n", "token"], descending=[True, False]).materialize()
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        empty = pa.schema([
+            pa.field("first_n", pa.int64()),
+            pa.field("first_token", pa.string()),
+            pa.field("rows", pa.int64()),
+        ])
+        if t.num_rows == 0:
+            return empty.empty_table()
+        return pa.table({
+            "first_n": pa.array([t.column("n")[0].as_py()], pa.int64()),
+            "first_token": pa.array([t.column("token")[0].as_py()], pa.string()),
+            "rows": pa.array([t.num_rows], pa.int64()),
+        })
+
+    summ = srt.map_batches(
+        block_summary, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    summ.sort(key=lambda r: (-r["first_n"], r["first_token"]))
+    offsets: dict[str, int] = {}
+    acc = 0
+    for r in summ:
+        offsets[r["first_token"]] = acc
+        acc += r["rows"]
+    ref = _ray.put(offsets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("token_id", pa.array([], pa.int64()))
+        off = _ray.get(ref)[t.column("token")[0].as_py()]
+        ids = off + np.arange(t.num_rows, dtype=np.int64)
+        return t.append_column("token_id", pa.array(ids, pa.int64()))
+
+    out = srt.map_batches(assign, batch_format="pyarrow", batch_size=None)
+    if max_size is not None:
+        out = out.filter(expr=f"token_id < {max_size}")
+    return out

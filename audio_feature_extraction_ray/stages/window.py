@@ -1511,6 +1511,93 @@ def rolling_order_stats(
 
 
 
+def rolling_corr(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str,
+    x: str,
+    y: str,
+    k: int,
+    out: str | None = None,
+    tiebreak: str | None = None,
+    n_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Trailing k-row Pearson correlation between two columns per entity
+    (``ROWS k-1 PRECEDING .. CURRENT``) — the local trend-strength / signal
+    co-movement feature of a PIT pipeline (with ``x`` = the timestamp the
+    window becomes "how linear is the recent trajectory"). SQL equivalent:
+    ``corr(y, x) OVER (PARTITION BY key ORDER BY ts ROWS ...)``.
+
+    Pass ``x=ts`` to correlate against the (int64 epoch) timestamp itself.
+    Semantics match DuckDB/ANSI ``corr``: rows where either side is NULL are
+    excluded pairwise; windows with <2 valid pairs or zero variance on
+    either side yield NULL. One entity-hash shuffle, then one vectorized
+    pass per block: the (rows, k) trailing-index matrix is masked and
+    reduced with nan-aware sums after per-window centering (numerically
+    stable), O(rows*k) with no per-row Python — the same shape as
+    :func:`rolling_order_stats`.
+    """
+    import warnings
+
+    out = out or f"{x}_{y}_rollcorr_{k}"
+
+    def vector_block(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        out_f = pa.field(out, pa.float64())
+        out_schema = pa.schema(
+            [block.schema.field(i) for i in range(block.num_columns)] + [out_f]
+        )
+        if n == 0:
+            return out_schema.empty_table()
+        block = block.combine_chunks()
+        g = block.column(key).combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv = _ts_i64(block.column(ts))
+        if tiebreak is not None:
+            tb = block.column(tiebreak).to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, tsv, g))
+        else:
+            order = np.lexsort((tsv, g))
+        block = block.take(pa.array(order, pa.int64()))
+        g, tsv = g[order], tsv[order]
+        xv = tsv.astype(np.float64) if x == ts else _f64(block.column(x))
+        yv = _f64(block.column(y))
+        pos = np.arange(n)
+        seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
+        seg_start_of = np.repeat(seg_first, np.diff(np.concatenate((seg_first, [n]))))
+        idx = pos[:, None] - np.arange(k - 1, -1, -1)[None, :]
+        valid = idx >= seg_start_of[:, None]
+        wx = np.where(valid, xv[np.maximum(idx, 0)], np.nan)
+        wy = np.where(valid, yv[np.maximum(idx, 0)], np.nan)
+        # pairwise-complete: a NaN on either side drops the pair from both
+        pair = ~(np.isnan(wx) | np.isnan(wy))
+        wx = np.where(pair, wx, np.nan)
+        wy = np.where(pair, wy, np.nan)
+        m = pair.sum(axis=1).astype(np.float64)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # empty windows
+            mx = np.nansum(wx, axis=1) / np.where(m > 0, m, np.nan)
+            my = np.nansum(wy, axis=1) / np.where(m > 0, m, np.nan)
+            dx = wx - mx[:, None]
+            dy = wy - my[:, None]
+            num = np.nansum(dx * dy, axis=1)
+            sx = np.nansum(dx * dx, axis=1)
+            sy = np.nansum(dy * dy, axis=1)
+            den = np.sqrt(sx * sy)
+            c = np.where((m >= 2) & (den > 0), num / np.where(den > 0, den, 1.0), np.nan)
+        return block.append_column(out_f, pa.array(c, pa.float64(), from_pandas=True))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import polars as _pl
+
+        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
+        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
+
+    return widen_blocks(ds.map_batches(add_part, batch_format="pyarrow")).groupby("__part").map_groups(
+        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+
+
 def ewma(
     ds: ray.data.Dataset,
     key: str,
