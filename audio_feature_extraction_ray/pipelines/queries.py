@@ -2023,6 +2023,29 @@ WHERE a.vec_id <> b.vec_id
 """
 
 
+def q_bpe_merges_documents(sf_dir: str):
+    """Distributed BPE-merge training over the corpus (12 merges) — the
+    tokenizer-training step downstream of ``vocab_documents``. Rows-only
+    (iterative merges are not SQL-expressible); textbook-serial parity is
+    pinned in ``tests/test_round4_ops.py``."""
+    from ..stages.text import bpe_train
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return bpe_train(docs, "text", n_merges=12, min_pair_count=2)
+
+
+def q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup: deterministic k-means clustering then drop rows with cosine
+    ≥ 0.6 to a lower-id row in the same cluster. Rows-only (Lloyd iterations
+    are not SQL-expressible); the serial numpy replay is pinned in
+    ``tests/test_round4_ops.py``."""
+    from ..stages.dedup import semantic_dedup
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = semantic_dedup(emb, "vec_id", "embedding", k=8, iters=5, threshold=0.6)
+    return out.select_columns(["vec_id", "cluster", "keep", "max_prior_sim"])
+
+
 # ------------------------------------------------------------------ flagship (image engine, rows-only)
 
 def _sf_of(sf_dir: str) -> float:
@@ -4352,6 +4375,8 @@ QUERIES = {
     "cooccurrence_events": (q_cooccurrence_events, SQL_COOCCURRENCE_EVENTS),
     "pca_embeddings": (q_pca_embeddings, None),
     "kmeans_embeddings": (q_kmeans_embeddings, None),
+    "semdedup_embeddings": (q_semdedup_embeddings, None),
+    "bpe_merges_documents": (q_bpe_merges_documents, None),
     "augment_images": (q_augment_images, None),
     "quantize_embeddings": (q_quantize_embeddings, None),
     "knn_ivf_embeddings": (q_knn_ivf_embeddings, None),

@@ -1017,3 +1017,102 @@ def consecutive_neardup_flags(
     )).groupby("__part").map_groups(
         lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
     )
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 16,
+    iters: int = 8,
+    threshold: float = 0.95,
+    max_group: int = 100_000,
+    chunk: int = 1024,
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    k-means-cluster the embedding space, then drop any row whose cosine to a
+    LOWER-id row in the same cluster is ≥ ``threshold``. Keeping the lowest
+    id per near-dup neighborhood is deterministic and cluster-size-invariant
+    (the paper keeps the point farthest from the centroid; a fixed id rule
+    replays identically across partitionings, which is what the gate hashes).
+
+    Scale shape: Lloyd k-means (:func:`~.decomp.kmeans` — broadcast
+    centroids, k×d packed partials per block) never shuffles the vectors;
+    cluster assignment is recomputed inline from the broadcast centroids so
+    the vectors cross the wire exactly once, in the cluster groupby. Within
+    a cluster the pairwise test runs in ``chunk``-row Gram slabs against the
+    strictly-lower-id prefix, so per-task memory is
+    O(chunk × cluster_size), never O(cluster_size²) at once; clusters above
+    ``max_group`` rows are truncated by ascending id with a ``truncated``
+    flag (same contract as :func:`embedding_dedup_pairs`). Output:
+    (id, cluster, keep, max_prior_sim, truncated) — filter ``keep`` for the
+    surviving corpus.
+
+    Reference analog: the quality-gated keep/drop pass of
+    00_audio_data_collection_experiment/audio_quality_assessment.py:86-89,
+    recast over embedding geometry instead of per-file heuristics.
+    """
+    from .decomp import kmeans
+    from .similarity import _normalize, _stack_embeddings
+
+    import ray as _ray
+
+    base = ds.select_columns([id_col, emb_col])
+    _, cent = kmeans(base, emb_col, id_col, k=k, iters=iters)
+    cref = _ray.put(cent)  # raw centroids: assignment must replay kmeans' own
+    # euclidean argmin rule, not a cosine variant
+
+    def assign(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            pa.field(id_col, t.schema.field(id_col).type),
+            pa.field(emb_col, t.schema.field(emb_col).type),
+            pa.field("cluster", pa.int64()),
+        ])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        craw = _ray.get(cref)
+        m_raw = _stack_embeddings(t.column(emb_col))
+        d2 = (m_raw * m_raw).sum(axis=1)[:, None] \
+            - 2.0 * (m_raw @ craw.T) + (craw * craw).sum(axis=1)[None, :]
+        a = np.argmin(d2, axis=1)
+        return pa.table({
+            id_col: t.column(id_col),
+            emb_col: t.column(emb_col),
+            "cluster": pa.array(a.astype(np.int64)),
+        })
+
+    clustered = base.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_cluster(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        truncated = len(ids) > max_group
+        order = order[:max_group]
+        ids = ids[order]
+        emb = _normalize(_stack_embeddings(group.column(emb_col)))[order]
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        max_prior = np.full(n, np.nan)
+        for s in range(1, n, chunk):
+            e = min(s + chunk, n)
+            sims = emb[s:e] @ emb[:e].T          # rows s..e vs ALL lower ids
+            # strictly-lower-id mask within the slab's own columns
+            col = np.arange(e)
+            mask = col[None, :] < np.arange(s, e)[:, None]
+            sims = np.where(mask, sims, -np.inf)
+            mp = sims.max(axis=1)
+            max_prior[s:e] = np.where(np.isfinite(mp), mp, np.nan)
+            keep[s:e] = ~(mp >= threshold)
+        cl = group.column("cluster")[0].as_py() if n else -1
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64), pa.int64()),
+            "cluster": pa.array(np.full(n, cl, dtype=np.int64)),
+            "keep": pa.array(keep),
+            "max_prior_sim": pa.array(np.round(max_prior, 6), pa.float64(),
+                                      from_pandas=True),
+            "truncated": pa.array(np.full(n, truncated, dtype=bool)),
+        })
+
+    return widen_blocks(clustered).groupby("cluster").map_groups(
+        per_cluster, batch_format="pyarrow"
+    )

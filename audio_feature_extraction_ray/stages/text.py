@@ -11,7 +11,9 @@ string kernels.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -724,3 +726,165 @@ def build_vocab(
     if max_size is not None:
         out = out.filter(expr=f"token_id < {max_size}")
     return out
+
+
+def bpe_train(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    n_merges: int = 20,
+    min_pair_count: int = 2,
+    end_of_word: str = "</w>",
+) -> ray.data.Dataset:
+    """Distributed BPE-merge training (Sennrich et al. 2016, public): learn
+    the ``n_merges`` highest-count adjacent-symbol merges over the corpus,
+    the tokenizer-training step downstream of :func:`build_vocab`. Output:
+    one row per learned merge — (rank, left, right, merged, n) — in learn
+    order; ties break (count DESC, (left, right) lexicographic ASC), so the
+    result is deterministic and cluster-size-invariant.
+
+    Scale shape: the corpus is tokenized ONCE into a distinct-WORD frequency
+    table (map-side combine; raw tokens never shuffle — the same contract as
+    :func:`build_vocab`), and all iterations run on that vocabulary-scale
+    table. Per merge iteration: every block emits per-block (pair, weighted
+    count) partials from pure offset arithmetic over the flattened symbol
+    lists, the tiny partial stream hash-combines
+    (:func:`~.aggregates.grouped_agg_fast`), and a partial top-k returns the
+    single best pair — only the winning 1-row merge is broadcast back, and
+    the merge application rebuilds ONLY words containing the pair (located
+    by the same vectorized adjacency mask; unaffected rows pass through a
+    zero-copy filter). Per-word Python runs once at init (character
+    splitting, vocabulary-scale) and per merge on the affected subset,
+    which shrinks as training proceeds.
+
+    Stops early when the best pair's count drops below ``min_pair_count``.
+
+    Reference analog: the fit-once/apply-many codec layout of
+    04_distillation_experiment/feature_extraction_for_student.py — the
+    learned merge table is the "model" later encode stages consume.
+    """
+    import polars as pl
+
+    from .aggregates import grouped_agg_fast
+    from .util import topk
+
+    SEP = "\x1f"
+
+    def to_tokens(t: pa.Table) -> pa.Table:
+        flat, _, _ = _flat_tokens(t.column(text_col))
+        flat = flat.filter(pc.not_equal(pc.utf8_length(flat), 0))
+        return pa.table({"word": flat})
+
+    words = grouped_agg_fast(
+        ds.select_columns([text_col]).map_batches(
+            to_tokens, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["word"],
+        specs=[],
+        count_alias="n",
+    )
+
+    def init_syms(t: pa.Table) -> pa.Table:
+        ws = t.column("word").to_pylist()
+        syms = [list(w) + [end_of_word] for w in ws]
+        return pa.table({
+            "word": t.column("word"),
+            "n": t.column("n"),
+            "syms": pa.array(syms, pa.list_(pa.string())),
+        })
+
+    wt = words.map_batches(init_syms, batch_format="pyarrow").materialize()
+
+    def _pair_geometry(t: pa.Table):
+        """(flat symbol values, left-index array of valid adjacent pairs,
+        per-pair word index, per-pair weight)."""
+        arr = t.column("syms").combine_chunks()
+        off = arr.offsets.to_numpy().astype(np.int64)
+        flat = arr.values
+        lens = np.diff(off)
+        npairs = np.maximum(lens - 1, 0)
+        keep = np.ones(len(flat), dtype=bool)
+        keep[off[1:] - 1] = False          # last symbol of each word
+        left_idx = np.flatnonzero(keep)
+        word_of = np.repeat(np.arange(len(lens)), npairs)
+        weight = np.repeat(t.column("n").to_numpy(zero_copy_only=False), npairs)
+        return flat, left_idx, word_of, weight
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        flat, li, _, w = _pair_geometry(t)
+        if len(li) == 0:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        lefts = flat.take(pa.array(li, pa.int64()))
+        rights = flat.take(pa.array(li + 1, pa.int64()))
+        key = pc.binary_join_element_wise(lefts, rights, SEP)
+        agg = (
+            pl.from_arrow(pa.table({"pair": key, "n": pa.array(w, pa.int64())}))
+            .group_by("pair").agg(pl.col("n").sum())
+            .to_arrow()
+        )
+        return agg.cast(pa.schema([pa.field("pair", pa.string()),
+                                   pa.field("n", pa.int64())]))
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        counts = grouped_agg_fast(
+            wt.map_batches(pair_partials, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            keys=["pair"],
+            specs=[("n", "n", "sum")],
+        )
+        best = topk(counts, ["n", "pair"], k=1, descending=[True, False]).take_all()
+        if not best or best[0]["n"] < min_pair_count:
+            break
+        l, r = best[0]["pair"].split(SEP)
+        merged = l + r
+        merges.append((rank, l, r, merged, int(best[0]["n"])))
+
+        def apply_merge(t: pa.Table, _l=l, _r=r, _m=merged) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            flat, li, word_of, _ = _pair_geometry(t)
+            if len(li) == 0:
+                return t
+            lefts = flat.take(pa.array(li, pa.int64()))
+            rights = flat.take(pa.array(li + 1, pa.int64()))
+            hit = pc.and_(pc.equal(lefts, _l), pc.equal(rights, _r))
+            hit_np = hit.to_numpy(zero_copy_only=False)
+            if not hit_np.any():
+                return t
+            affected = np.zeros(t.num_rows, dtype=bool)
+            affected[np.unique(word_of[hit_np])] = True
+            amask = pa.array(affected)
+            untouched = t.filter(pc.invert(amask))
+            sub = t.filter(amask)
+            new_syms = []
+            for row in sub.column("syms").to_pylist():
+                out, i = [], 0
+                while i < len(row):
+                    if i + 1 < len(row) and row[i] == _l and row[i + 1] == _r:
+                        out.append(_m)
+                        i += 2
+                    else:
+                        out.append(row[i])
+                        i += 1
+                new_syms.append(out)
+            rebuilt = pa.table({
+                "word": sub.column("word"),
+                "n": sub.column("n"),
+                "syms": pa.array(new_syms, pa.list_(pa.string())),
+            })
+            return pa.concat_tables([untouched, rebuilt])
+
+        wt = wt.map_batches(apply_merge, batch_format="pyarrow").materialize()
+
+    out = pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "merged": pa.array([m[3] for m in merges], pa.string()),
+        "n": pa.array([m[4] for m in merges], pa.int64()),
+    })
+    return ray.data.from_arrow(out)
