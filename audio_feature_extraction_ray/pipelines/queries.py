@@ -1436,6 +1436,94 @@ FROM documents
 """
 
 
+def q_mix_domains_documents(sf_dir: str):
+    """Domain-mixture rebalancing: equalize every source's token total down
+    to the smallest source's (uniform mixture) with md5-threshold keep —
+    integer threshold arithmetic, so the oracle replays it exactly."""
+    from ..stages.sampling import mix_domains
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def with_counts(t: pa.Table) -> pa.Table:
+        from ..functions.textfx import _flat_tokens
+
+        _, _, n_tok = _flat_tokens(t.column("text"))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "source": t.column("source"),
+            "token_count": pa.array(n_tok, pa.int64()),
+        })
+
+    toks = docs.map_batches(with_counts, batch_format="pyarrow", zero_copy_batch=True)
+    return mix_domains(toks, "source", "token_count", key_cols=["doc_id"])
+
+
+SQL_MIX_DOMAINS_DOCUMENTS = r"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
+              ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'))
+         END AS token_count
+  FROM documents
+),
+tot AS (SELECT source, CAST(SUM(token_count) AS BIGINT) AS total FROM tok GROUP BY source),
+thr AS (SELECT source,
+               LEAST(65536, (SELECT MIN(total) FROM tot) * 65536 // total) AS k
+        FROM tot)
+SELECT t.doc_id, t.source, t.token_count, thr.k AS mix_k
+FROM tok t JOIN thr ON t.source = thr.source
+WHERE thr.k >= 65536
+   OR substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) < lpad(lower(to_hex(thr.k)), 4, '0')
+"""
+
+
+def q_pack_sequences_documents(sf_dir: str):
+    """Greedy sequence packing into 256-token training packs: md5-hex
+    partition routing, ascending-id greedy fold per partition (close a pack
+    when the next doc would overflow; oversize docs pack alone). The oracle
+    replays the sequential fold with a recursive CTE — every column
+    value-checked, including the running fill."""
+    from ..stages.text import pack_sequences, token_count_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    toks = token_count_table(docs, "doc_id")
+    return pack_sequences(toks, "doc_id", "token_count", budget=256)
+
+
+SQL_PACK_SEQUENCES_DOCUMENTS = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
+              ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'))
+         END AS token_count,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) % 16 AS part
+  FROM documents
+),
+ordered AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY part ORDER BY doc_id) AS rn FROM toks
+),
+packed AS (
+  SELECT part, rn, doc_id, token_count,
+         CAST(token_count AS BIGINT) AS pack_fill,
+         CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS pack_pos
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.part, o.rn, o.doc_id, o.token_count,
+         CASE WHEN p.pack_fill + o.token_count > 256
+              THEN CAST(o.token_count AS BIGINT)
+              ELSE p.pack_fill + o.token_count END,
+         CASE WHEN p.pack_fill + o.token_count > 256 THEN p.seq + 1 ELSE p.seq END,
+         CASE WHEN p.pack_fill + o.token_count > 256 THEN 0 ELSE p.pack_pos + 1 END
+  FROM packed p JOIN ordered o ON o.part = p.part AND o.rn = p.rn + 1
+)
+SELECT doc_id, token_count, part,
+       part * 4294967296 + seq AS pack_id, pack_pos, pack_fill,
+       token_count > 256 AS oversize
+FROM packed
+"""
+
+
 def q_bpe_token_count_documents(sf_dir: str):
     """BPE-pre-tokenizer token counts (the second half of the brief's
     'whitespace + BPE-ish regex' pair): GPT-style split — optional-apostrophe
@@ -4377,6 +4465,8 @@ QUERIES = {
     "kmeans_embeddings": (q_kmeans_embeddings, None),
     "semdedup_embeddings": (q_semdedup_embeddings, None),
     "bpe_merges_documents": (q_bpe_merges_documents, None),
+    "pack_sequences_documents": (q_pack_sequences_documents, SQL_PACK_SEQUENCES_DOCUMENTS),
+    "mix_domains_documents": (q_mix_domains_documents, SQL_MIX_DOMAINS_DOCUMENTS),
     "augment_images": (q_augment_images, None),
     "quantize_embeddings": (q_quantize_embeddings, None),
     "knn_ivf_embeddings": (q_knn_ivf_embeddings, None),

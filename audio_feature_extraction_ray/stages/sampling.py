@@ -153,3 +153,70 @@ def stratified_sample(
         hashed, group_col, [hash_col] + key_cols, k,
         descending=[False] * (1 + len(key_cols)),
     )
+
+
+def mix_domains(
+    ds: ray.data.Dataset,
+    domain_col: str,
+    weight_col: str,
+    key_cols: list[str],
+    budgets: dict[str, int] | None = None,
+    sep: str = "-",
+    digits: int = 4,
+) -> ray.data.Dataset:
+    """Domain-mixture rebalancing: deterministically subsample each domain
+    to a token budget — the corpus-mixing step (DoReMi-style static
+    reweighting, public) between per-domain curation and training. With
+    ``budgets=None`` every domain is equalized DOWN to the smallest
+    domain's total weight (uniform mixture); otherwise ``budgets`` maps
+    domain → absolute weight budget (domains absent from the map are
+    dropped).
+
+    Per domain the keep rate is the integer threshold
+    ``k = min(16^digits, budget * 16^digits // total)`` and a row survives
+    iff ``md5(key) < k`` on the first ``digits`` hex chars — the same
+    cross-engine reproducible rule as :func:`deterministic_sample`, so the
+    realized mixture is cluster-size-invariant and SQL-replayable
+    (integer arithmetic both sides; no float thresholds to drift).
+
+    Scale shape: one tiny grouped aggregate (#domains rows on the driver —
+    domain catalogs are small by nature), thresholds close over the batch
+    filter; the corpus itself streams with zero shuffle. Output adds
+    ``mix_k`` (the domain's threshold) for value-checking.
+    """
+    from .aggregates import grouped_agg_fast
+
+    base = 16 ** digits
+    totals = grouped_agg_fast(
+        ds.select_columns([domain_col, weight_col]),
+        keys=[domain_col],
+        specs=[("total", weight_col, "sum")],
+    ).take_all()
+    tot = {r[domain_col]: int(r["total"]) for r in totals}
+    if budgets is None:
+        floor = min(tot.values()) if tot else 0
+        budgets = {d: floor for d in tot}
+    thr = {
+        d: min(base, budgets[d] * base // tot[d]) if tot.get(d) else base
+        for d in budgets
+        if d in tot
+    }
+
+    def fn(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            list(t.schema) + [pa.field("mix_k", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        doms = t.column(domain_col).to_pylist()
+        keys = _row_keys(t, key_cols, sep)
+        ks = [thr.get(d, -1) for d in doms]
+        keep = [
+            k >= base or (k >= 0 and int(hashlib.md5(s.encode()).hexdigest()[:digits], 16) < k)
+            for k, s in zip(ks, keys)
+        ]
+        kept = t.filter(pa.array(keep))
+        kept_ks = [k for k, f in zip(ks, keep) if f]
+        return kept.append_column("mix_k", pa.array(kept_ks, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -888,3 +888,101 @@ def bpe_train(
         "n": pa.array([m[4] for m in merges], pa.int64()),
     })
     return ray.data.from_arrow(out)
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    n_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Greedy sequence packing: assign documents to fixed-token-budget
+    training sequences ("packs") — the example-packing step between
+    tokenization and batching in an LLM data pipeline. A pack closes when
+    the next document would push it past ``budget``; a document longer than
+    ``budget`` occupies a pack alone (flagged ``oversize``), the caller's
+    truncation decision.
+
+    Determinism and cluster-size invariance: documents are routed by the
+    first hex char of ``md5(id)`` into ``n_partitions`` ≤ 16 partitions and
+    packed in ascending id order within each — both are data-derived, so the
+    layout replays identically at any parallelism (the same contract as
+    ``with_batch_ids``). ``pack_id = (partition << 32) | seq``.
+
+    Scale shape: one hash exchange of (id, n_tokens) scalar rows, then each
+    partition packs independently; the greedy fold is a searchsorted loop
+    over PACKS (not rows — each step is one O(log n) probe of the token
+    cumsum), so per-task Python work is proportional to output packs. The
+    sequential dependency is real (pack boundaries depend on every prior
+    row in the partition), which is exactly why the fold is partition-local:
+    SQL needs a recursive CTE for the same semantics (the oracle runs one).
+
+    Output: (id, n_tokens, part, pack_id, pack_pos, pack_fill,
+    oversize); ``pack_fill`` is the pack's total tokens on its LAST row and
+    the running fill before that (matching the recursive oracle's running
+    column, so every row is value-checkable).
+    """
+    import hashlib
+
+    if not 1 <= n_partitions <= 16:
+        raise ValueError("n_partitions must be in 1..16 (one md5 hex digit)")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.string()).to_pylist()
+        part = [int(hashlib.md5(s.encode()).hexdigest()[0], 16) % n_partitions
+                for s in ids]
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def pack_block(block: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            pa.field(id_col, block.schema.field(id_col).type),
+            pa.field(tokens_col, pa.int64()),
+            pa.field("part", pa.int64()),
+            pa.field("pack_id", pa.int64()),
+            pa.field("pack_pos", pa.int64()),
+            pa.field("pack_fill", pa.int64()),
+            pa.field("oversize", pa.bool_()),
+        ])
+        n = block.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        ids = block.column(id_col)
+        order = pc.sort_indices(ids)
+        block = block.take(order)
+        part = block.column("part")[0].as_py()
+        tok = pc.cast(block.column(tokens_col), pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        c = np.cumsum(tok)
+        pack_of = np.empty(n, dtype=np.int64)
+        pos = np.empty(n, dtype=np.int64)
+        fill = np.empty(n, dtype=np.int64)
+        start, base, seq = 0, 0, 0
+        while start < n:
+            j = int(np.searchsorted(c, base + budget, side="right")) - 1
+            if j < start:
+                j = start  # oversize document: its own pack
+            pack_of[start : j + 1] = seq
+            pos[start : j + 1] = np.arange(j - start + 1)
+            fill[start : j + 1] = c[start : j + 1] - base
+            base = c[j]
+            start = j + 1
+            seq += 1
+        return pa.table({
+            id_col: block.column(id_col),
+            tokens_col: pa.array(tok),
+            "part": pa.array(np.full(n, part, dtype=np.int64)),
+            "pack_id": pa.array((np.int64(part) << 32) | pack_of),
+            "pack_pos": pa.array(pos),
+            "pack_fill": pa.array(fill),
+            "oversize": pa.array(tok > budget),
+        })
+
+    routed = ds.select_columns([id_col, tokens_col]).map_batches(
+        add_part, batch_format="pyarrow"
+    )
+    from .util import widen_blocks
+
+    return widen_blocks(routed).groupby("part").map_groups(
+        pack_block, batch_format="pyarrow"
+    )

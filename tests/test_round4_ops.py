@@ -130,3 +130,83 @@ def test_bpe_train_early_stop_and_empty():
     assert [(r["rank"], r["left"], r["right"], r["merged"], r["n"]) for r in got] == want
     empty = ray.data.from_items([{"text": ""}])
     assert bpe_train(empty, "text", n_merges=3).take_all() == []
+
+
+def test_pack_sequences_greedy_edges():
+    from audio_feature_extraction_ray.stages.text import pack_sequences
+
+    # one partition so the greedy order is the id order
+    t = pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "n_tok": pa.array([100, 100, 100, 500, 0, 50, 300, 10], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = sorted(
+        pack_sequences(ds, "doc_id", "n_tok", budget=256, n_partitions=1).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    seqs = [r["pack_id"] & 0xFFFFFFFF for r in out]
+    # 100+100 | 100 | 500 alone (oversize) | 0+50 | 300 alone (oversize) | 10
+    assert seqs == [0, 0, 1, 2, 3, 3, 4, 5]
+    assert [r["pack_pos"] for r in out] == [0, 1, 0, 0, 0, 1, 0, 0]
+    assert [r["pack_fill"] for r in out] == [100, 200, 100, 500, 0, 50, 300, 10]
+    assert [r["oversize"] for r in out] == [False, False, False, True,
+                                            False, False, True, False]
+
+
+def test_pack_sequences_partition_invariance():
+    from audio_feature_extraction_ray.stages.text import pack_sequences
+
+    rng = np.random.default_rng(5)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(500, dtype=np.int64)),
+        "n_tok": pa.array(rng.integers(0, 400, 500), pa.int64()),
+    })
+    outs = []
+    for parts in (1, 11):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        rows = pack_sequences(ds, "doc_id", "n_tok", budget=256).take_all()
+        outs.append(sorted((r["doc_id"], r["pack_id"], r["pack_pos"], r["pack_fill"])
+                           for r in rows))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 500
+
+
+def test_mix_domains_budgets_and_drop():
+    import hashlib
+
+    from audio_feature_extraction_ray.stages.sampling import mix_domains
+
+    rows = []
+    for d, n in (("web", 300), ("wiki", 100), ("junk", 50)):
+        for i in range(n):
+            rows.append({"id": f"{d}-{i}", "dom": d, "w": 10})
+    ds = ray.data.from_items(rows).repartition(6)
+    out = mix_domains(ds, "dom", "w", key_cols=["id"],
+                      budgets={"web": 1000, "wiki": 100_000}).take_all()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["dom"], []).append(r)
+    # junk has no budget: dropped entirely
+    assert "junk" not in by_dom
+    # wiki budget exceeds its total: kept whole, k = 16^4
+    assert len(by_dom["wiki"]) == 100
+    assert all(r["mix_k"] == 65536 for r in by_dom["wiki"])
+    # web: k = 1000*65536 // 3000, serial md5 replay must agree exactly
+    k = 1000 * 65536 // 3000
+    want = {f"web-{i}" for i in range(300)
+            if int(hashlib.md5(f"web-{i}".encode()).hexdigest()[:4], 16) < k}
+    assert {r["id"] for r in by_dom["web"]} == want
+    assert all(r["mix_k"] == k for r in by_dom["web"])
+
+
+def test_mix_domains_equalize_is_cluster_invariant():
+    from audio_feature_extraction_ray.stages.sampling import mix_domains
+
+    rows = [{"id": i, "dom": f"d{i % 3}", "w": 1 + (i % 7)} for i in range(400)]
+    outs = []
+    for parts in (2, 17):
+        ds = ray.data.from_items(rows).repartition(parts)
+        got = mix_domains(ds, "dom", "w", key_cols=["id"]).take_all()
+        outs.append(sorted((r["id"], r["mix_k"]) for r in got))
+    assert outs[0] == outs[1] and len(outs[0]) > 0
