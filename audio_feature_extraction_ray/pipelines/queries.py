@@ -2122,6 +2122,19 @@ def q_bpe_merges_documents(sf_dir: str):
     return bpe_train(docs, "text", n_merges=12, min_pair_count=2)
 
 
+def q_bpe_encode_documents(sf_dir: str):
+    """Fit-once/apply-many tokenizer pair: train 12 BPE merges on the
+    corpus, then encode every document with them (merge table broadcast to
+    encoder actors). Rows-only; train/encode end-state parity is pinned in
+    ``tests/test_round4_ops.py``."""
+    from ..stages.text import bpe_encode, bpe_train
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train(docs, "text", n_merges=12, min_pair_count=2)
+    enc = bpe_encode(docs, merges, "text", concurrency=(1, 4))
+    return enc.select_columns(["doc_id", "n_bpe_tokens"])
+
+
 def q_semdedup_embeddings(sf_dir: str):
     """SemDeDup: deterministic k-means clustering then drop rows with cosine
     ≥ 0.6 to a lower-id row in the same cluster. Rows-only (Lloyd iterations
@@ -4467,6 +4480,7 @@ QUERIES = {
     "bpe_merges_documents": (q_bpe_merges_documents, None),
     "pack_sequences_documents": (q_pack_sequences_documents, SQL_PACK_SEQUENCES_DOCUMENTS),
     "mix_domains_documents": (q_mix_domains_documents, SQL_MIX_DOMAINS_DOCUMENTS),
+    "bpe_encode_documents": (q_bpe_encode_documents, None),
     "augment_images": (q_augment_images, None),
     "quantize_embeddings": (q_quantize_embeddings, None),
     "knn_ivf_embeddings": (q_knn_ivf_embeddings, None),

@@ -986,3 +986,91 @@ def pack_sequences(
     return widen_blocks(routed).groupby("part").map_groups(
         pack_block, batch_format="pyarrow"
     )
+
+
+class BpeEncoder:
+    """Callable-class actor stage: apply a learned BPE merge table
+    (:func:`bpe_train` output rows) to a text column. Merges apply in rank
+    order within each word — the standard greedy BPE encode. The
+    word → tokens cache lives in the actor (words repeat heavily across a
+    corpus; each distinct word encodes once per actor), and the merge table
+    itself ships once per actor via the constructor, not per batch.
+    """
+
+    def __init__(self, merges: list[tuple[str, str]], text_col: str = "text",
+                 end_of_word: str = "</w>"):
+        # rank order is the list order; pair-lookup by (left, right)
+        self.ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.text_col = text_col
+        self.eow = end_of_word
+        self._cache: dict[str, list[str]] = {}
+
+    def _encode_word(self, w: str) -> list[str]:
+        hit = self._cache.get(w)
+        if hit is not None:
+            return hit
+        syms = list(w) + [self.eow]
+        ranks = self.ranks
+        while len(syms) > 1:
+            best, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, best_i = r, i
+            if best is None:
+                break
+            # merge ALL occurrences of the winning pair left-to-right,
+            # matching bpe_train's apply step
+            l, r = syms[best_i], syms[best_i + 1]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        self._cache[w] = syms
+        return syms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, off, _ = _flat_tokens(batch.column(self.text_col))
+        words = flat.to_pylist()
+        toks_per_doc, counts = [], []
+        for r in range(batch.num_rows):
+            doc: list[str] = []
+            for w in words[off[r] : off[r + 1]]:
+                if w:
+                    doc.extend(self._encode_word(w))
+            toks_per_doc.append(doc)
+            counts.append(len(doc))
+        out = {n: batch.column(n) for n in batch.column_names if n != self.text_col}
+        out["bpe_tokens"] = pa.array(toks_per_doc, pa.list_(pa.string()))
+        out["n_bpe_tokens"] = pa.array(counts, pa.int64())
+        return pa.table(out)
+
+
+def bpe_encode(
+    ds: ray.data.Dataset,
+    merges_ds: ray.data.Dataset,
+    text_col: str = "text",
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 1024,
+) -> ray.data.Dataset:
+    """Encode a corpus with a learned merge table: the apply-many half of
+    the fit-once/apply-many tokenizer pair (:func:`bpe_train` fits). The
+    merge table is small by construction (one row per merge) — it collects
+    to the driver once and ships to each encoder actor in the constructor,
+    the broadcast-small-side pattern."""
+    rows = merges_ds.take_all()
+    rows.sort(key=lambda r: r["rank"])
+    merges = [(r["left"], r["right"]) for r in rows]
+    return ds.map_batches(
+        BpeEncoder,
+        fn_constructor_kwargs={"merges": merges, "text_col": text_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -210,3 +210,45 @@ def test_mix_domains_equalize_is_cluster_invariant():
         got = mix_domains(ds, "dom", "w", key_cols=["id"]).take_all()
         outs.append(sorted((r["id"], r["mix_k"]) for r in got))
     assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+def test_bpe_encode_matches_training_end_state():
+    from audio_feature_extraction_ray.stages.text import bpe_encode, bpe_train
+
+    rng = np.random.default_rng(9)
+    words = ["banana", "bandana", "cabana", "analog", "canal", "llama",
+             "lane", "nab", "ban", "anna"]
+    texts = [" ".join(rng.choice(words, rng.integers(2, 9))) for _ in range(120)]
+    ds = ray.data.from_items([{"doc_id": i, "text": t}
+                              for i, t in enumerate(texts)]).repartition(4)
+    merges_ds = bpe_train(ds, "text", n_merges=12, min_pair_count=2)
+    enc = bpe_encode(ds, merges_ds, "text", concurrency=(1, 2)).take_all()
+    assert len(enc) == len(texts)
+
+    # serial end state: apply the same merges in rank order to every word
+    merges = [(r["left"], r["right"])
+              for r in sorted(merges_ds.take_all(), key=lambda r: r["rank"])]
+
+    def serial_encode(w):
+        syms = list(w) + ["</w>"]
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    by_id = {r["doc_id"]: r for r in enc}
+    for i, t in enumerate(texts):
+        want = [s for w in t.split() for s in serial_encode(w)]
+        assert by_id[i]["bpe_tokens"] == want
+        assert by_id[i]["n_bpe_tokens"] == len(want)
+    # merges actually fired (compression happened somewhere)
+    assert any(len(r["bpe_tokens"]) > 0 and
+               any(len(tok) > 1 and tok != "</w>" for tok in r["bpe_tokens"])
+               for r in enc)
