@@ -61,6 +61,11 @@ HEADLINE = [
     "transition_counts_events",
     # round 4
     "training_batches_images",
+    # round 4, second batch (tokenizer training / packing / mixing / semdedup)
+    "bpe_merges_documents",
+    "semdedup_embeddings",
+    "pack_sequences_documents",
+    "mix_domains_documents",
 ]
 
 
