@@ -1436,6 +1436,36 @@ FROM documents
 """
 
 
+def q_unigram_lm_documents(sf_dir: str):
+    """CCNet-style perplexity-proxy filter: score every document by the
+    mean log-probability of its tokens under the corpus's own unigram
+    model (counts combine map-side; the vocabulary-scale model broadcasts
+    once; scoring is one streaming pass)."""
+    from ..stages.text import unigram_lm_scores
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return unigram_lm_scores(docs, "doc_id")
+
+
+SQL_UNIGRAM_LM_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+')) AS token
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
+),
+counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts),
+scored AS (
+  SELECT tk.doc_id, COUNT(*) AS n_tokens,
+         ROUND(AVG(LN(c.n / tot.t)), 6) AS avg_logprob
+  FROM toks tk JOIN counts c USING (token), tot
+  GROUP BY tk.doc_id
+)
+SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens, s.avg_logprob
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
 def q_mix_domains_documents(sf_dir: str):
     """Domain-mixture rebalancing: equalize every source's token total down
     to the smallest source's (uniform mixture) with md5-threshold keep —
@@ -4481,6 +4511,7 @@ QUERIES = {
     "pack_sequences_documents": (q_pack_sequences_documents, SQL_PACK_SEQUENCES_DOCUMENTS),
     "mix_domains_documents": (q_mix_domains_documents, SQL_MIX_DOMAINS_DOCUMENTS),
     "bpe_encode_documents": (q_bpe_encode_documents, None),
+    "unigram_lm_documents": (q_unigram_lm_documents, SQL_UNIGRAM_LM_DOCUMENTS),
     "augment_images": (q_augment_images, None),
     "quantize_embeddings": (q_quantize_embeddings, None),
     "knn_ivf_embeddings": (q_knn_ivf_embeddings, None),

@@ -1074,3 +1074,108 @@ def bpe_encode(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def unigram_lm_scores(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str = "text",
+    max_vocab: int | None = None,
+    oov_count: float = 0.5,
+) -> ray.data.Dataset:
+    """CCNet-style LM quality scoring with a corpus-trained unigram model
+    (Wenzek et al. 2020, public): score every document by the mean
+    log-probability of its tokens under the corpus's own unigram
+    distribution — low scores flag gibberish/boilerplate, the standard
+    perplexity-proxy filter of a pre-training pipeline.
+
+    Scale shape: token counts come from the map-side combiner (raw tokens
+    never shuffle); the model is the vocabulary-scale (token, count) table,
+    broadcast once via ``ray.put`` — ``max_vocab`` bounds the broadcast by
+    (count DESC, token ASC) with a logged truncation, and tokens outside
+    the model score as ``oov_count`` pseudo-counts. Scoring is one
+    streaming pass: per batch, one vectorized hash-map lookup over the
+    flattened token array and a ``reduceat`` mean per document.
+
+    Output: (id, n_tokens, avg_logprob) with avg_logprob rounded to 6
+    (empty documents score NULL). With ``max_vocab=None`` the model is
+    exact and the SQL replay is a plain UNNEST + join + AVG(LN(...)).
+    """
+    import logging
+
+    import pandas as pd
+
+    import ray as _ray
+
+    from .aggregates import grouped_agg_fast
+    from .util import topk as _topk
+
+    def to_tokens(t: pa.Table) -> pa.Table:
+        flat, _, _ = _flat_tokens(t.column(text_col))
+        flat = flat.filter(pc.not_equal(pc.utf8_length(flat), 0))
+        return pa.table({"token": flat})
+
+    counts = grouped_agg_fast(
+        ds.select_columns([text_col]).map_batches(
+            to_tokens, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["token"],
+        specs=[],
+        count_alias="n",
+    )
+    if max_vocab is not None:
+        counts = counts.materialize()
+        # the model's denominator stays the FULL corpus token count even
+        # when the vocabulary is truncated — retained tokens keep their
+        # true unigram probabilities, tail tokens fall to the OOV floor
+        total = float(counts.sum("n") or 0)
+        full = counts.count()
+        counts = _topk(counts, ["n", "token"], k=max_vocab,
+                       descending=[True, False])
+        if full > max_vocab:
+            logging.getLogger(__name__).warning(
+                "unigram_lm_scores: vocabulary truncated %d -> %d "
+                "(tail tokens score as OOV)", full, max_vocab
+            )
+        rows = counts.take_all()
+    else:
+        rows = counts.take_all()
+        total = float(sum(r["n"] for r in rows))
+    lp = pd.Series(
+        {r["token"]: np.log(r["n"] / total) for r in rows}, dtype=np.float64
+    )
+    oov_lp = float(np.log(oov_count / total)) if total else 0.0
+    ref = _ray.put(lp)
+
+    def score(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            pa.field(id_col, t.schema.field(id_col).type),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("avg_logprob", pa.float64()),
+        ])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        model = _ray.get(ref)
+        flat, off, _ = _flat_tokens(t.column(text_col))
+        keep = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        toks = pd.Series(flat.to_pylist())
+        lps = toks.map(model).to_numpy(dtype=np.float64, na_value=oov_lp)
+        lps = np.where(keep, lps, 0.0)
+        # reduceat quirks: indices must stay < len (clip trailing empty-doc
+        # offsets), and off[i] == off[i+1] (empty doc) repeats the next
+        # slot's value — both fixed by masking empties afterwards
+        idx = np.minimum(off[:-1], max(len(lps) - 1, 0))
+        n_tok = np.add.reduceat(keep.astype(np.int64), idx) \
+            if len(keep) else np.zeros(t.num_rows, dtype=np.int64)
+        sums = np.add.reduceat(lps, idx) if len(lps) else \
+            np.zeros(t.num_rows, dtype=np.float64)
+        empty = np.diff(off) == 0
+        n_tok = np.where(empty, 0, n_tok)
+        avg = np.where(n_tok > 0, np.round(sums / np.maximum(n_tok, 1), 6), np.nan)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "avg_logprob": pa.array(avg, pa.float64(), from_pandas=True),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

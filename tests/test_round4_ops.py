@@ -252,3 +252,28 @@ def test_bpe_encode_matches_training_end_state():
     assert any(len(r["bpe_tokens"]) > 0 and
                any(len(tok) > 1 and tok != "</w>" for tok in r["bpe_tokens"])
                for r in enc)
+
+
+def test_unigram_lm_scores_oov_and_cap():
+    from audio_feature_extraction_ray.stages.text import unigram_lm_scores
+
+    texts = ["aa aa aa bb", "bb cc", "", "   ", "zz zz"]
+    ds = ray.data.from_items([{"doc_id": i, "text": t}
+                              for i, t in enumerate(texts)]).repartition(3)
+    # full model: counts aa=3 bb=2 cc=1 zz=2, total 8
+    out = {r["doc_id"]: r for r in unigram_lm_scores(ds, "doc_id").take_all()}
+    t = 8.0
+    exp0 = round((3 * np.log(3 / t) + np.log(2 / t)) / 4, 6)
+    assert abs(out[0]["avg_logprob"] - exp0) < 1e-9 and out[0]["n_tokens"] == 4
+    assert out[2]["avg_logprob"] is None or np.isnan(out[2]["avg_logprob"])
+    assert out[2]["n_tokens"] == 0 and out[3]["n_tokens"] == 0
+
+    # capped model: top-2 vocab by (count desc, token asc) = aa, bb|zz tie →
+    # bb (lex); cc and zz fall to OOV pseudo-count 0.5
+    capped = {r["doc_id"]: r
+              for r in unigram_lm_scores(ds, "doc_id", max_vocab=2).take_all()}
+    oov = np.log(0.5 / t)
+    exp1 = round((np.log(2 / t) + oov) / 2, 6)
+    assert abs(capped[1]["avg_logprob"] - exp1) < 1e-9
+    exp4 = round(oov, 6)
+    assert abs(capped[4]["avg_logprob"] - exp4) < 1e-9
