@@ -1436,6 +1436,74 @@ FROM documents
 """
 
 
+def q_corpus_train_prep_documents(sf_dir: str):
+    """The full curation→training-prep chain in ONE value-checked pipeline:
+    quality features → threshold filter → exact dedup → domain-mixture
+    equalization → greedy sequence packing. The oracle replays every stage
+    (incl. the integer mixture thresholds and the recursive packing fold),
+    so the END-TO-END composition is hash-exact, not just its pieces."""
+    from ..stages.dedup import dedup_exact
+    from ..stages.sampling import mix_domains
+    from ..stages.text import pack_sequences
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    feats = text_features(ds, quality=True, lang=False, fingerprints=True)
+    kept = feats.filter(expr="n_tokens >= 10 and punct_ratio <= 0.2")
+    deduped = dedup_exact(kept, ["fingerprint_md5"], order_col="doc_id", keep="min")
+    mixed = mix_domains(deduped.select_columns(["doc_id", "source", "n_tokens"]),
+                        "source", "n_tokens", key_cols=["doc_id"])
+    packed = pack_sequences(mixed, "doc_id", "n_tokens", budget=256)
+    return packed
+
+
+SQL_CORPUS_TRAIN_PREP_DOCUMENTS = r"""
+WITH RECURSIVE q AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
+              ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'))
+         END AS n_tokens,
+         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0
+           / NULLIF(length(text), 0) AS punct_ratio,
+         md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13)))) AS fp
+  FROM documents
+), kept AS (
+  SELECT * FROM q WHERE n_tokens >= 10 AND punct_ratio <= 0.2
+), deduped AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens FROM kept
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+), tot AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total FROM deduped GROUP BY source
+), thr AS (
+  SELECT source, LEAST(65536, (SELECT MIN(total) FROM tot) * 65536 // total) AS k
+  FROM tot
+), mixed AS (
+  SELECT d.doc_id, d.n_tokens,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) % 16 AS part
+  FROM deduped d JOIN thr ON d.source = thr.source
+  WHERE thr.k >= 65536
+     OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < lpad(lower(to_hex(thr.k)), 4, '0')
+), ordered AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY part ORDER BY doc_id) AS rn FROM mixed
+), packed AS (
+  SELECT part, rn, doc_id, n_tokens,
+         n_tokens AS pack_fill, CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS pack_pos
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.part, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN p.pack_fill + o.n_tokens > 256
+              THEN o.n_tokens ELSE p.pack_fill + o.n_tokens END,
+         CASE WHEN p.pack_fill + o.n_tokens > 256 THEN p.seq + 1 ELSE p.seq END,
+         CASE WHEN p.pack_fill + o.n_tokens > 256 THEN 0 ELSE p.pack_pos + 1 END
+  FROM packed p JOIN ordered o ON o.part = p.part AND o.rn = p.rn + 1
+)
+SELECT doc_id, n_tokens, part,
+       part * 4294967296 + seq AS pack_id, pack_pos, pack_fill,
+       n_tokens > 256 AS oversize
+FROM packed
+"""
+
+
 def q_unigram_lm_documents(sf_dir: str):
     """CCNet-style perplexity-proxy filter: score every document by the
     mean log-probability of its tokens under the corpus's own unigram
@@ -4512,6 +4580,7 @@ QUERIES = {
     "mix_domains_documents": (q_mix_domains_documents, SQL_MIX_DOMAINS_DOCUMENTS),
     "bpe_encode_documents": (q_bpe_encode_documents, None),
     "unigram_lm_documents": (q_unigram_lm_documents, SQL_UNIGRAM_LM_DOCUMENTS),
+    "corpus_train_prep_documents": (q_corpus_train_prep_documents, SQL_CORPUS_TRAIN_PREP_DOCUMENTS),
     "augment_images": (q_augment_images, None),
     "quantize_embeddings": (q_quantize_embeddings, None),
     "knn_ivf_embeddings": (q_knn_ivf_embeddings, None),
