@@ -389,6 +389,84 @@ def run_training_batches(cap: StatsCapture, sf_dir: str, scale: int) -> int:
     return n
 
 
+
+
+def run_bpe_train(cap: StatsCapture, sf_dir: str, scale: int) -> int:
+    """Tokenizer training: the audit claim is that raw tokens never shuffle —
+    the exchanges are (a) the word-frequency combiner's partials
+    (vocabulary-scale) and (b) per-merge (pair, count) partials + a 1-row
+    top-k, all orders of magnitude below corpus bytes."""
+    from audio_feature_extraction_ray.sources.tables import read_table
+    from audio_feature_extraction_ray.stages.text import bpe_train
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    if scale > 1:
+        ds = _tile(ds, scale, {"doc_id": 1 << 40})
+    merges = bpe_train(ds.select_columns(["text"]), "text", n_merges=4)
+    n = consume(merges)
+    cap.add_final(merges)
+    return n
+
+
+def run_pack_sequences(cap: StatsCapture, sf_dir: str, scale: int) -> int:
+    """Sequence packing: the ONLY exchange is (id, n_tokens) scalar rows —
+    text never ships."""
+    from audio_feature_extraction_ray.sources.tables import read_table
+    from audio_feature_extraction_ray.stages.text import pack_sequences, token_count_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    if scale > 1:
+        ds = _tile(ds, scale, {"doc_id": 1 << 40})
+    toks = token_count_table(ds, "doc_id")
+    packed = pack_sequences(toks, "doc_id", "token_count", budget=256)
+    n = consume(packed)
+    cap.add_final(packed)
+    return n
+
+
+def run_mix_domains(cap: StatsCapture, sf_dir: str, scale: int) -> int:
+    """Mixture rebalancing: zero corpus shuffle — the only exchange is the
+    #domains-row (domain, total) partial stream."""
+    from audio_feature_extraction_ray.sources.tables import read_table
+    from audio_feature_extraction_ray.stages.sampling import mix_domains
+    from audio_feature_extraction_ray.stages.text import token_count_table
+
+    import pyarrow as pa
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    if scale > 1:
+        ds = _tile(ds, scale, {"doc_id": 1 << 40})
+
+    def with_counts(t):
+        from audio_feature_extraction_ray.functions.textfx import _flat_tokens
+
+        _, _, n_tok = _flat_tokens(t.column("text"))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "source": t.column("source"),
+                         "token_count": pa.array(n_tok, pa.int64())})
+
+    toks = ds.map_batches(with_counts, batch_format="pyarrow", zero_copy_batch=True)
+    mixed = mix_domains(toks, "source", "token_count", key_cols=["doc_id"])
+    n = consume(mixed)
+    cap.add_final(mixed)
+    return n
+
+
+def run_semdedup(cap: StatsCapture, sf_dir: str, scale: int) -> int:
+    """SemDeDup: per-iteration k-means exchanges are k-row packed partials;
+    the vectors cross the wire exactly once, in the cluster groupby."""
+    from audio_feature_extraction_ray.sources.tables import read_table
+    from audio_feature_extraction_ray.stages.dedup import semantic_dedup
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if scale > 1:
+        ds = _tile(ds, scale, {"vec_id": 1 << 40})
+    out = semantic_dedup(ds, "vec_id", "embedding", k=8, iters=3, threshold=0.6)
+    n = consume(out)
+    cap.add_final(out)
+    return n
+
+
 PIPELINES = {
     "flagship_images_pit": run_flagship,
     "rolling_time_mean_bucketed": run_rolling_bucketed,
@@ -400,6 +478,10 @@ PIPELINES = {
     "top10_order_revenue": run_top10,
     "dedup_keep_documents": run_dedup_keep,
     "training_batches_images": run_training_batches,
+    "bpe_train_documents": run_bpe_train,
+    "pack_sequences_documents": run_pack_sequences,
+    "mix_domains_documents": run_mix_domains,
+    "semdedup_embeddings": run_semdedup,
 }
 
 
