@@ -1504,6 +1504,74 @@ FROM packed
 """
 
 
+def q_concat_chunks_documents(sf_dir: str):
+    """Concat-and-chunk span assignment (documents split across exact
+    256-token chunk boundaries — the GPT-style packing alternative to
+    ``pack_sequences``): pure cumsum offset arithmetic, plain window-SUM
+    oracle."""
+    from ..stages.text import concat_chunk_spans, token_count_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    toks = token_count_table(docs, "doc_id")
+    return concat_chunk_spans(toks, "doc_id", "token_count", budget=256)
+
+
+SQL_CONCAT_CHUNKS_DOCUMENTS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
+              ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'))
+         END AS token_count,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) % 16 AS part
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(token_count AS BIGINT) AS token_count, part,
+         SUM(token_count) OVER (PARTITION BY part ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - token_count AS start_off
+  FROM tok WHERE token_count > 0
+)
+SELECT doc_id, token_count, part, start_off,
+       start_off // 256 AS chunk_first,
+       (start_off + token_count - 1) // 256 AS chunk_last,
+       part * 4294967296 + (start_off // 256) AS chunk_id
+FROM pos
+"""
+
+
+def q_leakage_split_documents(sf_dir: str):
+    """Duplicate-group-aware train/val split: every document sharing an
+    exact-dup fingerprint lands in the same split, assigned by the md5 of
+    the group's minimum doc_id — the guard against train/test contamination
+    through duplicated documents."""
+    from ..stages.sampling import leakage_safe_split
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    feats = text_features(docs, quality=False, lang=False, fingerprints=True)
+    feats = feats.select_columns(["doc_id", "fingerprint_md5"])
+    out = leakage_safe_split(feats, "fingerprint_md5", "doc_id",
+                             {"train": 0.8, "val": 0.1})
+    return out.select_columns(["doc_id", "group_rep", "split"])
+
+
+SQL_LEAKAGE_SPLIT_DOCUMENTS = """
+WITH q AS (
+  SELECT doc_id,
+         md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13)))) AS fp
+  FROM documents
+),
+g AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS group_rep FROM q
+)
+SELECT doc_id, group_rep,
+       CASE WHEN substr(md5(CAST(group_rep AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+            WHEN substr(md5(CAST(group_rep AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+            ELSE 'rest' END AS split
+FROM g
+"""
+
+
 def q_unigram_lm_documents(sf_dir: str):
     """CCNet-style perplexity-proxy filter: score every document by the
     mean log-probability of its tokens under the corpus's own unigram
@@ -4581,6 +4649,8 @@ QUERIES = {
     "bpe_encode_documents": (q_bpe_encode_documents, None),
     "unigram_lm_documents": (q_unigram_lm_documents, SQL_UNIGRAM_LM_DOCUMENTS),
     "corpus_train_prep_documents": (q_corpus_train_prep_documents, SQL_CORPUS_TRAIN_PREP_DOCUMENTS),
+    "concat_chunks_documents": (q_concat_chunks_documents, SQL_CONCAT_CHUNKS_DOCUMENTS),
+    "leakage_split_documents": (q_leakage_split_documents, SQL_LEAKAGE_SPLIT_DOCUMENTS),
     "augment_images": (q_augment_images, None),
     "quantize_embeddings": (q_quantize_embeddings, None),
     "knn_ivf_embeddings": (q_knn_ivf_embeddings, None),

@@ -220,3 +220,70 @@ def mix_domains(
         return kept.append_column("mix_k", pa.array(kept_ks, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def leakage_safe_split(
+    ds: ray.data.Dataset,
+    group_col: str,
+    id_col: str,
+    splits: dict[str, float],
+    digits: int = 4,
+    out_col: str = "split",
+    rep_col: str = "group_rep",
+) -> ray.data.Dataset:
+    """Duplicate-group-aware train/val/test split: every row in a
+    ``group_col`` group (e.g. an exact-dup fingerprint cluster, a near-dup
+    component id) lands in the SAME split, assigned by the md5 of the
+    group's minimum ``id_col`` — the standard guard against train/test
+    contamination through duplicated documents (splitting by row hash puts
+    near-copies of one document on both sides of the split).
+
+    Scale shape: ONE group-hash exchange co-locates each group (inevitable
+    for group-consistent assignment); within a partition the per-group min
+    and the split label are one vectorized pass — no per-group Python, no
+    driver state. Output adds ``rep_col`` (the group's representative id)
+    and ``out_col``; the same md5 hash-range scheme as :func:`hash_split`,
+    so the assignment is cluster-size-invariant and SQL-replayable
+    (``MIN(id) OVER (PARTITION BY group)``).
+    """
+    bounds: list[tuple[str, str]] = []
+    acc = 0.0
+    for name, frac in splits.items():
+        acc += frac
+        bounds.append((name, _hex_threshold(acc, digits)))
+
+    from .util import coarse_partitioned
+
+    def per_part(block: pa.Table) -> pa.Table:
+        import numpy as np
+
+        out_schema = pa.schema(
+            list(block.schema)
+            + [pa.field(rep_col, block.schema.field(id_col).type),
+               pa.field(out_col, pa.string())]
+        )
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        g = block.column(group_col)
+        codes = (g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g) \
+            .dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = block.column(id_col).to_numpy(zero_copy_only=False)
+        n_groups = int(codes.max()) + 1
+        reps = np.full(n_groups, ids.max())
+        np.minimum.at(reps, codes, ids)
+        # one md5 per GROUP, not per row
+        labels = []
+        for r in reps:
+            h = hashlib.md5(str(r).encode()).hexdigest()[:digits]
+            for name, b in bounds:
+                if h < b:
+                    labels.append(name)
+                    break
+            else:
+                labels.append("rest")
+        lab_arr = np.asarray(labels, dtype=object)
+        return block.append_column(
+            rep_col, pa.array(reps[codes], block.schema.field(id_col).type)
+        ).append_column(out_col, pa.array(lab_arr[codes].tolist(), pa.string()))
+
+    return coarse_partitioned(ds, group_col, per_part)

@@ -1179,3 +1179,81 @@ def unigram_lm_scores(
         })
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def concat_chunk_spans(
+    ds: ray.data.Dataset,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    n_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Concat-and-chunk span assignment: documents are (logically)
+    concatenated in ascending id order within each md5-routed partition and
+    cut into exact ``budget``-token training chunks, documents SPLITTING
+    across chunk boundaries — the packing style GPT-style pretraining uses
+    when examples may cross document boundaries (vs :func:`pack_sequences`,
+    which never splits a document). Zero-token documents are dropped (they
+    occupy no span).
+
+    Because chunk boundaries are pure offset arithmetic over the running
+    token cumsum (no close-early rule), the whole operator is one
+    vectorized pass per partition and the SQL replay is a plain window
+    cumsum — no recursion needed. Output per document: (id, n_tokens,
+    part, start_off, chunk_first, chunk_last, chunk_id =
+    (part << 32) | chunk_first).
+    """
+    import hashlib
+
+    if not 1 <= n_partitions <= 16:
+        raise ValueError("n_partitions must be in 1..16 (one md5 hex digit)")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.string()).to_pylist()
+        part = [int(hashlib.md5(s.encode()).hexdigest()[0], 16) % n_partitions
+                for s in ids]
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def span_block(block: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            pa.field(id_col, block.schema.field(id_col).type),
+            pa.field(tokens_col, pa.int64()),
+            pa.field("part", pa.int64()),
+            pa.field("start_off", pa.int64()),
+            pa.field("chunk_first", pa.int64()),
+            pa.field("chunk_last", pa.int64()),
+            pa.field("chunk_id", pa.int64()),
+        ])
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        block = block.take(pc.sort_indices(block.column(id_col)))
+        part = block.column("part")[0].as_py()
+        tok = pc.cast(block.column(tokens_col), pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = tok > 0
+        block = block.filter(pa.array(keep))
+        tok = tok[keep]
+        if len(tok) == 0:
+            return out_schema.empty_table()
+        end = np.cumsum(tok)
+        start = end - tok
+        first = start // budget
+        last = (end - 1) // budget
+        return pa.table({
+            id_col: block.column(id_col),
+            tokens_col: pa.array(tok),
+            "part": pa.array(np.full(len(tok), part, dtype=np.int64)),
+            "start_off": pa.array(start),
+            "chunk_first": pa.array(first),
+            "chunk_last": pa.array(last),
+            "chunk_id": pa.array((np.int64(part) << 32) | first),
+        })
+
+    from .util import widen_blocks
+
+    routed = ds.select_columns([id_col, tokens_col]).map_batches(
+        add_part, batch_format="pyarrow"
+    )
+    return widen_blocks(routed).groupby("part").map_groups(
+        span_block, batch_format="pyarrow"
+    )

@@ -277,3 +277,41 @@ def test_unigram_lm_scores_oov_and_cap():
     assert abs(capped[1]["avg_logprob"] - exp1) < 1e-9
     exp4 = round(oov, 6)
     assert abs(capped[4]["avg_logprob"] - exp4) < 1e-9
+
+
+def test_concat_chunk_spans_offsets():
+    from audio_feature_extraction_ray.stages.text import concat_chunk_spans
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "n_tok": pa.array([100, 200, 0, 300, 50], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = sorted(concat_chunk_spans(ds, "doc_id", "n_tok", budget=256,
+                                    n_partitions=1).take_all(),
+                 key=lambda r: r["doc_id"])
+    # zero-token doc 2 dropped; concat offsets 0,100,300,600
+    assert [r["doc_id"] for r in out] == [0, 1, 3, 4]
+    assert [r["start_off"] for r in out] == [0, 100, 300, 600]
+    assert [r["chunk_first"] for r in out] == [0, 0, 1, 2]
+    # doc 1 spans 100..299 -> chunks 0..1 (splits across the boundary)
+    assert [r["chunk_last"] for r in out] == [0, 1, 2, 2]
+
+
+def test_leakage_safe_split_groups_stay_together():
+    from audio_feature_extraction_ray.stages.sampling import leakage_safe_split
+
+    rows = [{"id": i, "fp": f"g{i % 37}"} for i in range(600)]
+    ds = ray.data.from_items(rows).repartition(9)
+    out = leakage_safe_split(ds, "fp", "id", {"train": 0.5, "val": 0.25}).take_all()
+    assert len(out) == 600
+    by_fp = {}
+    for r in out:
+        by_fp.setdefault(r["fp"], set()).add((r["split"], r["group_rep"]))
+    # one (split, rep) per group, rep == min id of the group
+    for fp, combos in by_fp.items():
+        assert len(combos) == 1
+        split, rep = next(iter(combos))
+        assert rep == min(r["id"] for r in rows if r["fp"] == fp)
+    # all three labels appear across 37 groups with these fractions
+    assert {s for r in out for s in [r["split"]]} == {"train", "val", "rest"}
