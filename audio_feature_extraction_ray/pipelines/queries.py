@@ -4511,10 +4511,8 @@ QUERIES = {
     "approx_percentiles_events": (q_approx_percentiles_events, SQL_APPROX_PERCENTILES_EVENTS),
     "top10_order_revenue": (q_top10_order_revenue, SQL_TOP10_ORDER_REVENUE),
     "heavy_hitter_customers": (q_heavy_hitter_customers, SQL_HEAVY_HITTER_CUSTOMERS),
-    "quantile_bucket_orders": (q_quantile_bucket_orders, SQL_QUANTILE_BUCKET_ORDERS),
     "group_standardize_events": (q_group_standardize_events, SQL_GROUP_STANDARDIZE_EVENTS),
     "target_encode_events": (q_target_encode_events, SQL_TARGET_ENCODE_EVENTS),
-    "one_hot_events": (q_one_hot_events, SQL_ONE_HOT_EVENTS),
     "melt_lineitem": (q_melt_lineitem, SQL_MELT_LINEITEM),
     "set_ops_orders": (q_set_ops_orders, SQL_SET_OPS_ORDERS),
     "hash_split_documents": (q_hash_split_documents, SQL_HASH_SPLIT_DOCUMENTS),
@@ -4541,15 +4539,17 @@ QUERIES = {
     "token_frequencies": (q_token_frequencies, SQL_TOKEN_FREQUENCIES),
     "text_quality_documents": (q_text_quality_documents, SQL_TEXT_QUALITY_DOCUMENTS),
     "tfidf_documents": (q_tfidf_documents, SQL_TFIDF_DOCUMENTS),
+    "vocab_documents": (q_vocab_documents, SQL_VOCAB_DOCUMENTS),
+    "unigram_lm_documents": (q_unigram_lm_documents, SQL_UNIGRAM_LM_DOCUMENTS),
+    "mix_domains_documents": (q_mix_domains_documents, SQL_MIX_DOMAINS_DOCUMENTS),
+    "pack_sequences_documents": (q_pack_sequences_documents, SQL_PACK_SEQUENCES_DOCUMENTS),
     "langid_documents": (q_langid_documents, SQL_LANGID_DOCUMENTS),
     "redact_documents": (q_redact_documents, SQL_REDACT_DOCUMENTS),
-    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "simhash_documents": (q_simhash_documents, SQL_SIMHASH_DOCUMENTS),
-    "dedup_exact_documents": (q_dedup_exact_documents, SQL_DEDUP_EXACT_DOCUMENTS),
     "dedup_keep_documents": (q_dedup_keep_documents, SQL_DEDUP_KEEP_DOCUMENTS),
-    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "substring_pairs_documents": (q_substring_pairs_documents, SQL_SUBSTRING_PAIRS_DOCUMENTS),
     "corpus_pipeline_documents": (q_corpus_pipeline_documents, SQL_CORPUS_PIPELINE_DOCUMENTS),
+    "corpus_train_prep_documents": (q_corpus_train_prep_documents, SQL_CORPUS_TRAIN_PREP_DOCUMENTS),
     "minhash_pairs_documents": (q_minhash_pairs_documents, None),
     "neardup_embeddings": (q_neardup_embeddings, SQL_NEARDUP_EMBEDDINGS),
     "knn_embeddings": (q_knn_embeddings, SQL_KNN_EMBEDDINGS),
@@ -4635,7 +4635,6 @@ QUERIES = {
     "resample_events": (q_resample_events, SQL_RESAMPLE_EVENTS),
     "rolling_median_events": (q_rolling_median_events, SQL_ROLLING_MEDIAN_EVENTS),
     "rolling_corr_events": (q_rolling_corr_events, SQL_ROLLING_CORR_EVENTS),
-    "vocab_documents": (q_vocab_documents, SQL_VOCAB_DOCUMENTS),
     "pmi_documents": (q_pmi_documents, SQL_PMI_DOCUMENTS),
     "group_share_events": (q_group_share_events, SQL_GROUP_SHARE_EVENTS),
     "winsorize_events": (q_winsorize_events, SQL_WINSORIZE_EVENTS),
@@ -4644,11 +4643,7 @@ QUERIES = {
     "kmeans_embeddings": (q_kmeans_embeddings, None),
     "semdedup_embeddings": (q_semdedup_embeddings, None),
     "bpe_merges_documents": (q_bpe_merges_documents, None),
-    "pack_sequences_documents": (q_pack_sequences_documents, SQL_PACK_SEQUENCES_DOCUMENTS),
-    "mix_domains_documents": (q_mix_domains_documents, SQL_MIX_DOMAINS_DOCUMENTS),
     "bpe_encode_documents": (q_bpe_encode_documents, None),
-    "unigram_lm_documents": (q_unigram_lm_documents, SQL_UNIGRAM_LM_DOCUMENTS),
-    "corpus_train_prep_documents": (q_corpus_train_prep_documents, SQL_CORPUS_TRAIN_PREP_DOCUMENTS),
     "concat_chunks_documents": (q_concat_chunks_documents, SQL_CONCAT_CHUNKS_DOCUMENTS),
     "leakage_split_documents": (q_leakage_split_documents, SQL_LEAKAGE_SPLIT_DOCUMENTS),
     "augment_images": (q_augment_images, None),
@@ -4661,4 +4656,9 @@ QUERIES = {
     "evaluation_report": (q_evaluation_report, None),
     "approx_percentiles_sketch_events": (q_approx_percentiles_sketch_events, None),
     "visualize_images": (q_visualize_images, None),
+    "quantile_bucket_orders": (q_quantile_bucket_orders, SQL_QUANTILE_BUCKET_ORDERS),
+    "one_hot_events": (q_one_hot_events, SQL_ONE_HOT_EVENTS),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "dedup_exact_documents": (q_dedup_exact_documents, SQL_DEDUP_EXACT_DOCUMENTS),
 }
