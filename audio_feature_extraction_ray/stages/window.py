@@ -40,7 +40,12 @@ def _ts_i64(col) -> np.ndarray:
     a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if pa.types.is_timestamp(a.type):
         a = a.cast(pa.timestamp("us", tz=a.type.tz), safe=False).cast(pa.int64())
-    return a.to_numpy(zero_copy_only=False).astype(np.int64)
+    # null slots surface as NaN and cast to an arbitrary int — callers that
+    # pass nullable ts (the bucketed-window state rows) order those rows by
+    # a higher-priority key, so the value never matters; silence the numpy
+    # cast warning rather than paying a null-scan on every hot path
+    with np.errstate(invalid="ignore"):
+        return a.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 def _shift(x: np.ndarray, k: int) -> np.ndarray:
