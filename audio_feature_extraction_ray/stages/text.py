@@ -890,6 +890,31 @@ def bpe_train(
     return ray.data.from_arrow(out)
 
 
+def greedy_pack_fold(tok: "np.ndarray", budget: int):
+    """The pure greedy close-on-overflow fold behind :func:`pack_sequences`:
+    given per-document token counts in pack order, return
+    (pack_of, pack_pos, pack_fill) arrays. Each step is one searchsorted
+    probe of the token cumsum, so Python work is O(output packs), not rows.
+    Property-tested against a row-at-a-time serial fold."""
+    n = len(tok)
+    c = np.cumsum(tok)
+    pack_of = np.empty(n, dtype=np.int64)
+    pos = np.empty(n, dtype=np.int64)
+    fill = np.empty(n, dtype=np.int64)
+    start, base, seq = 0, 0, 0
+    while start < n:
+        j = int(np.searchsorted(c, base + budget, side="right")) - 1
+        if j < start:
+            j = start  # oversize document: its own pack
+        pack_of[start : j + 1] = seq
+        pos[start : j + 1] = np.arange(j - start + 1)
+        fill[start : j + 1] = c[start : j + 1] - base
+        base = c[j]
+        start = j + 1
+        seq += 1
+    return pack_of, pos, fill
+
+
 def pack_sequences(
     ds: ray.data.Dataset,
     id_col: str,
@@ -953,21 +978,7 @@ def pack_sequences(
         part = block.column("part")[0].as_py()
         tok = pc.cast(block.column(tokens_col), pa.int64()).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        c = np.cumsum(tok)
-        pack_of = np.empty(n, dtype=np.int64)
-        pos = np.empty(n, dtype=np.int64)
-        fill = np.empty(n, dtype=np.int64)
-        start, base, seq = 0, 0, 0
-        while start < n:
-            j = int(np.searchsorted(c, base + budget, side="right")) - 1
-            if j < start:
-                j = start  # oversize document: its own pack
-            pack_of[start : j + 1] = seq
-            pos[start : j + 1] = np.arange(j - start + 1)
-            fill[start : j + 1] = c[start : j + 1] - base
-            base = c[j]
-            start = j + 1
-            seq += 1
+        pack_of, pos, fill = greedy_pack_fold(tok, budget)
         return pa.table({
             id_col: block.column(id_col),
             tokens_col: pa.array(tok),

@@ -103,3 +103,42 @@ def test_round_half_away_matches_duckdb_on_random_values():
         theirs = con.sql(f"SELECT round(x, {digits}) r FROM t").df()["r"].to_numpy()
         mism = np.flatnonzero(ours != theirs)
         assert len(mism) == 0, (digits, xs[mism[:3]], ours[mism[:3]], theirs[mism[:3]])
+
+
+@settings(max_examples=60, deadline=None)
+@given(tok=st.lists(st.integers(0, 400), min_size=1, max_size=200),
+       budget=st.integers(1, 300))
+def test_greedy_pack_fold_matches_serial(tok, budget):
+    from audio_feature_extraction_ray.stages.text import greedy_pack_fold
+
+    tok = np.asarray(tok, dtype=np.int64)
+    pack_of, pos, fill = greedy_pack_fold(tok, budget)
+    # row-at-a-time reference fold
+    seq, cur, p = 0, 0, 0
+    for i, t in enumerate(tok):
+        if i > 0 and cur + t > budget:
+            seq, cur, p = seq + 1, 0, 0
+        cur += t
+        assert pack_of[i] == seq
+        assert pos[i] == p
+        assert fill[i] == cur
+        p += 1
+    # invariants: fills within a pack are non-decreasing, packs contiguous
+    assert pack_of[0] == 0
+    assert np.all(np.diff(pack_of) >= 0) and np.all(np.diff(pack_of) <= 1)
+    closed = fill[np.concatenate((np.diff(pack_of) == 1, [True]))]
+    multi = np.bincount(pack_of)[pack_of[np.concatenate((np.diff(pack_of) == 1, [True]))]] > 1
+    assert np.all(closed[multi] <= budget)  # only singleton packs may overflow
+
+
+@settings(max_examples=80, deadline=None)
+@given(k=st.integers(0, 65536),
+       h=st.integers(0, 65535))
+def test_hex_threshold_string_compare_matches_integer(k, h):
+    """The SQL oracles compare md5 hex prefixes as STRINGS against
+    lpad(to_hex(k)); pin that this equals the integer comparison the
+    Python side uses, for every threshold including the keep-all edge."""
+    hs = format(h, "04x")
+    want = h < k
+    got = k >= 65536 or hs < format(k, "04x")
+    assert got == want
