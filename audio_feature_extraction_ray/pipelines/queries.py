@@ -1504,6 +1504,33 @@ FROM packed
 """
 
 
+def q_json_extract_events(sf_dir: str):
+    """Semi-structured parsing: flatten the JSON ``props`` column (polars
+    json_path_match, vectorized, zero shuffle) and aggregate the extracted
+    field per event type — proving extracted values feed the relational
+    operators directly."""
+    from ..stages.aggregates import grouped_agg_fast
+    from ..stages.reshape import json_extract_fields
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "props"])
+    flat = json_extract_fields(ev, "props", {"k": ("$.k", pa.int64())})
+    out = grouped_agg_fast(
+        flat, keys=["event_type"],
+        specs=[("k_sum", "k", "sum"), ("k_mean", "k", "mean")],
+        count_alias="n",
+    )
+    return _round_cols(out, ["k_mean"], digits=6)
+
+
+SQL_JSON_EXTRACT_EVENTS = """
+SELECT event_type,
+       SUM(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+       ROUND(AVG(CAST(props->>'$.k' AS BIGINT)), 6) AS k_mean,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 def q_concat_chunks_documents(sf_dir: str):
     """Concat-and-chunk span assignment (documents split across exact
     256-token chunk boundaries — the GPT-style packing alternative to
@@ -4645,6 +4672,7 @@ QUERIES = {
     "bpe_merges_documents": (q_bpe_merges_documents, None),
     "bpe_encode_documents": (q_bpe_encode_documents, None),
     "concat_chunks_documents": (q_concat_chunks_documents, SQL_CONCAT_CHUNKS_DOCUMENTS),
+    "json_extract_events": (q_json_extract_events, SQL_JSON_EXTRACT_EVENTS),
     "leakage_split_documents": (q_leakage_split_documents, SQL_LEAKAGE_SPLIT_DOCUMENTS),
     "augment_images": (q_augment_images, None),
     "quantize_embeddings": (q_quantize_embeddings, None),

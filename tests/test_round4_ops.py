@@ -315,3 +315,25 @@ def test_leakage_safe_split_groups_stay_together():
         assert rep == min(r["id"] for r in rows if r["fp"] == fp)
     # all three labels appear across 37 groups with these fractions
     assert {s for r in out for s in [r["split"]]} == {"train", "val", "rest"}
+
+
+def test_json_extract_fields_null_semantics():
+    from audio_feature_extraction_ray.stages.reshape import json_extract_fields
+
+    rows = [
+        {"i": 0, "j": '{"k": 5, "s": "x"}'},
+        {"i": 1, "j": '{"k": null}'},
+        {"i": 2, "j": '{}'},
+        {"i": 3, "j": 'not json'},
+        {"i": 4, "j": None},
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    out = sorted(json_extract_fields(
+        ds, "j", {"k": ("$.k", pa.int64()), "s": ("$.s", pa.string())}
+    ).take_all(), key=lambda r: r["i"])
+    assert [r["k"] for r in out] == [5, None, None, None, None]
+    assert [r["s"] for r in out] == ["x", None, None, None, None]
+    assert "j" not in out[0]
+    kept = json_extract_fields(ds, "j", {"k": ("$.k", pa.int64())},
+                               drop_json=False).take_all()
+    assert "j" in kept[0]
