@@ -1504,6 +1504,81 @@ FROM packed
 """
 
 
+def q_pagerank_orders(sf_dir: str):
+    """PageRank centrality over the bipartite customer↔supplier trade graph
+    (edges from lineitem ⋈ orders, both directions): 3 power iterations,
+    d=0.85 — the link-importance signal of a curation pipeline. The oracle
+    chains one CTE per iteration, so the iterative fixpoint is value-checked
+    to 9 digits, not rows-only."""
+    from ..stages.graph import pagerank
+    from ..stages.joins import hash_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       join_type="inner", num_partitions=8)
+    pairs = grouped_agg_fast(joined, keys=["o_custkey", "l_suppkey"], specs=[])
+
+    def both_ways(t: pa.Table) -> pa.Table:
+        c = pc.binary_join_element_wise(
+            pa.array(["c"] * t.num_rows), pc.cast(t.column("o_custkey"), pa.string()), "")
+        s = pc.binary_join_element_wise(
+            pa.array(["s"] * t.num_rows), pc.cast(t.column("l_suppkey"), pa.string()), "")
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        return pa.table({
+            "src": pa.concat_arrays([c, s]),
+            "dst": pa.concat_arrays([s, c]),
+        })
+
+    edges = pairs.map_batches(both_ways, batch_format="pyarrow", zero_copy_batch=True)
+    return pagerank(edges, iters=3, damping=0.85, digits=9)
+
+
+SQL_PAGERANK_ORDERS = """
+WITH e AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM (SELECT DISTINCT o_custkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+  UNION ALL
+  SELECT 's' || CAST(l_suppkey AS VARCHAR),
+         'c' || CAST(o_custkey AS VARCHAR)
+  FROM (SELECT DISTINCT o_custkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+),
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM n),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT nn FROM cnt) AS r FROM n),
+it1 AS (
+  SELECT n.node,
+         (1 - 0.85) / (SELECT nn FROM cnt)
+         + 0.85 * COALESCE(SUM(r0.r / deg.d), 0) AS r
+  FROM n LEFT JOIN e ON e.dst = n.node
+         LEFT JOIN r0 ON r0.node = e.src
+         LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n.node),
+it2 AS (
+  SELECT n.node,
+         (1 - 0.85) / (SELECT nn FROM cnt)
+         + 0.85 * COALESCE(SUM(it1.r / deg.d), 0) AS r
+  FROM n LEFT JOIN e ON e.dst = n.node
+         LEFT JOIN it1 ON it1.node = e.src
+         LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n.node),
+it3 AS (
+  SELECT n.node,
+         (1 - 0.85) / (SELECT nn FROM cnt)
+         + 0.85 * COALESCE(SUM(it2.r / deg.d), 0) AS r
+  FROM n LEFT JOIN e ON e.dst = n.node
+         LEFT JOIN it2 ON it2.node = e.src
+         LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n.node)
+SELECT node, ROUND(r, 9) AS rank FROM it3
+"""
+
+
 def q_json_extract_events(sf_dir: str):
     """Semi-structured parsing: flatten the JSON ``props`` column (polars
     json_path_match, vectorized, zero shuffle) and aggregate the extracted
@@ -4673,6 +4748,7 @@ QUERIES = {
     "bpe_encode_documents": (q_bpe_encode_documents, None),
     "concat_chunks_documents": (q_concat_chunks_documents, SQL_CONCAT_CHUNKS_DOCUMENTS),
     "json_extract_events": (q_json_extract_events, SQL_JSON_EXTRACT_EVENTS),
+    "pagerank_orders": (q_pagerank_orders, SQL_PAGERANK_ORDERS),
     "leakage_split_documents": (q_leakage_split_documents, SQL_LEAKAGE_SPLIT_DOCUMENTS),
     "augment_images": (q_augment_images, None),
     "quantize_embeddings": (q_quantize_embeddings, None),

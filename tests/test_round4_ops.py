@@ -337,3 +337,44 @@ def test_json_extract_fields_null_semantics():
     kept = json_extract_fields(ds, "j", {"k": ("$.k", pa.int64())},
                                drop_json=False).take_all()
     assert "j" in kept[0]
+
+
+def test_pagerank_matches_serial_with_dangling():
+    from audio_feature_extraction_ray.stages.graph import pagerank
+
+    # a -> b -> c, c dangling; d -> b
+    E = [("a", "b"), ("b", "c"), ("d", "b")]
+    ds = ray.data.from_items([{"src": s, "dst": d} for s, d in E]).repartition(2)
+    out = {r["node"]: r["rank"] for r in pagerank(ds, iters=4, digits=12).take_all()}
+
+    nodes = sorted({x for e in E for x in e})
+    n = len(nodes)
+    deg = {u: sum(1 for s, _ in E if s == u) for u in nodes}
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(4):
+        dangling = sum(r[u] for u in nodes if deg[u] == 0)
+        nxt = {}
+        for v in nodes:
+            contrib = sum(r[s] / deg[s] for s, d in E if d == v)
+            nxt[v] = (1 - 0.85) / n + 0.85 * (contrib + dangling / n)
+        r = nxt
+    for u in nodes:
+        assert abs(out[u] - round(r[u], 12)) < 1e-10, (u, out[u], r[u])
+    # ranks form a probability distribution (dangling mass redistributed)
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_empty_and_threshold():
+    import pytest as _pytest
+
+    from audio_feature_extraction_ray.stages.graph import pagerank
+
+    empty = ray.data.from_items([]).map_batches(
+        lambda t: t, batch_format="pyarrow")
+    # empty edge list -> empty result (build a typed empty edges table)
+    e = ray.data.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                      "dst": pa.array([], pa.string())}))
+    assert pagerank(e).take_all() == []
+    big = ray.data.from_items([{"src": f"n{i}", "dst": f"n{i+1}"} for i in range(50)])
+    with _pytest.raises(ValueError):
+        pagerank(big, node_threshold=10)
