@@ -1579,6 +1579,66 @@ SELECT node, ROUND(r, 9) AS rank FROM it3
 """
 
 
+def q_triangles_suppliers(sf_dir: str):
+    """Exact triangle count over the supplier co-purchase projection (two
+    suppliers connected iff they share a customer): degree-oriented wedge
+    generation + one bucket join against the oriented edge set — the
+    multi-way self-join shape, value-checked against a three-way SQL
+    self-join."""
+    from ..stages.graph import triangle_count
+    from ..stages.joins import hash_join
+    from ..stages.util import coarse_partitioned
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       join_type="inner", num_partitions=8)
+    cs = grouped_agg_fast(joined, keys=["o_custkey", "l_suppkey"], specs=[])
+
+    def supplier_pairs(block: pa.Table) -> pa.Table:
+        import numpy as np
+
+        out_schema = pa.schema([pa.field("src", pa.int64()),
+                                pa.field("dst", pa.int64())])
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        c = block.column("o_custkey").to_numpy(zero_copy_only=False)
+        s = block.column("l_suppkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, c))
+        c, s = c[order], s[order]
+        starts = np.concatenate(([0], np.flatnonzero(c[1:] != c[:-1]) + 1,
+                                 [len(c)]))
+        us, vs = [], []
+        for i in range(len(starts) - 1):
+            adj = s[starts[i]:starts[i + 1]]
+            iu, ju = np.triu_indices(len(adj), k=1)
+            us.append(adj[iu])
+            vs.append(adj[ju])
+        return pa.table({"src": pa.array(np.concatenate(us), pa.int64()),
+                         "dst": pa.array(np.concatenate(vs), pa.int64())})
+
+    ss = coarse_partitioned(cs, "o_custkey", supplier_pairs)
+    return triangle_count(ss, "src", "dst")
+
+
+SQL_TRIANGLES_SUPPLIERS = """
+WITH cs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+ss AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+),
+tri AS (
+  SELECT COUNT(*) AS n
+  FROM ss x JOIN ss y ON y.u = x.u AND y.v > x.v
+            JOIN ss z ON z.u = x.v AND z.v = y.v
+)
+SELECT CAST(n AS BIGINT) AS n_triangles, FALSE AS truncated FROM tri
+"""
+
+
 def q_json_extract_events(sf_dir: str):
     """Semi-structured parsing: flatten the JSON ``props`` column (polars
     json_path_match, vectorized, zero shuffle) and aggregate the extracted
@@ -4749,6 +4809,7 @@ QUERIES = {
     "concat_chunks_documents": (q_concat_chunks_documents, SQL_CONCAT_CHUNKS_DOCUMENTS),
     "json_extract_events": (q_json_extract_events, SQL_JSON_EXTRACT_EVENTS),
     "pagerank_orders": (q_pagerank_orders, SQL_PAGERANK_ORDERS),
+    "triangles_suppliers": (q_triangles_suppliers, SQL_TRIANGLES_SUPPLIERS),
     "leakage_split_documents": (q_leakage_split_documents, SQL_LEAKAGE_SPLIT_DOCUMENTS),
     "augment_images": (q_augment_images, None),
     "quantize_embeddings": (q_quantize_embeddings, None),

@@ -378,3 +378,39 @@ def test_pagerank_empty_and_threshold():
     big = ray.data.from_items([{"src": f"n{i}", "dst": f"n{i+1}"} for i in range(50)])
     with _pytest.raises(ValueError):
         pagerank(big, node_threshold=10)
+
+
+def test_triangle_count_known_graphs():
+    from audio_feature_extraction_ray.stages.graph import triangle_count
+
+    def run(edges):
+        ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges]).repartition(2)
+        rows = triangle_count(ds).take_all()
+        assert len(rows) == 1 and rows[0]["truncated"] is False
+        return rows[0]["n_triangles"]
+
+    # K4 has 4 triangles; duplicate/reversed/self edges must not change it
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    assert run(k4) == 4
+    assert run(k4 + [("b", "a"), ("c", "c"), ("a", "b")]) == 4
+    # a 5-cycle has none; adding one chord makes exactly one
+    c5 = [("1", "2"), ("2", "3"), ("3", "4"), ("4", "5"), ("5", "1")]
+    assert run(c5) == 0
+    assert run(c5 + [("1", "3")]) == 1
+
+
+def test_triangle_count_random_matches_bruteforce():
+    from itertools import combinations
+
+    from audio_feature_extraction_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(13)
+    nodes = [f"n{i}" for i in range(24)]
+    edges = {tuple(sorted(rng.choice(nodes, 2, replace=False))) for _ in range(90)}
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges])
+    got = triangle_count(ds).take_all()[0]["n_triangles"]
+    es = set(edges)
+    want = sum(1 for a, b, c in combinations(sorted(nodes), 3)
+               if tuple(sorted((a, b))) in es and tuple(sorted((b, c))) in es
+               and tuple(sorted((a, c))) in es)
+    assert got == want
