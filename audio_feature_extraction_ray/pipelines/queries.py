@@ -1579,13 +1579,9 @@ SELECT node, ROUND(r, 9) AS rank FROM it3
 """
 
 
-def q_triangles_suppliers(sf_dir: str):
-    """Exact triangle count over the supplier co-purchase projection (two
-    suppliers connected iff they share a customer): degree-oriented wedge
-    generation + one bucket join against the oriented edge set — the
-    multi-way self-join shape, value-checked against a three-way SQL
-    self-join."""
-    from ..stages.graph import triangle_count
+def _supplier_projection(sf_dir: str):
+    """Distinct supplier–supplier edges (two suppliers share ≥1 customer):
+    the co-purchase projection both graph gate queries run on."""
     from ..stages.joins import hash_join
     from ..stages.util import coarse_partitioned
 
@@ -1617,8 +1613,21 @@ def q_triangles_suppliers(sf_dir: str):
         return pa.table({"src": pa.array(np.concatenate(us), pa.int64()),
                          "dst": pa.array(np.concatenate(vs), pa.int64())})
 
-    ss = coarse_partitioned(cs, "o_custkey", supplier_pairs)
-    return triangle_count(ss, "src", "dst")
+    pairs = coarse_partitioned(cs, "o_custkey", supplier_pairs)
+    from ..stages.aggregates import grouped_agg_fast as _gaf
+
+    return _gaf(pairs, keys=["src", "dst"], specs=[])
+
+
+def q_triangles_suppliers(sf_dir: str):
+    """Exact triangle count over the supplier co-purchase projection (two
+    suppliers connected iff they share a customer): degree-oriented wedge
+    generation + one bucket join against the oriented edge set — the
+    multi-way self-join shape, value-checked against a three-way SQL
+    self-join."""
+    from ..stages.graph import triangle_count
+
+    return triangle_count(_supplier_projection(sf_dir), "src", "dst")
 
 
 SQL_TRIANGLES_SUPPLIERS = """
@@ -1636,6 +1645,52 @@ tri AS (
             JOIN ss z ON z.u = x.v AND z.v = y.v
 )
 SELECT CAST(n AS BIGINT) AS n_triangles, FALSE AS truncated FROM tri
+"""
+
+
+def q_clustering_suppliers(sf_dir: str):
+    """Per-node local clustering coefficients over the supplier co-purchase
+    projection — per-node triangle attribution through the same oriented
+    wedge join, value-checked against the SQL three-way join grouped per
+    corner."""
+    from ..stages.graph import local_clustering
+
+    ss = _supplier_projection(sf_dir)
+    return local_clustering(ss, "src", "dst")
+
+
+SQL_CLUSTERING_SUPPLIERS = """
+WITH cs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+ss AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM ss UNION ALL SELECT v FROM ss)
+  GROUP BY node
+),
+tri AS (
+  SELECT x.u AS a, x.v AS b, y.v AS c
+  FROM ss x JOIN ss y ON y.u = x.u AND y.v > x.v
+            JOIN ss z ON z.u = x.v AND z.v = y.v
+),
+pn AS (
+  SELECT node, COUNT(*) AS t
+  FROM (SELECT a AS node FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL
+        SELECT c FROM tri)
+  GROUP BY node
+)
+SELECT CAST(d.node AS VARCHAR) AS node,
+       CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(pn.t, 0) AS BIGINT) AS triangles,
+       ROUND(CASE WHEN d.d >= 2 THEN 2.0 * COALESCE(pn.t, 0) / (d.d * (d.d - 1))
+                  ELSE 0 END, 6) AS cc
+FROM deg d LEFT JOIN pn ON pn.node = d.node
 """
 
 
@@ -4810,6 +4865,7 @@ QUERIES = {
     "json_extract_events": (q_json_extract_events, SQL_JSON_EXTRACT_EVENTS),
     "pagerank_orders": (q_pagerank_orders, SQL_PAGERANK_ORDERS),
     "triangles_suppliers": (q_triangles_suppliers, SQL_TRIANGLES_SUPPLIERS),
+    "clustering_suppliers": (q_clustering_suppliers, SQL_CLUSTERING_SUPPLIERS),
     "leakage_split_documents": (q_leakage_split_documents, SQL_LEAKAGE_SPLIT_DOCUMENTS),
     "augment_images": (q_augment_images, None),
     "quantize_embeddings": (q_quantize_embeddings, None),

@@ -414,3 +414,23 @@ def test_triangle_count_random_matches_bruteforce():
                if tuple(sorted((a, b))) in es and tuple(sorted((b, c))) in es
                and tuple(sorted((a, c))) in es)
     assert got == want
+
+
+def test_local_clustering_known_graph():
+    from audio_feature_extraction_ray.stages.graph import local_clustering
+
+    # K4 plus a pendant node p attached to a
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("a", "p")]
+    ds = ray.data.from_items([{"src": s, "dst": d} for s, d in edges]).repartition(2)
+    out = {r["node"]: r for r in local_clustering(ds).take_all()}
+    # b, c, d: degree 3, all 3 neighbor pairs connected -> cc 1.0
+    for v in "bcd":
+        assert out[v]["degree"] == 3 and out[v]["triangles"] == 3
+        assert out[v]["cc"] == 1.0
+    # a: degree 4, triangles 3 (with bcd pairs), cc = 2*3/(4*3) = 0.5
+    assert out["a"]["degree"] == 4 and out["a"]["triangles"] == 3
+    assert out["a"]["cc"] == 0.5
+    # pendant: degree 1 -> cc 0
+    assert out["p"]["degree"] == 1 and out["p"]["triangles"] == 0
+    assert out["p"]["cc"] == 0.0
