@@ -467,6 +467,36 @@ def run_semdedup(cap: StatsCapture, sf_dir: str, scale: int) -> int:
     return n
 
 
+
+def run_pagerank(cap: StatsCapture, sf_dir: str, scale: int) -> int:
+    """PageRank: the exchanges are the edge-build join + distinct; the
+    power iterations themselves move only node-scale bincount partials."""
+    from audio_feature_extraction_ray.pipelines.queries import QUERIES
+
+    res = QUERIES["pagerank_orders"][0](sf_dir)
+    n = consume(res)
+    cap.add_final(res)
+    return n
+
+
+# tiling customers/suppliers would change the graph's degree structure and
+# triangle density nonlinearly; audit the graph operators' exchange shape
+# at 1x only (their per-iteration exchanges are node-scale by construction)
+run_pagerank.scales = (1,)
+
+
+def run_triangles(cap: StatsCapture, sf_dir: str, scale: int) -> int:
+    from audio_feature_extraction_ray.pipelines.queries import QUERIES
+
+    res = QUERIES["triangles_suppliers"][0](sf_dir)
+    n = consume(res)
+    cap.add_final(res)
+    return n
+
+
+run_triangles.scales = (1,)
+
+
 PIPELINES = {
     "flagship_images_pit": run_flagship,
     "rolling_time_mean_bucketed": run_rolling_bucketed,
@@ -482,6 +512,8 @@ PIPELINES = {
     "pack_sequences_documents": run_pack_sequences,
     "mix_domains_documents": run_mix_domains,
     "semdedup_embeddings": run_semdedup,
+    "pagerank_orders": run_pagerank,
+    "triangles_suppliers": run_triangles,
 }
 
 
