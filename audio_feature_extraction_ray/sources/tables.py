@@ -66,3 +66,31 @@ def _default_blocks(path: str) -> int:
         md.row_group(i).total_byte_size for i in range(md.num_row_groups)
     ) // (128 << 20)
     return max(8, min(2048, max(by_rows, by_bytes)))
+
+
+def read_table_any(
+    sf_dir: str,
+    name: str,
+    columns: list[str] | None = None,
+    file_format: str = "parquet",
+    **kwargs,
+) -> ray.data.Dataset:
+    """Format-pluggable table read: ``parquet`` (delegates to
+    :func:`read_table` — footer-pruned columns, data-sized blocks), ``csv``
+    or ``json`` (newline-delimited JSONL, the standard text-corpus
+    interchange format). Non-parquet formats have no footer to push column
+    pruning into, so the projection applies immediately after the read —
+    pruned before the first exchange, which is what matters for wire bytes;
+    the scan itself still reads whole records (inherent to row-oriented
+    formats, and the reason the engine's canonical storage is columnar).
+    """
+    if file_format == "parquet":
+        return read_table(sf_dir, name, columns=columns, **kwargs)
+    path = os.path.join(sf_dir, f"{name}.{file_format}")
+    if file_format == "csv":
+        ds = ray.data.read_csv(path, **kwargs)
+    elif file_format == "json":
+        ds = ray.data.read_json(path, **kwargs)
+    else:
+        raise ValueError(f"unsupported file_format: {file_format!r}")
+    return ds.select_columns(columns) if columns else ds

@@ -434,3 +434,35 @@ def test_local_clustering_known_graph():
     # pendant: degree 1 -> cc 0
     assert out["p"]["degree"] == 1 and out["p"]["triangles"] == 0
     assert out["p"]["cc"] == 0.0
+
+
+def test_read_table_any_formats_roundtrip(tmp_path):
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from audio_feature_extraction_ray.sources.tables import read_table_any
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    df = t.to_pandas()
+    # jsonl + csv copies of the same table
+    with open(tmp_path / "documents.json", "w") as f:
+        for r in df.to_dict("records"):
+            f.write(_json.dumps(r) + "\n")
+    df.to_csv(tmp_path / "documents.csv", index=False)
+
+    want = df[["doc_id", "source"]].sort_values("doc_id").reset_index(drop=True)
+    for fmt in ("json", "csv"):
+        got = read_table_any(str(tmp_path), "documents",
+                             columns=["doc_id", "source"], file_format=fmt) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert got.equals(want), fmt
+    # parquet path delegates to the pruned reader
+    got = read_table_any("/root/testdata/sf0.001", "documents",
+                         columns=["doc_id", "source"]) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(want)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_table_any(str(tmp_path), "documents", file_format="xml")
