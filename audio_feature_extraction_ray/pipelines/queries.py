@@ -4728,7 +4728,7 @@ QUERIES = {
     "approx_percentiles_events": (q_approx_percentiles_events, SQL_APPROX_PERCENTILES_EVENTS),
     "top10_order_revenue": (q_top10_order_revenue, SQL_TOP10_ORDER_REVENUE),
     "heavy_hitter_customers": (q_heavy_hitter_customers, SQL_HEAVY_HITTER_CUSTOMERS),
-    "group_standardize_events": (q_group_standardize_events, SQL_GROUP_STANDARDIZE_EVENTS),
+    "json_extract_events": (q_json_extract_events, SQL_JSON_EXTRACT_EVENTS),
     "target_encode_events": (q_target_encode_events, SQL_TARGET_ENCODE_EVENTS),
     "melt_lineitem": (q_melt_lineitem, SQL_MELT_LINEITEM),
     "set_ops_orders": (q_set_ops_orders, SQL_SET_OPS_ORDERS),
@@ -4736,7 +4736,7 @@ QUERIES = {
     # -- 15-19: joins
     "join_customer_orders": (q_join_customer_orders, SQL_JOIN_CUSTOMER_ORDERS),
     "anti_join_customers": (q_anti_join_customers, SQL_ANTI_JOIN_CUSTOMERS),
-    "bloom_semi_orders": (q_bloom_semi_orders, SQL_BLOOM_SEMI_ORDERS),
+    "pagerank_orders": (q_pagerank_orders, SQL_PAGERANK_ORDERS),
     "native_hash_join": (q_native_hash_join, SQL_NATIVE_HASH_JOIN),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "interval_join_events": (q_interval_join_events, SQL_INTERVAL_JOIN_EVENTS),
@@ -4862,8 +4862,6 @@ QUERIES = {
     "bpe_merges_documents": (q_bpe_merges_documents, None),
     "bpe_encode_documents": (q_bpe_encode_documents, None),
     "concat_chunks_documents": (q_concat_chunks_documents, SQL_CONCAT_CHUNKS_DOCUMENTS),
-    "json_extract_events": (q_json_extract_events, SQL_JSON_EXTRACT_EVENTS),
-    "pagerank_orders": (q_pagerank_orders, SQL_PAGERANK_ORDERS),
     "triangles_suppliers": (q_triangles_suppliers, SQL_TRIANGLES_SUPPLIERS),
     "clustering_suppliers": (q_clustering_suppliers, SQL_CLUSTERING_SUPPLIERS),
     "leakage_split_documents": (q_leakage_split_documents, SQL_LEAKAGE_SPLIT_DOCUMENTS),
@@ -4877,6 +4875,8 @@ QUERIES = {
     "evaluation_report": (q_evaluation_report, None),
     "approx_percentiles_sketch_events": (q_approx_percentiles_sketch_events, None),
     "visualize_images": (q_visualize_images, None),
+    "bloom_semi_orders": (q_bloom_semi_orders, SQL_BLOOM_SEMI_ORDERS),
+    "group_standardize_events": (q_group_standardize_events, SQL_GROUP_STANDARDIZE_EVENTS),
     "quantile_bucket_orders": (q_quantile_bucket_orders, SQL_QUANTILE_BUCKET_ORDERS),
     "one_hot_events": (q_one_hot_events, SQL_ONE_HOT_EVENTS),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
