@@ -466,3 +466,36 @@ def test_read_table_any_formats_roundtrip(tmp_path):
 
     with _pytest.raises(ValueError):
         read_table_any(str(tmp_path), "documents", file_format="xml")
+
+
+def test_rolling_corr_matches_pandas():
+    import pandas as pd
+
+    from audio_feature_extraction_ray.stages.window import rolling_corr
+
+    rng = np.random.default_rng(21)
+    n = 400
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.integers(0, 7, n), pa.int64()),
+        "ts": pa.array((np.sort(rng.integers(0, 10**9, n)) * 1000).astype("datetime64[us]")),
+        "value": pa.array(np.where(rng.random(n) < 0.1, np.nan,
+                                   rng.normal(size=n)), pa.float64(),
+                          from_pandas=True),
+    })
+    out = rolling_corr(ray.data.from_arrow(t).repartition(5),
+                       "user_id", "ts", x="ts", y="value", k=8).take_all()
+    got = {r["event_id"]: r["ts_value_rollcorr_8"] for r in out}
+
+    df = t.to_pandas()
+    for uid, g in df.sort_values(["user_id", "ts"]).groupby("user_id"):
+        x = g["ts"].astype("int64").astype("float64")
+        y = g["value"]
+        want = x.rolling(8, min_periods=2).corr(y)
+        for eid, w in zip(g["event_id"], want):
+            gv = got[eid]
+            if pd.isna(w) or np.isinf(w):
+                # pandas emits inf/nan for degenerate windows; ours is NULL
+                assert gv is None or np.isnan(gv), (eid, w, gv)
+            else:
+                assert gv is not None and abs(gv - w) < 1e-9, (eid, w, gv)
