@@ -1520,10 +1520,15 @@ def q_pagerank_orders(sf_dir: str):
     pairs = grouped_agg_fast(joined, keys=["o_custkey", "l_suppkey"], specs=[])
 
     def both_ways(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string())})
         c = pc.binary_join_element_wise(
-            pa.array(["c"] * t.num_rows), pc.cast(t.column("o_custkey"), pa.string()), "")
+            pa.array(["c"] * t.num_rows, pa.string()),
+            pc.cast(t.column("o_custkey"), pa.string()), "")
         s = pc.binary_join_element_wise(
-            pa.array(["s"] * t.num_rows), pc.cast(t.column("l_suppkey"), pa.string()), "")
+            pa.array(["s"] * t.num_rows, pa.string()),
+            pc.cast(t.column("l_suppkey"), pa.string()), "")
         c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
         s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
         return pa.table({

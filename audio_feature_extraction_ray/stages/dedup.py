@@ -1105,7 +1105,7 @@ def semantic_dedup(
             keep[s:e] = ~(mp >= threshold)
         cl = group.column("cluster")[0].as_py() if n else -1
         return pa.table({
-            id_col: pa.array(ids.astype(np.int64), pa.int64()),
+            id_col: pa.array(ids, group.schema.field(id_col).type),
             "cluster": pa.array(np.full(n, cl, dtype=np.int64)),
             "keep": pa.array(keep),
             "max_prior_sim": pa.array(np.round(max_prior, 6), pa.float64(),

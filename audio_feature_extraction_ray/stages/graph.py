@@ -139,6 +139,126 @@ def pagerank(
     }))
 
 
+def _normalize_edges(edges: ray.data.Dataset, a_col: str, b_col: str):
+    """Distinct undirected (u, v) pairs with self-loops dropped and both
+    endpoints cast to string — the shared first step of the wedge-join
+    operators."""
+    from .aggregates import grouped_agg_fast
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column(a_col), pa.string())
+        b = pc.cast(t.column(b_col), pa.string())
+        keep = pc.invert(pc.equal(a, b))
+        a, b = a.filter(keep), b.filter(keep)
+        return pa.table({"u": pc.min_element_wise(a, b),
+                         "v": pc.max_element_wise(a, b)})
+
+    return grouped_agg_fast(
+        edges.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["u", "v"], specs=[],
+    ).materialize()
+
+
+def _degrees(und: ray.data.Dataset):
+    """(degree Dataset, degree dict) over the distinct undirected edges.
+    The dict is node-scale and broadcast — the same contract as
+    :func:`pagerank`'s node vector."""
+    from .aggregates import grouped_agg_fast
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([
+            c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            for c in (t.column("u"), t.column("v"))])
+        return pa.table({"node": both})
+
+    deg_ds = grouped_agg_fast(
+        und.map_batches(deg_rows, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["node"], specs=[], count_alias="degree",
+    ).materialize()
+    return deg_ds, {r["node"]: r["degree"] for r in deg_ds.take_all()}
+
+
+def _orient(und: ray.data.Dataset, deg: dict):
+    """Compact-forward orientation: every edge points from its
+    (degree, node)-smaller endpoint to the larger, bounding any node's
+    out-neighborhood by ~sqrt(2m)."""
+    dref = ray.put(deg)
+
+    def orient(t: pa.Table) -> pa.Table:
+        dm = ray.get(dref)
+        u = t.column("u").to_pylist()
+        v = t.column("v").to_pylist()
+        su, sv = [], []
+        for x, y in zip(u, v):
+            if (dm[x], x) <= (dm[y], y):
+                su.append(x); sv.append(y)
+            else:
+                su.append(y); sv.append(x)
+        return pa.table({"s": pa.array(su, pa.string()),
+                         "t": pa.array(sv, pa.string())})
+
+    return und.map_batches(orient, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+
+def _pair_key(a, b) -> "pa.Array":
+    """Collision-free join key for a node pair: ``f"{len(a)}:{a}{b}"``.
+    Node labels are arbitrary strings (any byte may appear), so no
+    separator char is safe — the length prefix makes the encoding
+    injective instead. Built columnar from two string arrays."""
+    ln = pc.cast(pc.utf8_length(a), pa.string())
+    return pc.binary_join_element_wise(ln, a, b, ":")
+
+
+def _edge_keys(oriented: ray.data.Dataset) -> ray.data.Dataset:
+    """Both key orders of every oriented edge — a wedge's two endpoints may
+    be closed by an edge oriented either way between them."""
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        key = _pair_key(t.column("s"), t.column("t"))
+        rev = _pair_key(t.column("t"), t.column("s"))
+        both = pa.concat_arrays([
+            c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            for c in (key, rev)])
+        return pa.table({"pair": both})
+
+    return oriented.map_batches(edge_keys, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+def _adjacency_wedges(block: pa.Table, max_adj: int, keep_apex: bool):
+    """Vectorized wedge enumeration over one coarse partition of oriented
+    edges: per apex, all out-neighbor pairs via ``np.triu_indices``.
+    Returns (a, b, apex, truncated) numpy arrays (apex None-filled when
+    ``keep_apex`` is False)."""
+    s = np.asarray(block.column("s").to_pylist(), dtype=object)
+    t_ = np.asarray(block.column("t").to_pylist(), dtype=object)
+    order = np.lexsort((t_, s))
+    s, t_ = s[order], t_[order]
+    starts = np.concatenate(([0], np.flatnonzero(s[1:] != s[:-1]) + 1,
+                             [len(s)]))
+    a_out, b_out, apex_out = [], [], []
+    truncated = False
+    for i in range(len(starts) - 1):
+        adj = t_[starts[i]:starts[i + 1]]
+        if len(adj) > max_adj:
+            adj = adj[:max_adj]
+            truncated = True
+        iu, ju = np.triu_indices(len(adj), k=1)
+        if len(iu) == 0:
+            continue
+        a_out.append(adj[iu])
+        b_out.append(adj[ju])
+        if keep_apex:
+            apex_out.append(np.full(len(iu), s[starts[i]], dtype=object))
+    if not a_out:
+        return None, None, None, truncated
+    a = np.concatenate(a_out)
+    b = np.concatenate(b_out)
+    apex = np.concatenate(apex_out) if keep_apex else None
+    return a, b, apex, truncated
+
+
 def triangle_count(
     edges: ray.data.Dataset,
     a_col: str = "src",
@@ -151,66 +271,22 @@ def triangle_count(
     multi-way self-join benchmark and the clustering-coefficient numerator.
 
     Algorithm (compact-forward / degree orientation, public): orient every
-    edge from the (degree, node)-smaller endpoint to the larger, so each
-    node's out-neighborhood is bounded by ~sqrt(2m) on any graph — the
-    orientation that keeps hub nodes from generating quadratic wedges.
-    Wedges (pairs within one node's out-neighborhood) are emitted per
-    coarse src partition and joined against the oriented edge set
-    (:func:`~.joins.bucket_hash_join` on the packed pair key); each match
-    is exactly one triangle. ``max_adj`` caps a single adjacency list
-    (logged flag column, same contract as the dedup pair caps).
-
-    Degrees are node-scale and broadcast once (same contract as
-    :func:`pagerank`). Output: one row ``(n_triangles, truncated)``.
+    edge from the (degree, node)-smaller endpoint to the larger, enumerate
+    wedges (out-neighbor pairs) per coarse src partition with vectorized
+    ``triu_indices`` + a polars count-combine, and close them with ONE
+    bucket join against the oriented edge set (length-prefixed injective
+    pair keys — node labels may contain any byte). ``max_adj`` caps a
+    single adjacency list (``truncated`` flag, same contract as the dedup
+    pair caps). Output: one row ``(n_triangles, truncated)``.
     """
-    from .aggregates import grouped_agg_fast
+    import polars as pl
+
     from .joins import bucket_hash_join
     from .util import coarse_partitioned
 
-    def norm(t: pa.Table) -> pa.Table:
-        a = pc.cast(t.column(a_col), pa.string())
-        b = pc.cast(t.column(b_col), pa.string())
-        keep = pc.invert(pc.equal(a, b))
-        a, b = a.filter(keep), b.filter(keep)
-        lo = pc.min_element_wise(a, b)
-        hi = pc.max_element_wise(a, b)
-        return pa.table({"u": lo, "v": hi})
-
-    und = grouped_agg_fast(
-        edges.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True),
-        keys=["u", "v"], specs=[],
-    ).materialize()
-
-    # node degrees over the distinct undirected edges (broadcast, node-scale)
-    def deg_rows(t: pa.Table) -> pa.Table:
-        both = pa.concat_arrays([
-            c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-            for c in (t.column("u"), t.column("v"))])
-        return pa.table({"node": both})
-
-    deg_ds = grouped_agg_fast(
-        und.map_batches(deg_rows, batch_format="pyarrow", zero_copy_batch=True),
-        keys=["node"], specs=[], count_alias="d",
-    )
-    deg = {r["node"]: r["d"] for r in deg_ds.take_all()}
-    dref = ray.put(deg)
-
-    def orient(t: pa.Table) -> pa.Table:
-        dm = ray.get(dref)
-        u = t.column("u").to_pylist()
-        v = t.column("v").to_pylist()
-        su, sv = [], []
-        for x, y in zip(u, v):
-            # orient from (deg, node)-smaller to larger
-            if (dm[x], x) <= (dm[y], y):
-                su.append(x); sv.append(y)
-            else:
-                su.append(y); sv.append(x)
-        return pa.table({"s": pa.array(su, pa.string()),
-                         "t": pa.array(sv, pa.string())})
-
-    oriented = und.map_batches(orient, batch_format="pyarrow",
-                               zero_copy_batch=True).materialize()
+    und = _normalize_edges(edges, a_col, b_col)
+    _, deg = _degrees(und)
+    oriented = _orient(und, deg)
 
     def wedges(block: pa.Table) -> pa.Table:
         out_schema = pa.schema([pa.field("pair", pa.string()),
@@ -218,49 +294,23 @@ def triangle_count(
                                 pa.field("trunc", pa.bool_())])
         if block.num_rows == 0:
             return out_schema.empty_table()
-        s = np.asarray(block.column("s").to_pylist(), dtype=object)
-        t_ = np.asarray(block.column("t").to_pylist(), dtype=object)
-        order = np.lexsort((t_, s))
-        s, t_ = s[order], t_[order]
-        starts = np.concatenate(([0], np.flatnonzero(s[1:] != s[:-1]) + 1,
-                                 [len(s)]))
-        pairs: dict[str, int] = {}
-        truncated = False
-        for i in range(len(starts) - 1):
-            adj = t_[starts[i]:starts[i + 1]]
-            if len(adj) > max_adj:
-                adj = adj[:max_adj]
-                truncated = True
-            L = len(adj)
-            for j in range(L - 1):
-                aj = adj[j]
-                for k in range(j + 1, L):
-                    key = aj + "\x1f" + adj[k]
-                    pairs[key] = pairs.get(key, 0) + 1
-        if not pairs:
+        a, b, _, truncated = _adjacency_wedges(block, max_adj, keep_apex=False)
+        if a is None:
             return out_schema.empty_table()
-        return pa.table({
-            "pair": pa.array(list(pairs.keys()), pa.string()),
-            "n": pa.array(list(pairs.values()), pa.int64()),
-            "trunc": pa.array([truncated] * len(pairs)),
-        })
+        key = _pair_key(pa.array(a, pa.string()), pa.array(b, pa.string()))
+        agg = (
+            pl.from_arrow(pa.table({"pair": key}))
+            .group_by("pair").len("n")
+            .to_arrow()
+        )
+        agg = agg.cast(pa.schema([pa.field("pair", pa.string()),
+                                  pa.field("n", pa.int64())]))
+        return agg.append_column(
+            "trunc", pa.array([truncated] * agg.num_rows))
 
     wedge_ds = coarse_partitioned(oriented, "s", wedges,
                                   n_partitions=n_partitions)
-
-    def edge_keys(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(t.column("s"), t.column("t"), "\x1f")
-        rev = pc.binary_join_element_wise(t.column("t"), t.column("s"), "\x1f")
-        both = pa.concat_arrays([
-            c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-            for c in (key, rev)])
-        return pa.table({"pair": both})
-
-    # wedge endpoints are both out-neighbors of some node; the closing edge
-    # may be oriented either way between them, so match both key orders
-    ekeys = oriented.map_batches(edge_keys, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-    matched = bucket_hash_join(wedge_ds, ekeys, on="pair",
+    matched = bucket_hash_join(wedge_ds, _edge_keys(oriented), on="pair",
                                num_buckets=n_partitions)
 
     def reduce_part(t: pa.Table) -> pa.Table:
@@ -271,11 +321,10 @@ def triangle_count(
 
     parts = matched.map_batches(reduce_part, batch_format="pyarrow",
                                 zero_copy_batch=True).take_all()
-    total = sum(r["n_triangles"] for r in parts)
-    trunc = any(r["truncated"] for r in parts)
     return ray.data.from_arrow(pa.table({
-        "n_triangles": pa.array([total], pa.int64()),
-        "truncated": pa.array([trunc]),
+        "n_triangles": pa.array([sum(r["n_triangles"] for r in parts)],
+                                pa.int64()),
+        "truncated": pa.array([any(r["truncated"] for r in parts)]),
     }))
 
 
@@ -289,10 +338,11 @@ def local_clustering(
 ) -> ray.data.Dataset:
     """Per-node triangle counts and local clustering coefficient
     ``cc(v) = 2·T(v) / (d(v)·(d(v)−1))`` — the neighborhood-density signal
-    (how clique-like is each node's egonet). Same degree-oriented wedge
-    machinery as :func:`triangle_count`, but wedges keep their apex node so
-    each closed triangle attributes to all THREE corners; the per-node
-    counts then combine map-side. Nodes with degree < 2 get cc = 0.
+    (how clique-like is each node's egonet). Same machinery as
+    :func:`triangle_count`, but wedges keep their apex node AND both
+    endpoints as columns, so each closed triangle attributes to all THREE
+    corners without re-parsing the join key; per-node counts then combine
+    map-side. Nodes with degree < 2 get cc = 0.
 
     Output: (node, degree, triangles, cc) with cc rounded to ``digits``.
     """
@@ -300,99 +350,38 @@ def local_clustering(
     from .joins import bucket_hash_join
     from .util import coarse_partitioned
 
-    def norm(t: pa.Table) -> pa.Table:
-        a = pc.cast(t.column(a_col), pa.string())
-        b = pc.cast(t.column(b_col), pa.string())
-        keep = pc.invert(pc.equal(a, b))
-        a, b = a.filter(keep), b.filter(keep)
-        return pa.table({"u": pc.min_element_wise(a, b),
-                         "v": pc.max_element_wise(a, b)})
-
-    und = grouped_agg_fast(
-        edges.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True),
-        keys=["u", "v"], specs=[],
-    ).materialize()
-
-    def deg_rows(t: pa.Table) -> pa.Table:
-        both = pa.concat_arrays([
-            c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-            for c in (t.column("u"), t.column("v"))])
-        return pa.table({"node": both})
-
-    deg_ds = grouped_agg_fast(
-        und.map_batches(deg_rows, batch_format="pyarrow", zero_copy_batch=True),
-        keys=["node"], specs=[], count_alias="degree",
-    ).materialize()
-    deg = {r["node"]: r["degree"] for r in deg_ds.take_all()}
-    dref = ray.put(deg)
-
-    def orient(t: pa.Table) -> pa.Table:
-        dm = ray.get(dref)
-        u = t.column("u").to_pylist()
-        v = t.column("v").to_pylist()
-        su, sv = [], []
-        for x, y in zip(u, v):
-            if (dm[x], x) <= (dm[y], y):
-                su.append(x); sv.append(y)
-            else:
-                su.append(y); sv.append(x)
-        return pa.table({"s": pa.array(su, pa.string()),
-                         "t": pa.array(sv, pa.string())})
-
-    oriented = und.map_batches(orient, batch_format="pyarrow",
-                               zero_copy_batch=True).materialize()
+    und = _normalize_edges(edges, a_col, b_col)
+    deg_ds, deg = _degrees(und)
+    oriented = _orient(und, deg)
 
     def wedges(block: pa.Table) -> pa.Table:
         out_schema = pa.schema([pa.field("pair", pa.string()),
+                                pa.field("wa", pa.string()),
+                                pa.field("wb", pa.string()),
                                 pa.field("apex", pa.string())])
         if block.num_rows == 0:
             return out_schema.empty_table()
-        s = np.asarray(block.column("s").to_pylist(), dtype=object)
-        t_ = np.asarray(block.column("t").to_pylist(), dtype=object)
-        order = np.lexsort((t_, s))
-        s, t_ = s[order], t_[order]
-        starts = np.concatenate(([0], np.flatnonzero(s[1:] != s[:-1]) + 1,
-                                 [len(s)]))
-        pair_out, apex_out = [], []
-        for i in range(len(starts) - 1):
-            adj = t_[starts[i]:starts[i + 1]][:max_adj]
-            iu, ju = np.triu_indices(len(adj), k=1)
-            if len(iu) == 0:
-                continue
-            pair_out.extend(a + "\x1f" + b for a, b in zip(adj[iu], adj[ju]))
-            apex_out.extend([s[starts[i]]] * len(iu))
-        if not pair_out:
+        a, b, apex, _ = _adjacency_wedges(block, max_adj, keep_apex=True)
+        if a is None:
             return out_schema.empty_table()
-        return pa.table({"pair": pa.array(pair_out, pa.string()),
-                         "apex": pa.array(apex_out, pa.string())})
+        aa = pa.array(a, pa.string())
+        bb = pa.array(b, pa.string())
+        return pa.table({"pair": _pair_key(aa, bb), "wa": aa, "wb": bb,
+                         "apex": pa.array(apex, pa.string())})
 
     wedge_ds = coarse_partitioned(oriented, "s", wedges,
                                   n_partitions=n_partitions)
-
-    def edge_keys(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(t.column("s"), t.column("t"), "\x1f")
-        rev = pc.binary_join_element_wise(t.column("t"), t.column("s"), "\x1f")
-        both = pa.concat_arrays([
-            c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-            for c in (key, rev)])
-        return pa.table({"pair": both})
-
-    ekeys = oriented.map_batches(edge_keys, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-    matched = bucket_hash_join(wedge_ds, ekeys, on="pair",
+    matched = bucket_hash_join(wedge_ds, _edge_keys(oriented), on="pair",
                                num_buckets=n_partitions)
 
-    # each matched wedge is one triangle {apex, a, b}: 3 corner rows
+    # each matched wedge is one triangle {apex, wa, wb}: 3 corner rows
     def corners(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"node": pa.array([], pa.string())})
-        pairs = t.column("pair").to_pylist()
-        apex = t.column("apex").to_pylist()
-        nodes = []
-        for p, u in zip(pairs, apex):
-            a, b = p.split("\x1f")
-            nodes.extend((u, a, b))
-        return pa.table({"node": pa.array(nodes, pa.string())})
+        both = pa.concat_arrays([
+            c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            for c in (t.column("apex"), t.column("wa"), t.column("wb"))])
+        return pa.table({"node": both})
 
     tri_counts = grouped_agg_fast(
         matched.map_batches(corners, batch_format="pyarrow",

@@ -115,8 +115,17 @@ def json_extract_fields(
             if not (drop_json and n == json_col)
         }
         for out_name, (path, typ) in fields.items():
-            raw = s.str.json_path_match(path).to_arrow()
-            out[out_name] = pc.cast(raw, typ) if not pa.types.is_string(typ) else raw
+            raw = s.str.json_path_match(path)
+            if pa.types.is_string(typ):
+                out[out_name] = raw.to_arrow()
+                continue
+            # lenient typed cast (polars strict=False): a well-formed record
+            # whose value doesn't fit the declared type yields NULL instead
+            # of killing the batch — one bad telemetry row is data, not a
+            # job failure (the same contract as the decode stages)
+            target = pl.from_arrow(pa.array([], typ)).dtype
+            casted = raw.cast(target, strict=False).to_arrow()
+            out[out_name] = pc.cast(casted, typ)
         return pa.table(out)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -767,7 +767,6 @@ def bpe_train(
     from .aggregates import grouped_agg_fast
     from .util import topk
 
-    SEP = "\x1f"
 
     def to_tokens(t: pa.Table) -> pa.Table:
         flat, _, _ = _flat_tokens(t.column(text_col))
@@ -809,37 +808,43 @@ def bpe_train(
         weight = np.repeat(t.column("n").to_numpy(zero_copy_only=False), npairs)
         return flat, left_idx, word_of, weight
 
+    EMPTY_PAIRS = pa.schema([pa.field("l", pa.string()),
+                             pa.field("r", pa.string()),
+                             pa.field("n", pa.int64())])
+
     def pair_partials(t: pa.Table) -> pa.Table:
+        # pairs travel as TWO columns, never a joined key: symbols may
+        # contain any non-whitespace byte, so no separator is collision-free,
+        # and the (count DESC, (l, r) ASC) tie-break is then the true tuple
+        # order rather than a joined-string order
         if t.num_rows == 0:
-            return pa.table({"pair": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
+            return EMPTY_PAIRS.empty_table()
         flat, li, _, w = _pair_geometry(t)
         if len(li) == 0:
-            return pa.table({"pair": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
+            return EMPTY_PAIRS.empty_table()
         lefts = flat.take(pa.array(li, pa.int64()))
         rights = flat.take(pa.array(li + 1, pa.int64()))
-        key = pc.binary_join_element_wise(lefts, rights, SEP)
         agg = (
-            pl.from_arrow(pa.table({"pair": key, "n": pa.array(w, pa.int64())}))
-            .group_by("pair").agg(pl.col("n").sum())
+            pl.from_arrow(pa.table({"l": lefts, "r": rights,
+                                    "n": pa.array(w, pa.int64())}))
+            .group_by("l", "r").agg(pl.col("n").sum())
             .to_arrow()
         )
-        return agg.cast(pa.schema([pa.field("pair", pa.string()),
-                                   pa.field("n", pa.int64())]))
+        return agg.select(["l", "r", "n"]).cast(EMPTY_PAIRS)
 
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(n_merges):
         counts = grouped_agg_fast(
             wt.map_batches(pair_partials, batch_format="pyarrow",
                            zero_copy_batch=True),
-            keys=["pair"],
+            keys=["l", "r"],
             specs=[("n", "n", "sum")],
         )
-        best = topk(counts, ["n", "pair"], k=1, descending=[True, False]).take_all()
+        best = topk(counts, ["n", "l", "r"], k=1,
+                    descending=[True, False, False]).take_all()
         if not best or best[0]["n"] < min_pair_count:
             break
-        l, r = best[0]["pair"].split(SEP)
+        l, r = best[0]["l"], best[0]["r"]
         merged = l + r
         merges.append((rank, l, r, merged, int(best[0]["n"])))
 
@@ -888,6 +893,25 @@ def bpe_train(
         "n": pa.array([m[4] for m in merges], pa.int64()),
     })
     return ray.data.from_arrow(out)
+
+
+def _md5_route(id_col: str, n_partitions: int):
+    """Shared md5-hex partition routing for the packing operators: the first
+    hex digit of md5(id) mod n_partitions — data-derived, cluster-size-
+    invariant, and replayed by the SQL oracles via
+    ``strpos('0123456789abcdef', substr(md5(id), 1, 1)) - 1``."""
+    import hashlib
+
+    if not 1 <= n_partitions <= 16:
+        raise ValueError("n_partitions must be in 1..16 (one md5 hex digit)")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.string()).to_pylist()
+        part = [int(hashlib.md5(s.encode()).hexdigest()[0], 16) % n_partitions
+                for s in ids]
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    return add_part
 
 
 def greedy_pack_fold(tok: "np.ndarray", budget: int):
@@ -948,16 +972,7 @@ def pack_sequences(
     the running fill before that (matching the recursive oracle's running
     column, so every row is value-checkable).
     """
-    import hashlib
-
-    if not 1 <= n_partitions <= 16:
-        raise ValueError("n_partitions must be in 1..16 (one md5 hex digit)")
-
-    def add_part(t: pa.Table) -> pa.Table:
-        ids = pc.cast(t.column(id_col), pa.string()).to_pylist()
-        part = [int(hashlib.md5(s.encode()).hexdigest()[0], 16) % n_partitions
-                for s in ids]
-        return t.append_column("part", pa.array(part, pa.int64()))
+    add_part = _md5_route(id_col, n_partitions)
 
     def pack_block(block: pa.Table) -> pa.Table:
         out_schema = pa.schema([
@@ -1172,16 +1187,13 @@ def unigram_lm_scores(
         toks = pd.Series(flat.to_pylist())
         lps = toks.map(model).to_numpy(dtype=np.float64, na_value=oov_lp)
         lps = np.where(keep, lps, 0.0)
-        # reduceat quirks: indices must stay < len (clip trailing empty-doc
-        # offsets), and off[i] == off[i+1] (empty doc) repeats the next
-        # slot's value — both fixed by masking empties afterwards
-        idx = np.minimum(off[:-1], max(len(lps) - 1, 0))
-        n_tok = np.add.reduceat(keep.astype(np.int64), idx) \
-            if len(keep) else np.zeros(t.num_rows, dtype=np.int64)
-        sums = np.add.reduceat(lps, idx) if len(lps) else \
-            np.zeros(t.num_rows, dtype=np.float64)
-        empty = np.diff(off) == 0
-        n_tok = np.where(empty, 0, n_tok)
+        # utf8_split_whitespace emits at least one (possibly empty-string)
+        # slot per document, so offsets are strictly increasing and every
+        # reduceat index is in range; empty docs score 0 tokens naturally
+        # (their lone empty slot has keep=False)
+        assert len(lps) >= t.num_rows
+        n_tok = np.add.reduceat(keep.astype(np.int64), off[:-1])
+        sums = np.add.reduceat(lps, off[:-1])
         avg = np.where(n_tok > 0, np.round(sums / np.maximum(n_tok, 1), 6), np.nan)
         return pa.table({
             id_col: t.column(id_col),
@@ -1214,16 +1226,7 @@ def concat_chunk_spans(
     part, start_off, chunk_first, chunk_last, chunk_id =
     (part << 32) | chunk_first).
     """
-    import hashlib
-
-    if not 1 <= n_partitions <= 16:
-        raise ValueError("n_partitions must be in 1..16 (one md5 hex digit)")
-
-    def add_part(t: pa.Table) -> pa.Table:
-        ids = pc.cast(t.column(id_col), pa.string()).to_pylist()
-        part = [int(hashlib.md5(s.encode()).hexdigest()[0], 16) % n_partitions
-                for s in ids]
-        return t.append_column("part", pa.array(part, pa.int64()))
+    add_part = _md5_route(id_col, n_partitions)
 
     def span_block(block: pa.Table) -> pa.Table:
         out_schema = pa.schema([

@@ -326,13 +326,15 @@ def test_json_extract_fields_null_semantics():
         {"i": 2, "j": '{}'},
         {"i": 3, "j": 'not json'},
         {"i": 4, "j": None},
+        {"i": 5, "j": '{"k": "abc"}'},
     ]
     ds = ray.data.from_items(rows).repartition(2)
     out = sorted(json_extract_fields(
         ds, "j", {"k": ("$.k", pa.int64()), "s": ("$.s", pa.string())}
     ).take_all(), key=lambda r: r["i"])
-    assert [r["k"] for r in out] == [5, None, None, None, None]
-    assert [r["s"] for r in out] == ["x", None, None, None, None]
+    # i=5: well-formed JSON, type-mismatched value -> NULL, never a crash
+    assert [r["k"] for r in out] == [5, None, None, None, None, None]
+    assert [r["s"] for r in out] == ["x", None, None, None, None, None]
     assert "j" not in out[0]
     kept = json_extract_fields(ds, "j", {"k": ("$.k", pa.int64())},
                                drop_json=False).take_all()
@@ -499,3 +501,30 @@ def test_rolling_corr_matches_pandas():
                 assert gv is None or np.isnan(gv), (eid, w, gv)
             else:
                 assert gv is not None and abs(gv - w) < 1e-9, (eid, w, gv)
+
+
+def test_bpe_train_separator_char_in_tokens():
+    from audio_feature_extraction_ray.stages.text import bpe_train
+
+    # tokens containing \x1f (web scrapes carry arbitrary control chars)
+    texts = ["a\x1fb a\x1fb a\x1fb xy xy xy xy"]
+    ds = ray.data.from_items([{"text": t} for t in texts])
+    got = bpe_train(ds, "text", n_merges=4, min_pair_count=2).take_all()
+    want = _serial_bpe(texts, 4, 2)
+    assert [(r["rank"], r["left"], r["right"], r["merged"], r["n"]) for r in got] == want
+    assert any("\x1f" in r["left"] + r["right"] for r in got) or len(want) > 0
+
+
+def test_triangle_count_separator_labels():
+    from audio_feature_extraction_ray.stages.graph import local_clustering, triangle_count
+
+    # labels containing the old separator byte and colons: the injective
+    # length-prefixed pair key must not collide or crash
+    edges = [("x\x1f", "y"), ("y", "\x1fz"), ("x\x1f", "\x1fz"),
+             ("a:1", "a"), ("a", ":1a"), ("a:1", ":1a")]
+    ds = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
+    rows = triangle_count(ds).take_all()
+    assert rows[0]["n_triangles"] == 2
+    cc = {r["node"]: r for r in local_clustering(ds).take_all()}
+    assert all(cc[n]["triangles"] == 1 for n in
+               ["x\x1f", "y", "\x1fz", "a:1", "a", ":1a"])
