@@ -1699,6 +1699,45 @@ FROM deg d LEFT JOIN pn ON pn.node = d.node
 """
 
 
+def q_rolling_regression_events(sf_dir: str):
+    """Trailing 8-row OLS of value on time per user — the local drift-rate
+    feature (scale-free slope, oracle-checked). The intercept extrapolates
+    to epoch-zero, so checking it at ROUND precision is catastrophic-
+    cancellation territory for ANY engine pair — it stays a library output
+    (pinned against serial numpy OLS in pytest), and the gate checks the
+    slope."""
+    from ..stages.window import rolling_regression
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = rolling_regression(ds, "user_id", "ts", x="ts", y="value", k=8,
+                             slope_out="drift", intercept_out="level")
+
+    def scale_and_round(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = t.column("drift").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            # per-second drift is the readable unit (per-µs underflows ROUND)
+            "drift_per_s": pa.array(np.round(d * 1e6, 6), pa.float64(),
+                                    from_pandas=True),
+        })
+
+    return out.map_batches(scale_and_round, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+SQL_ROLLING_REGRESSION_EVENTS = """
+SELECT event_id, user_id,
+       ROUND(REGR_SLOPE(value, CAST(epoch_us(ts) AS DOUBLE)) OVER w * 1e6, 6)
+           AS drift_per_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_json_extract_events(sf_dir: str):
     """Semi-structured parsing: flatten the JSON ``props`` column (polars
     json_path_match, vectorized, zero shuffle) and aggregate the extracted
@@ -4857,6 +4896,7 @@ QUERIES = {
     "resample_events": (q_resample_events, SQL_RESAMPLE_EVENTS),
     "rolling_median_events": (q_rolling_median_events, SQL_ROLLING_MEDIAN_EVENTS),
     "rolling_corr_events": (q_rolling_corr_events, SQL_ROLLING_CORR_EVENTS),
+    "rolling_regression_events": (q_rolling_regression_events, SQL_ROLLING_REGRESSION_EVENTS),
     "pmi_documents": (q_pmi_documents, SQL_PMI_DOCUMENTS),
     "group_share_events": (q_group_share_events, SQL_GROUP_SHARE_EVENTS),
     "winsorize_events": (q_winsorize_events, SQL_WINSORIZE_EVENTS),

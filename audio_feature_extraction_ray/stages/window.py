@@ -1603,6 +1603,92 @@ def rolling_corr(
     )
 
 
+def rolling_regression(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str,
+    x: str,
+    y: str,
+    k: int,
+    slope_out: str = "slope",
+    intercept_out: str = "intercept",
+    tiebreak: str | None = None,
+    n_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Trailing k-row OLS regression of ``y`` on ``x`` per entity — the
+    local-trend feature pair (slope = recent drift rate, intercept = the
+    detrended level). With ``x=ts`` the slope is the entity's recent rate
+    of change per microsecond. SQL equivalent:
+    ``REGR_SLOPE(y, x) OVER (PARTITION BY key ORDER BY ts ROWS ...)`` /
+    ``REGR_INTERCEPT``.
+
+    Same one-shuffle masked (rows, k) matrix pass as
+    :func:`rolling_corr`; pairwise-complete NULL semantics (NULL when <2
+    valid pairs or x has zero variance in the window).
+    """
+    import warnings
+
+    def vector_block(block: pa.Table) -> pa.Table:
+        n = block.num_rows
+        fields = [block.schema.field(i) for i in range(block.num_columns)]
+        out_schema = pa.schema(fields + [pa.field(slope_out, pa.float64()),
+                                         pa.field(intercept_out, pa.float64())])
+        if n == 0:
+            return out_schema.empty_table()
+        block = block.combine_chunks()
+        g = block.column(key).combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv = _ts_i64(block.column(ts))
+        if tiebreak is not None:
+            tb = block.column(tiebreak).to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, tsv, g))
+        else:
+            order = np.lexsort((tsv, g))
+        block = block.take(pa.array(order, pa.int64()))
+        g, tsv = g[order], tsv[order]
+        xv = tsv.astype(np.float64) if x == ts else _f64(block.column(x))
+        yv = _f64(block.column(y))
+        pos = np.arange(n)
+        seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
+        seg_start_of = np.repeat(seg_first, np.diff(np.concatenate((seg_first, [n]))))
+        idx = pos[:, None] - np.arange(k - 1, -1, -1)[None, :]
+        valid = idx >= seg_start_of[:, None]
+        wx = np.where(valid, xv[np.maximum(idx, 0)], np.nan)
+        wy = np.where(valid, yv[np.maximum(idx, 0)], np.nan)
+        pair = ~(np.isnan(wx) | np.isnan(wy))
+        wx = np.where(pair, wx, np.nan)
+        wy = np.where(pair, wy, np.nan)
+        m = pair.sum(axis=1).astype(np.float64)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # empty windows
+            mx = np.nansum(wx, axis=1) / np.where(m > 0, m, np.nan)
+            my = np.nansum(wy, axis=1) / np.where(m > 0, m, np.nan)
+            dx = wx - mx[:, None]
+            dy = wy - my[:, None]
+            cov = np.nansum(dx * dy, axis=1)
+            sx = np.nansum(dx * dx, axis=1)
+            ok = (m >= 2) & (sx > 0)
+            slope = np.where(ok, cov / np.where(sx > 0, sx, 1.0), np.nan)
+            intercept = np.where(ok, my - slope * mx, np.nan)
+        return block.append_column(
+            pa.field(slope_out, pa.float64()),
+            pa.array(slope, pa.float64(), from_pandas=True),
+        ).append_column(
+            pa.field(intercept_out, pa.float64()),
+            pa.array(intercept, pa.float64(), from_pandas=True),
+        )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import polars as _pl
+
+        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
+        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
+
+    return widen_blocks(ds.map_batches(add_part, batch_format="pyarrow")).groupby("__part").map_groups(
+        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
+    )
+
+
 def ewma(
     ds: ray.data.Dataset,
     key: str,

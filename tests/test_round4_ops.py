@@ -528,3 +528,35 @@ def test_triangle_count_separator_labels():
     cc = {r["node"]: r for r in local_clustering(ds).take_all()}
     assert all(cc[n]["triangles"] == 1 for n in
                ["x\x1f", "y", "\x1fz", "a:1", "a", ":1a"])
+
+
+def test_rolling_regression_matches_numpy_ols():
+    from audio_feature_extraction_ray.stages.window import rolling_regression
+
+    rng = np.random.default_rng(31)
+    n = 300
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.integers(0, 5, n), pa.int64()),
+        "ts": pa.array((np.sort(rng.integers(0, 10**9, n)) * 1000).astype("datetime64[us]")),
+        "value": pa.array(rng.normal(size=n) * 50 + 100, pa.float64()),
+    })
+    out = rolling_regression(ray.data.from_arrow(t).repartition(4),
+                             "user_id", "ts", x="ts", y="value", k=6).take_all()
+    got = {r["event_id"]: (r["slope"], r["intercept"]) for r in out}
+
+    df = t.to_pandas()
+    for _, g in df.sort_values(["user_id", "ts"]).groupby("user_id"):
+        x = g["ts"].astype("int64").to_numpy().astype(np.float64)
+        y = g["value"].to_numpy()
+        ids = g["event_id"].to_numpy()
+        for i in range(len(ids)):
+            lo = max(0, i - 5)
+            xs, ys = x[lo:i + 1], y[lo:i + 1]
+            gs, gi = got[ids[i]]
+            if len(xs) < 2 or np.ptp(xs) == 0:
+                assert gs is None or np.isnan(gs)
+                continue
+            slope, intercept = np.polyfit(xs, ys, 1)
+            assert abs(gs - slope) < 1e-9 * max(1, abs(slope))
+            assert abs(gi - intercept) < 1e-6 * max(1, abs(intercept))
