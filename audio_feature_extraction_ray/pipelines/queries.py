@@ -1738,6 +1738,41 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q_ttest_event_types(sf_dir: str):
+    """Welch's t-test of each event type's value distribution against the
+    rest — the per-segment drift screen, from one combiner pass."""
+    from ..stages.aggregates import group_vs_rest_ttest
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return group_vs_rest_ttest(ev, "event_type", "value")
+
+
+SQL_TTEST_EVENT_TYPES = """
+WITH g AS (
+  SELECT event_type, COUNT(value) AS n, SUM(value) AS s,
+         SUM(value * value) AS ss
+  FROM events GROUP BY event_type
+),
+tot AS (SELECT SUM(n) AS n, SUM(s) AS s, SUM(ss) AS ss FROM g),
+m AS (
+  SELECT g.event_type, g.n, g.s / g.n AS m1,
+         (tot.n - g.n) AS n2,
+         (tot.s - g.s) / (tot.n - g.n) AS m2,
+         GREATEST((g.ss - g.n * (g.s / g.n) * (g.s / g.n)) / (g.n - 1), 0) AS v1,
+         GREATEST(((tot.ss - g.ss)
+                   - (tot.n - g.n) * ((tot.s - g.s) / (tot.n - g.n))
+                                   * ((tot.s - g.s) / (tot.n - g.n)))
+                  / (tot.n - g.n - 1), 0) AS v2
+  FROM g, tot
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, ROUND(m1, 6) AS mean,
+       ROUND((m1 - m2) / sqrt(v1 / n + v2 / n2), 6) AS t_stat,
+       ROUND(POW(v1 / n + v2 / n2, 2)
+             / (POW(v1 / n, 2) / (n - 1) + POW(v2 / n2, 2) / (n2 - 1)), 6) AS dof
+FROM m
+"""
+
+
 def q_json_extract_events(sf_dir: str):
     """Semi-structured parsing: flatten the JSON ``props`` column (polars
     json_path_match, vectorized, zero shuffle) and aggregate the extracted
@@ -4897,6 +4932,7 @@ QUERIES = {
     "rolling_median_events": (q_rolling_median_events, SQL_ROLLING_MEDIAN_EVENTS),
     "rolling_corr_events": (q_rolling_corr_events, SQL_ROLLING_CORR_EVENTS),
     "rolling_regression_events": (q_rolling_regression_events, SQL_ROLLING_REGRESSION_EVENTS),
+    "ttest_event_types": (q_ttest_event_types, SQL_TTEST_EVENT_TYPES),
     "pmi_documents": (q_pmi_documents, SQL_PMI_DOCUMENTS),
     "group_share_events": (q_group_share_events, SQL_GROUP_SHARE_EVENTS),
     "winsorize_events": (q_winsorize_events, SQL_WINSORIZE_EVENTS),

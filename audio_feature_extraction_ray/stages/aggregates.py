@@ -1553,3 +1553,83 @@ def grouped_weighted_stats(
         })
 
     return sums.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def group_vs_rest_ttest(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    digits: int = 6,
+) -> ray.data.Dataset:
+    """Welch's t-test of every group against the rest of the population —
+    the drift / segment-anomaly screen ("does this source/type differ
+    significantly?") a data-quality pipeline runs per batch. Output per
+    group: (group, n, mean, t_stat, dof) with the Welch–Satterthwaite
+    degrees of freedom; NULL t when either side has <2 samples or both
+    variances are 0.
+
+    Scale shape: one pass through the map-side combiner produces per-group
+    (n, Σx, Σx²); the rest-of-population moments are the global totals
+    minus the group's — no second scan, no shuffle beyond the #groups-row
+    partial stream. All test arithmetic runs on the #groups-row table.
+    """
+
+    def with_sq(t: pa.Table) -> pa.Table:
+        v = t.column(value_col)
+        return pa.table({
+            group_col: t.column(group_col),
+            value_col: v,
+            "__sq": pc.multiply(v, v),
+        })
+
+    sums = grouped_agg_fast(
+        ds.select_columns([group_col, value_col]).map_batches(
+            with_sq, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=[group_col],
+        specs=[("s", value_col, "sum"), ("ss", "__sq", "sum"),
+               ("n", value_col, "count")],
+        num_final_partitions=1,  # #groups rows: one finalize task
+    ).materialize()
+
+    def finalize(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            pa.field(group_col, t.schema.field(group_col).type),
+            pa.field("n", pa.int64()),
+            pa.field("mean", pa.float64()),
+            pa.field("t_stat", pa.float64()),
+            pa.field("dof", pa.float64()),
+        ])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        n1 = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = t.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+        ss1 = t.column("ss").to_numpy(zero_copy_only=False).astype(np.float64)
+        N, S, SS = n1.sum(), s1.sum(), ss1.sum()
+        n2, s2, ss2 = N - n1, S - s1, SS - ss1
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m1 = s1 / n1
+            m2 = np.where(n2 > 0, s2 / np.where(n2 > 0, n2, 1), np.nan)
+            v1 = np.where(n1 > 1, (ss1 - n1 * m1 * m1) / (n1 - 1), np.nan)
+            v2 = np.where(n2 > 1, (ss2 - n2 * m2 * m2) / (n2 - 1), np.nan)
+            v1 = np.maximum(v1, 0.0)  # guard the one-ulp negative variance
+            v2 = np.maximum(v2, 0.0)
+            se2 = v1 / n1 + v2 / n2
+            ok = (n1 >= 2) & (n2 >= 2) & (se2 > 0)
+            tstat = np.where(ok, (m1 - m2) / np.sqrt(np.where(se2 > 0, se2, 1)),
+                             np.nan)
+            dof = np.where(
+                ok,
+                se2 * se2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)),
+                np.nan,
+            )
+        return pa.table({
+            group_col: t.column(group_col),
+            "n": pa.array(n1.astype(np.int64)),
+            "mean": pa.array(np.round(m1, digits), pa.float64(), from_pandas=True),
+            "t_stat": pa.array(np.round(tstat, digits), pa.float64(), from_pandas=True),
+            "dof": pa.array(np.round(dof, digits), pa.float64(), from_pandas=True),
+        })
+
+    return sums.map_batches(finalize, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)

@@ -560,3 +560,38 @@ def test_rolling_regression_matches_numpy_ols():
             slope, intercept = np.polyfit(xs, ys, 1)
             assert abs(gs - slope) < 1e-9 * max(1, abs(slope))
             assert abs(gi - intercept) < 1e-6 * max(1, abs(intercept))
+
+
+def test_group_vs_rest_ttest_matches_scipy_formula():
+    from audio_feature_extraction_ray.stages.aggregates import group_vs_rest_ttest
+
+    rng = np.random.default_rng(41)
+    vals_a = rng.normal(10.0, 2.0, 200)
+    vals_b = rng.normal(12.0, 3.0, 150)
+    vals_c = np.array([5.0])  # n=1 group: t must be NULL
+    rows = ([{"g": "a", "v": float(x)} for x in vals_a]
+            + [{"g": "b", "v": float(x)} for x in vals_b]
+            + [{"g": "c", "v": float(x)} for x in vals_c])
+    ds = ray.data.from_items(rows).repartition(5)
+    out = {r["g"]: r for r in group_vs_rest_ttest(ds, "g", "v").take_all()}
+
+    def welch(x, y):
+        n1, n2 = len(x), len(y)
+        v1, v2 = x.var(ddof=1), y.var(ddof=1)
+        se2 = v1 / n1 + v2 / n2
+        t = (x.mean() - y.mean()) / np.sqrt(se2)
+        dof = se2**2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+        return t, dof
+
+    allv = np.concatenate([vals_a, vals_b, vals_c])
+    for g, vals in (("a", vals_a), ("b", vals_b)):
+        rest = np.concatenate([v for k, v in
+                               (("a", vals_a), ("b", vals_b), ("c", vals_c))
+                               if k != g])
+        t, dof = welch(vals, rest)
+        assert out[g]["n"] == len(vals)
+        assert abs(out[g]["t_stat"] - round(t, 6)) < 1e-9
+        assert abs(out[g]["dof"] - round(dof, 6)) < 1e-9
+    assert out["c"]["t_stat"] is None or np.isnan(out["c"]["t_stat"])
+    # the planted mean shift must register as significant
+    assert abs(out["b"]["t_stat"]) > 5
