@@ -1773,6 +1773,56 @@ FROM m
 """
 
 
+def q_psi_event_types(sf_dir: str):
+    """Population Stability Index per event type between the first half of
+    January (reference) and the rest (current) — the feature-store drift
+    monitor, two combiner passes, zero corpus shuffle."""
+    from datetime import datetime, timezone
+
+    from ..stages.aggregates import psi_by_group
+
+    cutoff = int(datetime(2024, 1, 16, tzinfo=timezone.utc).timestamp() * 1_000_000)
+    ev = read_table(sf_dir, "events", columns=["event_type", "value", "ts"])
+    return psi_by_group(ev, "event_type", "value", "ts", cutoff_us=cutoff)
+
+
+SQL_PSI_EVENT_TYPES = """
+WITH tagged AS (
+  SELECT event_type AS g, value AS v,
+         ts < TIMESTAMP '2024-01-16' AS is_ref
+  FROM events
+),
+span AS (SELECT g, MIN(v) AS mn, MAX(v) AS mx FROM tagged WHERE is_ref GROUP BY g),
+binned AS (
+  SELECT t.g, t.is_ref,
+         CAST(LEAST(GREATEST(FLOOR((t.v - s.mn)
+                  / (CASE WHEN s.mx > s.mn THEN s.mx - s.mn ELSE 1 END) * 10),
+              0), 9) AS BIGINT) AS b
+  FROM tagged t JOIN span s ON t.g = s.g
+),
+cnt AS (SELECT g, is_ref, b, COUNT(*) AS n FROM binned GROUP BY g, is_ref, b),
+tot AS (SELECT g,
+               SUM(CASE WHEN is_ref THEN n ELSE 0 END) AS n_ref,
+               SUM(CASE WHEN NOT is_ref THEN n ELSE 0 END) AS n_cur
+        FROM cnt GROUP BY g),
+bins AS (SELECT g, gs.b FROM (SELECT DISTINCT g FROM tot), range(0, 10) gs(b)),
+shares AS (
+  SELECT bins.g, bins.b,
+         GREATEST(COALESCE(rc.n, 0) * 1.0 / tot.n_ref, 1e-6) AS p,
+         GREATEST(COALESCE(cc.n, 0) * 1.0 / tot.n_cur, 1e-6) AS q
+  FROM bins
+  JOIN tot ON tot.g = bins.g
+  LEFT JOIN cnt rc ON rc.g = bins.g AND rc.b = bins.b AND rc.is_ref
+  LEFT JOIN cnt cc ON cc.g = bins.g AND cc.b = bins.b AND NOT cc.is_ref
+)
+SELECT shares.g AS event_type,
+       CAST(tot.n_ref AS BIGINT) AS n_ref, CAST(tot.n_cur AS BIGINT) AS n_cur,
+       ROUND(SUM((p - q) * LN(p / q)), 6) AS psi
+FROM shares JOIN tot ON tot.g = shares.g
+GROUP BY shares.g, tot.n_ref, tot.n_cur
+"""
+
+
 def q_json_extract_events(sf_dir: str):
     """Semi-structured parsing: flatten the JSON ``props`` column (polars
     json_path_match, vectorized, zero shuffle) and aggregate the extracted
@@ -4933,6 +4983,7 @@ QUERIES = {
     "rolling_corr_events": (q_rolling_corr_events, SQL_ROLLING_CORR_EVENTS),
     "rolling_regression_events": (q_rolling_regression_events, SQL_ROLLING_REGRESSION_EVENTS),
     "ttest_event_types": (q_ttest_event_types, SQL_TTEST_EVENT_TYPES),
+    "psi_event_types": (q_psi_event_types, SQL_PSI_EVENT_TYPES),
     "pmi_documents": (q_pmi_documents, SQL_PMI_DOCUMENTS),
     "group_share_events": (q_group_share_events, SQL_GROUP_SHARE_EVENTS),
     "winsorize_events": (q_winsorize_events, SQL_WINSORIZE_EVENTS),

@@ -1633,3 +1633,131 @@ def group_vs_rest_ttest(
 
     return sums.map_batches(finalize, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=None)
+
+
+def psi_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    ts_col: str,
+    cutoff_us: int,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+    digits: int = 6,
+) -> ray.data.Dataset:
+    """Population Stability Index per group between the reference period
+    (``ts < cutoff``) and the current period (``ts >= cutoff``) — the
+    standard feature-drift monitor of a feature store:
+    ``PSI = Σ_bins (p_i − q_i)·ln(p_i / q_i)`` over ``n_bins`` equal-width
+    bins spanning the REFERENCE period's [min, max] (current-period values
+    outside that span clamp into the edge bins; shares are floored at
+    ``eps`` so empty bins stay finite). Rule of thumb: <0.1 stable,
+    0.1–0.25 drifting, >0.25 shifted.
+
+    Scale shape: pass 1 — per-group reference min/max through the
+    combiner (#groups rows, broadcast back); pass 2 — per
+    (group, period, bin) counts through the combiner (#groups × 2 ×
+    n_bins partial rows); the PSI fold runs on that tiny table. The corpus
+    is scanned twice and shuffled never.
+
+    Output: (group, n_ref, n_cur, psi).
+    """
+    import ray as _ray
+
+    base = ds.select_columns([group_col, value_col, ts_col])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        ref = pc.less(ts, pa.scalar(cutoff_us, pa.int64()))
+        return pa.table({
+            group_col: t.column(group_col),
+            value_col: t.column(value_col),
+            "__ref": ref,
+        })
+
+    tagged = base.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    bounds = grouped_agg_fast(
+        tagged.filter(expr="__ref == True"),
+        keys=[group_col],
+        specs=[("mn", value_col, "min"), ("mx", value_col, "max")],
+    ).take_all()
+    span = {r[group_col]: (float(r["mn"]), float(r["mx"])) for r in bounds}
+    sref = _ray.put(span)
+
+    def binify(t: pa.Table) -> pa.Table:
+        sp = _ray.get(sref)
+        out_schema = pa.schema([
+            pa.field(group_col, t.schema.field(group_col).type),
+            pa.field("__ref", pa.bool_()),
+            pa.field("__bin", pa.int64()),
+        ])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        # groups with no reference period have no bin basis: drop their rows
+        known = pa.array([g in sp for g in t.column(group_col).to_pylist()])
+        t = t.filter(known)
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        groups = t.column(group_col).to_pylist()
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        mn = np.asarray([sp[g][0] for g in groups])
+        mx = np.asarray([sp[g][1] for g in groups])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = (v - mn) / np.where(mx > mn, mx - mn, 1.0)
+            b = np.floor(frac * n_bins)
+        b = np.clip(np.where(np.isfinite(b), b, 0), 0, n_bins - 1).astype(np.int64)
+        return pa.table({
+            group_col: t.column(group_col),
+            "__ref": t.column("__ref"),
+            "__bin": pa.array(b),
+        })
+
+    counts = grouped_agg_fast(
+        tagged.map_batches(binify, batch_format="pyarrow", zero_copy_batch=True),
+        keys=[group_col, "__ref", "__bin"],
+        specs=[],
+        count_alias="n",
+        num_final_partitions=1,
+    ).materialize()
+
+    def finalize(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            pa.field(group_col, t.schema.field(group_col).type),
+            pa.field("n_ref", pa.int64()),
+            pa.field("n_cur", pa.int64()),
+            pa.field("psi", pa.float64()),
+        ])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        import collections
+
+        gs = t.column(group_col).to_pylist()
+        refs = t.column("__ref").to_pylist()
+        bins = t.column("__bin").to_pylist()
+        ns = t.column("n").to_pylist()
+        agg: dict = collections.defaultdict(lambda: np.zeros((2, n_bins)))
+        for g, r, b, n in zip(gs, refs, bins, ns):
+            agg[g][0 if r else 1, b] += n
+        keys = sorted(agg)
+        n_ref = np.array([agg[g][0].sum() for g in keys])
+        n_cur = np.array([agg[g][1].sum() for g in keys])
+        psi = []
+        for i, g in enumerate(keys):
+            p = agg[g][0] / n_ref[i] if n_ref[i] else np.zeros(n_bins)
+            q = agg[g][1] / n_cur[i] if n_cur[i] else np.zeros(n_bins)
+            p = np.maximum(p, eps)
+            q = np.maximum(q, eps)
+            psi.append(float(np.sum((p - q) * np.log(p / q))))
+        return pa.table({
+            group_col: pa.array(keys, t.schema.field(group_col).type),
+            "n_ref": pa.array(n_ref.astype(np.int64)),
+            "n_cur": pa.array(n_cur.astype(np.int64)),
+            "psi": pa.array(np.round(psi, digits), pa.float64()),
+        })
+
+    return counts.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)

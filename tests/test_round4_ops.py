@@ -595,3 +595,30 @@ def test_group_vs_rest_ttest_matches_scipy_formula():
     assert out["c"]["t_stat"] is None or np.isnan(out["c"]["t_stat"])
     # the planted mean shift must register as significant
     assert abs(out["b"]["t_stat"]) > 5
+
+
+def test_psi_detects_planted_shift():
+    from audio_feature_extraction_ray.stages.aggregates import psi_by_group
+
+    rng = np.random.default_rng(47)
+    rows = []
+    # group "stable": same distribution both periods -> psi ~ 0
+    # group "shifted": mean jumps after the cutoff -> psi large
+    for i in range(2000):
+        ref = i < 1000
+        ts = (1000 + i) * 1_000_000
+        rows.append({"g": "stable", "v": float(rng.normal(0, 1)), "ts": ts})
+        rows.append({"g": "shifted",
+                     "v": float(rng.normal(0 if ref else 3, 1)), "ts": ts})
+    ds = ray.data.from_items(rows).repartition(6)
+    cutoff = (1000 + 1000) * 1_000_000
+    out = {r["g"]: r for r in
+           psi_by_group(ds, "g", "v", "ts", cutoff_us=cutoff).take_all()}
+    assert out["stable"]["n_ref"] == 1000 and out["stable"]["n_cur"] == 1000
+    assert out["stable"]["psi"] < 0.05
+    assert out["shifted"]["psi"] > 1.0
+    # partition invariance
+    out2 = {r["g"]: r["psi"] for r in
+            psi_by_group(ds.repartition(13), "g", "v", "ts",
+                         cutoff_us=cutoff).take_all()}
+    assert out2 == {g: r["psi"] for g, r in out.items()}
