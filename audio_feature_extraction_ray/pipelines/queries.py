@@ -1823,6 +1823,49 @@ GROUP BY shares.g, tot.n_ref, tot.n_cur
 """
 
 
+def q_ks_event_types(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov drift statistic per event type
+    (reference = first half of January) — the binless companion to
+    ``psi_event_types``; one group-hash exchange, vectorized ECDF scan."""
+    from datetime import datetime, timezone
+
+    from ..stages.aggregates import ks_by_group
+
+    cutoff = int(datetime(2024, 1, 16, tzinfo=timezone.utc).timestamp() * 1_000_000)
+    ev = read_table(sf_dir, "events", columns=["event_type", "value", "ts"])
+    return ks_by_group(ev, "event_type", "value", "ts", cutoff_us=cutoff)
+
+
+SQL_KS_EVENT_TYPES = """
+WITH tagged AS (
+  SELECT event_type AS g, value AS v,
+         ts < TIMESTAMP '2024-01-16' AS is_ref
+  FROM events
+),
+tot AS (
+  SELECT g, SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+         SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS nc
+  FROM tagged GROUP BY g
+),
+d AS (
+  SELECT g, v, SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS r,
+         SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS c
+  FROM tagged GROUP BY g, v
+),
+cum AS (
+  SELECT g, v,
+         SUM(r) OVER (PARTITION BY g ORDER BY v) AS cr,
+         SUM(c) OVER (PARTITION BY g ORDER BY v) AS cc
+  FROM d
+)
+SELECT cum.g AS event_type,
+       CAST(tot.nr AS BIGINT) AS n_ref, CAST(tot.nc AS BIGINT) AS n_cur,
+       ROUND(MAX(ABS(cr * 1.0 / tot.nr - cc * 1.0 / tot.nc)), 6) AS ks_d
+FROM cum JOIN tot ON tot.g = cum.g
+GROUP BY cum.g, tot.nr, tot.nc
+"""
+
+
 def q_json_extract_events(sf_dir: str):
     """Semi-structured parsing: flatten the JSON ``props`` column (polars
     json_path_match, vectorized, zero shuffle) and aggregate the extracted
@@ -4984,6 +5027,7 @@ QUERIES = {
     "rolling_regression_events": (q_rolling_regression_events, SQL_ROLLING_REGRESSION_EVENTS),
     "ttest_event_types": (q_ttest_event_types, SQL_TTEST_EVENT_TYPES),
     "psi_event_types": (q_psi_event_types, SQL_PSI_EVENT_TYPES),
+    "ks_event_types": (q_ks_event_types, SQL_KS_EVENT_TYPES),
     "pmi_documents": (q_pmi_documents, SQL_PMI_DOCUMENTS),
     "group_share_events": (q_group_share_events, SQL_GROUP_SHARE_EVENTS),
     "winsorize_events": (q_winsorize_events, SQL_WINSORIZE_EVENTS),

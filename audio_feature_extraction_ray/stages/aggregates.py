@@ -1761,3 +1761,97 @@ def psi_by_group(
 
     return counts.map_batches(finalize, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)
+
+
+def ks_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    ts_col: str,
+    cutoff_us: int,
+    digits: int = 6,
+) -> ray.data.Dataset:
+    """Exact two-sample Kolmogorov–Smirnov statistic per group between the
+    reference (``ts < cutoff``) and current (``ts >= cutoff``) periods —
+    the binless companion to :func:`psi_by_group` (PSI needs bin choices;
+    KS is the sup-norm ECDF distance, sensitive to any distributional
+    change). NULL when either period is empty.
+
+    Scale shape: ONE group-hash exchange co-locates each group
+    (:func:`~.util.coarse_partitioned`); within a partition every group's
+    D-statistic comes from one vectorized pass — lexsort by (group,
+    value), segment-bounded cumulative counts, ECDF gap evaluated at
+    value-run ends (the tie-correct evaluation points). Output:
+    (group, n_ref, n_cur, ks_d).
+    """
+    from .util import coarse_partitioned
+
+    base = ds.select_columns([group_col, value_col, ts_col])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        return pa.table({
+            group_col: t.column(group_col),
+            value_col: t.column(value_col),
+            "__ref": pc.less(ts, pa.scalar(cutoff_us, pa.int64())),
+        })
+
+    tagged = base.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_part(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            pa.field(group_col, t.schema.field(group_col).type),
+            pa.field("n_ref", pa.int64()),
+            pa.field("n_cur", pa.int64()),
+            pa.field("ks_d", pa.float64()),
+        ])
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        t = t.combine_chunks()
+        gcol = t.column(group_col).combine_chunks()
+        enc = gcol.dictionary_encode()
+        g = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ref = t.column("__ref").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, g))
+        g, v, ref = g[order], v[order], ref[order]
+        seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
+        seg_last = np.concatenate((seg_first[1:] - 1, [n - 1]))
+        cum_r = np.cumsum(ref)
+        cum_c = np.cumsum(1 - ref)
+        base_r = np.concatenate(([0], cum_r[seg_last[:-1]]))
+        base_c = np.concatenate(([0], cum_c[seg_last[:-1]]))
+        n_ref = cum_r[seg_last] - base_r
+        n_cur = cum_c[seg_last] - base_c
+        # ECDF gap at value-RUN ends (ties evaluated after all equal values)
+        run_end = np.concatenate((
+            (np.diff(g) != 0) | (np.diff(v) != 0), [True]))
+        ends = np.flatnonzero(run_end)
+        seg_of_end = g[ends]  # dictionary codes are per-partition segments
+        # map each end to its segment's base + totals
+        seg_index = np.searchsorted(g[seg_first], seg_of_end)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            fr = (cum_r[ends] - base_r[seg_index]) / np.where(
+                n_ref[seg_index] > 0, n_ref[seg_index], np.nan)
+            fc = (cum_c[ends] - base_c[seg_index]) / np.where(
+                n_cur[seg_index] > 0, n_cur[seg_index], np.nan)
+            gap = np.abs(fr - fc)
+        # per-segment max over its run-ends
+        first_end_of_seg = np.searchsorted(ends, seg_first)
+        with np.errstate(invalid="ignore"):
+            d = np.maximum.reduceat(np.where(np.isnan(gap), -np.inf, gap),
+                                    first_end_of_seg)
+        valid = (n_ref > 0) & (n_cur > 0)
+        d = np.where(valid & np.isfinite(d), np.round(d, digits), np.nan)
+        keys = enc.dictionary.take(pa.array(g[seg_first], pa.int64()))
+        return pa.table({
+            group_col: keys,
+            "n_ref": pa.array(n_ref),
+            "n_cur": pa.array(n_cur),
+            "ks_d": pa.array(d, pa.float64(), from_pandas=True),
+        })
+
+    return coarse_partitioned(tagged, group_col, per_part)

@@ -622,3 +622,36 @@ def test_psi_detects_planted_shift():
             psi_by_group(ds.repartition(13), "g", "v", "ts",
                          cutoff_us=cutoff).take_all()}
     assert out2 == {g: r["psi"] for g, r in out.items()}
+
+
+def test_ks_by_group_matches_scipy_style_reference():
+    from audio_feature_extraction_ray.stages.aggregates import ks_by_group
+
+    rng = np.random.default_rng(53)
+    rows = []
+    for i in range(1500):
+        ref = i < 750
+        ts = (100 + i) * 1_000_000
+        rows.append({"g": "same", "v": float(rng.normal()), "ts": ts})
+        rows.append({"g": "shift",
+                     "v": float(rng.normal(0 if ref else 1.5)), "ts": ts})
+        rows.append({"g": "tied", "v": float(rng.integers(0, 4)), "ts": ts})
+    ds = ray.data.from_items(rows).repartition(7)
+    cutoff = (100 + 750) * 1_000_000
+    out = {r["g"]: r for r in
+           ks_by_group(ds, "g", "v", "ts", cutoff_us=cutoff).take_all()}
+
+    def serial_ks(x, y):
+        allv = np.unique(np.concatenate([x, y]))
+        fx = np.searchsorted(np.sort(x), allv, side="right") / len(x)
+        fy = np.searchsorted(np.sort(y), allv, side="right") / len(y)
+        return np.abs(fx - fy).max()
+
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], ([], []))[0 if r["ts"] < cutoff else 1].append(r["v"])
+    for g, (xr, xc) in by_g.items():
+        want = round(serial_ks(np.asarray(xr), np.asarray(xc)), 6)
+        assert abs(out[g]["ks_d"] - want) < 1e-9, (g, out[g]["ks_d"], want)
+        assert out[g]["n_ref"] == len(xr) and out[g]["n_cur"] == len(xc)
+    assert out["shift"]["ks_d"] > 0.4 and out["same"]["ks_d"] < 0.1
