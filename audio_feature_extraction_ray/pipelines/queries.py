@@ -4933,7 +4933,7 @@ QUERIES = {
     "mix_domains_documents": (q_mix_domains_documents, SQL_MIX_DOMAINS_DOCUMENTS),
     "pack_sequences_documents": (q_pack_sequences_documents, SQL_PACK_SEQUENCES_DOCUMENTS),
     "langid_documents": (q_langid_documents, SQL_LANGID_DOCUMENTS),
-    "redact_documents": (q_redact_documents, SQL_REDACT_DOCUMENTS),
+    "psi_event_types": (q_psi_event_types, SQL_PSI_EVENT_TYPES),
     "simhash_documents": (q_simhash_documents, SQL_SIMHASH_DOCUMENTS),
     "dedup_keep_documents": (q_dedup_keep_documents, SQL_DEDUP_KEEP_DOCUMENTS),
     "substring_pairs_documents": (q_substring_pairs_documents, SQL_SUBSTRING_PAIRS_DOCUMENTS),
@@ -5026,7 +5026,6 @@ QUERIES = {
     "rolling_corr_events": (q_rolling_corr_events, SQL_ROLLING_CORR_EVENTS),
     "rolling_regression_events": (q_rolling_regression_events, SQL_ROLLING_REGRESSION_EVENTS),
     "ttest_event_types": (q_ttest_event_types, SQL_TTEST_EVENT_TYPES),
-    "psi_event_types": (q_psi_event_types, SQL_PSI_EVENT_TYPES),
     "ks_event_types": (q_ks_event_types, SQL_KS_EVENT_TYPES),
     "pmi_documents": (q_pmi_documents, SQL_PMI_DOCUMENTS),
     "group_share_events": (q_group_share_events, SQL_GROUP_SHARE_EVENTS),
@@ -5051,6 +5050,7 @@ QUERIES = {
     "evaluation_report": (q_evaluation_report, None),
     "approx_percentiles_sketch_events": (q_approx_percentiles_sketch_events, None),
     "visualize_images": (q_visualize_images, None),
+    "redact_documents": (q_redact_documents, SQL_REDACT_DOCUMENTS),
     "bloom_semi_orders": (q_bloom_semi_orders, SQL_BLOOM_SEMI_ORDERS),
     "group_standardize_events": (q_group_standardize_events, SQL_GROUP_STANDARDIZE_EVENTS),
     "quantile_bucket_orders": (q_quantile_bucket_orders, SQL_QUANTILE_BUCKET_ORDERS),

@@ -66,6 +66,9 @@ HEADLINE = [
     "semdedup_embeddings",
     "pack_sequences_documents",
     "mix_domains_documents",
+    # round 4, monitoring batch
+    "psi_event_types",
+    "ks_event_types",
 ]
 
 
