@@ -47,8 +47,11 @@ def pagerank(
     SQL-replayable (the oracle chains one CTE per iteration). Output:
     (node, rank) with rank rounded to ``digits``.
 
-    Raises if the node count exceeds ``node_threshold`` — the broadcast
-    contract (see module docstring for the sharded alternative).
+    Below ``node_threshold`` nodes the broadcast path runs (O(nodes)
+    driver state, zero exchange per iteration); above it the sharded path
+    takes over automatically — ranks stay a Dataset joined to the edges
+    each iteration (2 bucket exchanges), with only three scalars on the
+    driver. Route parity is pinned in pytest.
     """
     pairs = edges.select_columns([src_col, dst_col]).materialize()
 
@@ -71,11 +74,8 @@ def pagerank(
             "rank": pa.array([], pa.float64()),
         }))
     if n > node_threshold:
-        raise ValueError(
-            f"pagerank broadcast path holds O(nodes) driver state; "
-            f"{n} nodes > node_threshold={node_threshold} — shard ranks "
-            f"with bucket_hash_join per iteration instead"
-        )
+        return _pagerank_sharded(pairs, src_col, dst_col, iters, damping,
+                                 digits)
     nref = ray.put(nodes)
 
     def index_block(t: pa.Table) -> pa.Table:
@@ -137,6 +137,120 @@ def pagerank(
         "node": pa.array(list(nodes), pa.string()),
         "rank": pa.array(np.round(rank, digits), pa.float64()),
     }))
+
+
+def _pagerank_sharded(
+    pairs: ray.data.Dataset,
+    src_col: str,
+    dst_col: str,
+    iters: int,
+    damping: float,
+    digits: int,
+) -> ray.data.Dataset:
+    """The above-threshold PageRank path: ranks live as a DATASET and join
+    the edge list per iteration (2 bucket exchanges × iters) — no O(nodes)
+    driver state; only three scalars (N, dangling mass, residual base)
+    touch the driver per iteration. Semantics identical to the broadcast
+    path (same formula, same dangling redistribution); parity is pinned in
+    pytest by forcing this route on a small graph.
+    """
+    from .aggregates import grouped_agg_fast
+    from .joins import bucket_hash_join
+
+    def keys_of(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column(src_col), pa.string())
+        d = pc.cast(t.column(dst_col), pa.string())
+        both = pa.concat_arrays([
+            c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            for c in (s, d)])
+        return pa.table({"node": both})
+
+    nodes = grouped_agg_fast(
+        pairs.map_batches(keys_of, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["node"], specs=[],
+    ).materialize()
+    n = nodes.count()
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "rank": pa.array([], pa.float64()),
+        }))
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.cast(t.column(src_col), pa.string()),
+            "dst": pc.cast(t.column(dst_col), pa.string()),
+        })
+
+    edges = pairs.map_batches(edge_rows, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    deg = grouped_agg_fast(
+        edges.map_batches(lambda t: pa.table({"node": t.column("src")}),
+                          batch_format="pyarrow", zero_copy_batch=True),
+        keys=["node"], specs=[], count_alias="deg",
+    )
+    # nodes ⟕ deg: sinks get deg NULL→0
+    nd = bucket_hash_join(nodes, deg, on="node", join_type="left outer")
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        d = np.nan_to_num(d.astype(np.float64), nan=0.0).astype(np.int64)
+        return pa.table({
+            "node": t.column("node"),
+            "deg": pa.array(d),
+            "rank": pa.array(np.full(t.num_rows, 1.0 / n)),
+        })
+
+    ranks = nd.map_batches(init_rank, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    base = (1.0 - damping) / n
+
+    for _ in range(iters):
+        # dangling mass: one tiny aggregate over sink rows
+        dangling = ranks.filter(expr="deg == 0").sum("rank") or 0.0
+
+        def weights(t: pa.Table) -> pa.Table:
+            d = t.column("deg").to_numpy(zero_copy_only=False).astype(np.float64)
+            r = t.column("rank").to_numpy(zero_copy_only=False)
+            w = np.where(d > 0, r / np.maximum(d, 1), 0.0)
+            return pa.table({"node": t.column("node"),
+                             "w": pa.array(w, pa.float64())})
+
+        contrib_src = bucket_hash_join(
+            edges, ranks.map_batches(weights, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+            on="src", right_on="node",
+        )
+        contribs = grouped_agg_fast(
+            contrib_src.map_batches(
+                lambda t: pa.table({"node": t.column("dst"),
+                                    "c": t.column("w")}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            keys=["node"], specs=[("c", "c", "sum")],
+        )
+        joined = bucket_hash_join(ranks.select_columns(["node", "deg"]),
+                                  contribs, on="node", join_type="left outer")
+        extra = damping * dangling / n
+
+        def update(t: pa.Table, _extra=extra) -> pa.Table:
+            c = np.nan_to_num(
+                t.column("c").to_numpy(zero_copy_only=False).astype(np.float64),
+                nan=0.0)
+            return pa.table({
+                "node": t.column("node"),
+                "deg": t.column("deg"),
+                "rank": pa.array(base + damping * c + _extra, pa.float64()),
+            })
+
+        ranks = joined.map_batches(update, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        return pa.table({"node": t.column("node"),
+                         "rank": pa.array(np.round(r, digits), pa.float64())})
+
+    return ranks.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _normalize_edges(edges: ray.data.Dataset, a_col: str, b_col: str):

@@ -377,9 +377,11 @@ def test_pagerank_empty_and_threshold():
     e = ray.data.from_arrow(pa.table({"src": pa.array([], pa.string()),
                                       "dst": pa.array([], pa.string())}))
     assert pagerank(e).take_all() == []
-    big = ray.data.from_items([{"src": f"n{i}", "dst": f"n{i+1}"} for i in range(50)])
-    with _pytest.raises(ValueError):
-        pagerank(big, node_threshold=10)
+    # above the threshold the sharded route runs instead of raising
+    big = ray.data.from_items([{"src": f"n{i}", "dst": f"n{i+1}"} for i in range(20)])
+    rows = pagerank(big, iters=2, node_threshold=5).take_all()
+    assert len(rows) == 21
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-6
 
 
 def test_triangle_count_known_graphs():
@@ -655,3 +657,22 @@ def test_ks_by_group_matches_scipy_style_reference():
         assert abs(out[g]["ks_d"] - want) < 1e-9, (g, out[g]["ks_d"], want)
         assert out[g]["n_ref"] == len(xr) and out[g]["n_cur"] == len(xc)
     assert out["shift"]["ks_d"] > 0.4 and out["same"]["ks_d"] < 0.1
+
+
+def test_pagerank_sharded_route_matches_broadcast():
+    from audio_feature_extraction_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(61)
+    edges = [{"src": f"n{rng.integers(0, 30)}", "dst": f"n{rng.integers(0, 30)}"}
+             for _ in range(120)]
+    edges = [e for e in edges if e["src"] != e["dst"]]
+    ds = ray.data.from_items(edges).repartition(4)
+    broadcast = {r["node"]: r["rank"]
+                 for r in pagerank(ds, iters=3, digits=12).take_all()}
+    sharded = {r["node"]: r["rank"]
+               for r in pagerank(ds, iters=3, digits=12,
+                                 node_threshold=5).take_all()}
+    assert set(broadcast) == set(sharded)
+    for k in broadcast:
+        assert abs(broadcast[k] - sharded[k]) < 2e-9, (k, broadcast[k], sharded[k])
+    assert abs(sum(sharded.values()) - 1.0) < 1e-6
