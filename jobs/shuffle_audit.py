@@ -497,6 +497,34 @@ def run_triangles(cap: StatsCapture, sf_dir: str, scale: int) -> int:
 run_triangles.scales = (1,)
 
 
+
+def run_psi(cap: StatsCapture, sf_dir: str, scale: int) -> int:
+    """PSI: the claim is zero corpus shuffle — two combiner scans whose
+    partials are #groups- and #groups×bins-scale."""
+    from audio_feature_extraction_ray.pipelines.queries import QUERIES
+
+    res = QUERIES["psi_event_types"][0](sf_dir)
+    n = consume(res)
+    cap.add_final(res)
+    return n
+
+
+run_psi.scales = (1,)
+
+
+def run_ks(cap: StatsCapture, sf_dir: str, scale: int) -> int:
+    """KS: one group-hash exchange of (group, value, flag) scalar rows."""
+    from audio_feature_extraction_ray.pipelines.queries import QUERIES
+
+    res = QUERIES["ks_event_types"][0](sf_dir)
+    n = consume(res)
+    cap.add_final(res)
+    return n
+
+
+run_ks.scales = (1,)
+
+
 PIPELINES = {
     "flagship_images_pit": run_flagship,
     "rolling_time_mean_bucketed": run_rolling_bucketed,
@@ -514,6 +542,8 @@ PIPELINES = {
     "semdedup_embeddings": run_semdedup,
     "pagerank_orders": run_pagerank,
     "triangles_suppliers": run_triangles,
+    "psi_event_types": run_psi,
+    "ks_event_types": run_ks,
 }
 
 
