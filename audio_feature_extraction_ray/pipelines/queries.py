@@ -1866,6 +1866,96 @@ GROUP BY cum.g, tot.nr, tot.nc
 """
 
 
+def q_drift_report_events(sf_dir: str):
+    """The composed per-segment drift report a monitoring job publishes:
+    PSI + exact KS + group-vs-rest Welch t joined per event type, with the
+    standard verdict flag (psi > 0.25 or KS D > 0.15). Every column —
+    including the boolean verdict — is value-checked by one SQL replay of
+    all three tests."""
+    from datetime import datetime, timezone
+
+    from ..stages.aggregates import group_vs_rest_ttest, ks_by_group, psi_by_group
+    from ..stages.joins import broadcast_join
+
+    cutoff = int(datetime(2024, 1, 16, tzinfo=timezone.utc).timestamp() * 1_000_000)
+    ev = read_table(sf_dir, "events", columns=["event_type", "value", "ts"])
+    psi = psi_by_group(ev, "event_type", "value", "ts", cutoff_us=cutoff)
+    ks = ks_by_group(ev, "event_type", "value", "ts", cutoff_us=cutoff) \
+        .select_columns(["event_type", "ks_d"])
+    tt = group_vs_rest_ttest(ev, "event_type", "value") \
+        .select_columns(["event_type", "t_stat"])
+    rep = broadcast_join(psi, ks, keys=["event_type"])
+    rep = broadcast_join(rep, tt, keys=["event_type"])
+
+    def verdict(t: pa.Table) -> pa.Table:
+        drifted = pc.or_(pc.greater(t.column("psi"), 0.25),
+                         pc.greater(t.column("ks_d"), 0.15))
+        return t.append_column("drifted", drifted)
+
+    return rep.map_batches(verdict, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# reuse the PSI oracle's CTE chain (everything before its final SELECT)
+_PSI_CTES = SQL_PSI_EVENT_TYPES[: SQL_PSI_EVENT_TYPES.rindex("SELECT shares.g")]
+SQL_DRIFT_REPORT_EVENTS = _PSI_CTES.rstrip() + """
+, psi_t AS (
+  SELECT shares.g AS event_type,
+         CAST(tot.n_ref AS BIGINT) AS n_ref, CAST(tot.n_cur AS BIGINT) AS n_cur,
+         ROUND(SUM((p - q) * LN(p / q)), 6) AS psi
+  FROM shares JOIN tot ON tot.g = shares.g
+  GROUP BY shares.g, tot.n_ref, tot.n_cur
+),
+ks_d AS (
+  SELECT g, v, SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS r,
+         SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS c
+  FROM tagged GROUP BY g, v
+),
+ks_cum AS (
+  SELECT g, SUM(r) OVER (PARTITION BY g ORDER BY v) AS cr,
+         SUM(c) OVER (PARTITION BY g ORDER BY v) AS cc
+  FROM ks_d
+),
+ks_tot AS (
+  SELECT g, SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+         SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS nc
+  FROM tagged GROUP BY g
+),
+ks_t AS (
+  SELECT ks_cum.g AS event_type,
+         ROUND(MAX(ABS(cr * 1.0 / ks_tot.nr - cc * 1.0 / ks_tot.nc)), 6) AS ks_d
+  FROM ks_cum JOIN ks_tot ON ks_tot.g = ks_cum.g
+  GROUP BY ks_cum.g, ks_tot.nr, ks_tot.nc
+),
+tg AS (
+  SELECT g AS event_type, COUNT(v) AS n, SUM(v) AS s, SUM(v * v) AS ss
+  FROM tagged GROUP BY g
+),
+ttot AS (SELECT SUM(n) AS n, SUM(s) AS s, SUM(ss) AS ss FROM tg),
+tm AS (
+  SELECT tg.event_type, tg.n, tg.s / tg.n AS m1,
+         (ttot.n - tg.n) AS n2,
+         (ttot.s - tg.s) / (ttot.n - tg.n) AS m2,
+         GREATEST((tg.ss - tg.n * (tg.s / tg.n) * (tg.s / tg.n)) / (tg.n - 1), 0) AS v1,
+         GREATEST(((ttot.ss - tg.ss)
+                   - (ttot.n - tg.n) * ((ttot.s - tg.s) / (ttot.n - tg.n))
+                                     * ((ttot.s - tg.s) / (ttot.n - tg.n)))
+                  / (ttot.n - tg.n - 1), 0) AS v2
+  FROM tg, ttot
+),
+tt AS (
+  SELECT event_type,
+         ROUND((m1 - m2) / sqrt(v1 / n + v2 / n2), 6) AS t_stat
+  FROM tm
+)
+SELECT psi_t.event_type, psi_t.n_ref, psi_t.n_cur, psi_t.psi,
+       ks_t.ks_d, tt.t_stat,
+       (psi_t.psi > 0.25 OR ks_t.ks_d > 0.15) AS drifted
+FROM psi_t
+JOIN ks_t ON ks_t.event_type = psi_t.event_type
+JOIN tt ON tt.event_type = psi_t.event_type
+"""
+
+
 def q_json_extract_events(sf_dir: str):
     """Semi-structured parsing: flatten the JSON ``props`` column (polars
     json_path_match, vectorized, zero shuffle) and aggregate the extracted
@@ -5027,6 +5117,7 @@ QUERIES = {
     "rolling_regression_events": (q_rolling_regression_events, SQL_ROLLING_REGRESSION_EVENTS),
     "ttest_event_types": (q_ttest_event_types, SQL_TTEST_EVENT_TYPES),
     "ks_event_types": (q_ks_event_types, SQL_KS_EVENT_TYPES),
+    "drift_report_events": (q_drift_report_events, SQL_DRIFT_REPORT_EVENTS),
     "pmi_documents": (q_pmi_documents, SQL_PMI_DOCUMENTS),
     "group_share_events": (q_group_share_events, SQL_GROUP_SHARE_EVENTS),
     "winsorize_events": (q_winsorize_events, SQL_WINSORIZE_EVENTS),
