@@ -125,7 +125,11 @@ def q_pricing_summary(sf_dir: str):
         num_final_partitions=1,  # 6 final groups — no phase-2 shuffle
     )
     agg = _round_cols(agg, ["sum_base_price"], digits=2)
-    return _round_cols(agg, ["sum_qty", "sum_disc_price", "avg_qty", "avg_price"], digits=4)
+    agg = _round_cols(agg, ["sum_qty", "sum_disc_price", "avg_qty", "avg_price"], digits=4)
+    # native column order must match the oracle's layout (driver hash contract)
+    return agg.select_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                               "sum_base_price", "sum_disc_price", "avg_qty",
+                               "avg_price", "count_order"])
 
 
 SQL_PRICING_SUMMARY = """
@@ -339,7 +343,8 @@ def q_pivot_event_counts(sf_dir: str):
     """Pivot / conditional aggregation: one row per user with per-event-type
     count columns (the reference's wide report tables; SQL conditional SUM)."""
     ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
-    types = ["click", "error", "purchase", "signup", "view"]
+    # listed in the oracle's column order (driver hash contract)
+    types = ["click", "view", "purchase", "signup", "error"]
 
     def flags(t: pa.Table) -> pa.Table:
         out = {"user_id": t.column("user_id")}
@@ -489,7 +494,9 @@ def q_top10_order_revenue(sf_dir: str):
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).map_batches(
         lambda t: t.rename_columns(["l_orderkey", "o_orderdate"]), batch_format="pyarrow"
     )
-    return broadcast_join(orders, top_t, keys="l_orderkey", join_type="inner")
+    out = broadcast_join(orders, top_t, keys="l_orderkey", join_type="inner")
+    # native column order must match the oracle's layout (driver hash contract)
+    return out.select_columns(["l_orderkey", "revenue", "o_orderdate"])
 
 
 SQL_TOP10_ORDER_REVENUE = """
@@ -533,7 +540,9 @@ def q_revenue_by_nation(sf_dir: str):
         specs=[("sum_totalprice", "sum_price", "sum"), ("n_orders", "n_ord", "sum")],
         num_final_partitions=1,  # 25 nations
     )
-    return _round_cols(agg, ["sum_totalprice"], digits=2)
+    agg = _round_cols(agg, ["sum_totalprice"], digits=2)
+    # native column order must match the oracle's layout (driver hash contract)
+    return agg.select_columns(["n_name", "n_orders", "sum_totalprice"])
 
 
 SQL_REVENUE_BY_NATION = """
@@ -1971,7 +1980,10 @@ def q_json_extract_events(sf_dir: str):
         specs=[("k_sum", "k", "sum"), ("k_mean", "k", "mean")],
         count_alias="n",
     )
-    return _round_cols(out, ["k_mean"], digits=6)
+    out = _round_cols(out, ["k_mean"], digits=6)
+    # Match the oracle's column ORDER exactly — the driver hashes columns in
+    # native order, so (event_type, n, k_sum, k_mean) != the SQL's layout.
+    return out.select_columns(["event_type", "k_sum", "k_mean", "n"])
 
 
 SQL_JSON_EXTRACT_EVENTS = """
@@ -2339,10 +2351,12 @@ def q_dedup_exact_documents(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     fp = text_features(ds, quality=False, lang=False, fingerprints=True) \
         .select_columns(["doc_id", "fingerprint_md5"])
-    return grouped_agg_fast(
+    out = grouped_agg_fast(
         fp, keys=["fingerprint_md5"], specs=[("doc_id", "doc_id", "min")],
         count_alias="n_dups",
     )
+    # native column order must match the oracle's layout (driver hash contract)
+    return out.select_columns(["fingerprint_md5", "doc_id", "n_dups"])
 
 
 SQL_DEDUP_EXACT_DOCUMENTS = """

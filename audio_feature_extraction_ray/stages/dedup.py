@@ -1084,11 +1084,11 @@ def semantic_dedup(
     clustered = base.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
     def per_cluster(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        truncated = len(ids) > max_group
-        order = order[:max_group]
-        ids = ids[order]
+        ids_all = group.column(id_col).to_numpy(zero_copy_only=False)
+        order_all = np.argsort(ids_all, kind="stable")
+        truncated = len(ids_all) > max_group
+        order = order_all[:max_group]
+        ids = ids_all[order]
         emb = _normalize(_stack_embeddings(group.column(emb_col)))[order]
         n = len(ids)
         keep = np.ones(n, dtype=bool)
@@ -1103,14 +1103,23 @@ def semantic_dedup(
             mp = sims.max(axis=1)
             max_prior[s:e] = np.where(np.isfinite(mp), mp, np.nan)
             keep[s:e] = ~(mp >= threshold)
-        cl = group.column("cluster")[0].as_py() if n else -1
+        if truncated:
+            # Overflow rows beyond max_group pass through UNCHECKED with
+            # keep=True + truncated=True — the output must stay row-complete
+            # so a downstream filter(keep) never silently loses corpus rows.
+            over = ids_all[order_all[max_group:]]
+            ids = np.concatenate([ids, over])
+            keep = np.concatenate([keep, np.ones(len(over), dtype=bool)])
+            max_prior = np.concatenate([max_prior, np.full(len(over), np.nan)])
+        n_out = len(ids)
+        cl = group.column("cluster")[0].as_py() if n_out else -1
         return pa.table({
             id_col: pa.array(ids, group.schema.field(id_col).type),
-            "cluster": pa.array(np.full(n, cl, dtype=np.int64)),
+            "cluster": pa.array(np.full(n_out, cl, dtype=np.int64)),
             "keep": pa.array(keep),
             "max_prior_sim": pa.array(np.round(max_prior, 6), pa.float64(),
                                       from_pandas=True),
-            "truncated": pa.array(np.full(n, truncated, dtype=bool)),
+            "truncated": pa.array(np.full(n_out, truncated, dtype=bool)),
         })
 
     return widen_blocks(clustered).groupby("cluster").map_groups(

@@ -93,20 +93,33 @@ def pagerank(
         index_block, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    # out-degrees: one pass of per-block bincount partials
+    # out-degrees: one pass of per-block bincount partials. Each block
+    # returns ONE row of packed (indices, values) list columns; the driver
+    # fold is a vectorized lexsort + weighted bincount — deterministic
+    # (same-index additions happen in sorted (i, v) order) and numpy-speed,
+    # never a Python loop over per-node rows (ADVICE r5).
+    def _fold_sparse(rows: list[dict], val_key: str, dtype) -> np.ndarray:
+        acc = np.zeros(n, dtype=np.float64)
+        if rows:
+            i = np.concatenate([np.asarray(r["i"], dtype=np.int64)
+                                for r in rows])
+            v = np.concatenate([np.asarray(r[val_key], dtype=np.float64)
+                                for r in rows])
+            order = np.lexsort((v, i))
+            acc = np.bincount(i[order], weights=v[order], minlength=n)
+        return acc.astype(dtype)
+
     def deg_partial(t: pa.Table) -> pa.Table:
         si = t.column("si").to_numpy(zero_copy_only=False)
         cnt = np.bincount(si, minlength=0)
         nz = np.flatnonzero(cnt)
-        return pa.table({"i": pa.array(nz, pa.int64()),
-                         "c": pa.array(cnt[nz], pa.int64())})
+        return pa.table({"i": pa.array([nz], pa.list_(pa.int64())),
+                         "c": pa.array([cnt[nz]], pa.list_(pa.int64()))})
 
-    deg = np.zeros(n, dtype=np.int64)
-    drows = idx.map_batches(deg_partial, batch_format="pyarrow",
-                            zero_copy_batch=True).take_all()
-    drows.sort(key=lambda r: r["i"])
-    for r in drows:
-        deg[r["i"]] += r["c"]
+    deg = _fold_sparse(
+        idx.map_batches(deg_partial, batch_format="pyarrow",
+                        zero_copy_batch=True).take_all(),
+        "c", np.int64)
 
     rank = np.full(n, 1.0 / n)
     base = (1.0 - damping) / n
@@ -120,16 +133,12 @@ def pagerank(
             acc = np.zeros(len(w))
             np.add.at(acc, di, w[si])
             nz = np.flatnonzero(acc)
-            return pa.table({"i": pa.array(nz, pa.int64()),
-                             "v": pa.array(acc[nz], pa.float64())})
+            return pa.table({"i": pa.array([nz], pa.list_(pa.int64())),
+                             "v": pa.array([acc[nz]], pa.list_(pa.float64()))})
 
         rows = idx.map_batches(contrib_partial, batch_format="pyarrow",
                                zero_copy_batch=True).take_all()
-        # deterministic fold: sorted (index, value) accumulation
-        rows.sort(key=lambda r: (r["i"], r["v"]))
-        acc = np.zeros(n)
-        for r in rows:
-            acc[r["i"]] += r["v"]
+        acc = _fold_sparse(rows, "v", np.float64)
         dangling = float(rank[deg == 0].sum())
         rank = base + damping * (acc + dangling / n)
 
@@ -274,9 +283,9 @@ def _normalize_edges(edges: ray.data.Dataset, a_col: str, b_col: str):
 
 
 def _degrees(und: ray.data.Dataset):
-    """(degree Dataset, degree dict) over the distinct undirected edges.
-    The dict is node-scale and broadcast — the same contract as
-    :func:`pagerank`'s node vector."""
+    """(degree Dataset, sorted node vector, aligned degree vector) over the
+    distinct undirected edges. The two numpy vectors are node-scale and
+    broadcast — the same contract as :func:`pagerank`'s node vector."""
     from .aggregates import grouped_agg_fast
 
     def deg_rows(t: pa.Table) -> pa.Table:
@@ -289,27 +298,31 @@ def _degrees(und: ray.data.Dataset):
         und.map_batches(deg_rows, batch_format="pyarrow", zero_copy_batch=True),
         keys=["node"], specs=[], count_alias="degree",
     ).materialize()
-    return deg_ds, {r["node"]: r["degree"] for r in deg_ds.take_all()}
+    rows = deg_ds.take_all()
+    nodes = np.asarray([r["node"] for r in rows], dtype=object)
+    degs = np.asarray([r["degree"] for r in rows], dtype=np.int64)
+    order = np.argsort(nodes, kind="stable")
+    return deg_ds, nodes[order], degs[order]
 
 
-def _orient(und: ray.data.Dataset, deg: dict):
+def _orient(und: ray.data.Dataset, nodes: np.ndarray, degs: np.ndarray):
     """Compact-forward orientation: every edge points from its
     (degree, node)-smaller endpoint to the larger, bounding any node's
-    out-neighborhood by ~sqrt(2m)."""
-    dref = ray.put(deg)
+    out-neighborhood by ~sqrt(2m). Vectorized: degrees map onto the
+    endpoints via searchsorted against the broadcast sorted node vector,
+    endpoint choice is one np.where over (deg, label) comparisons — no
+    per-edge Python."""
+    nref = ray.put((nodes, degs))
 
     def orient(t: pa.Table) -> pa.Table:
-        dm = ray.get(dref)
-        u = t.column("u").to_pylist()
-        v = t.column("v").to_pylist()
-        su, sv = [], []
-        for x, y in zip(u, v):
-            if (dm[x], x) <= (dm[y], y):
-                su.append(x); sv.append(y)
-            else:
-                su.append(y); sv.append(x)
-        return pa.table({"s": pa.array(su, pa.string()),
-                         "t": pa.array(sv, pa.string())})
+        nd, dg = ray.get(nref)
+        u = np.asarray(t.column("u").to_pylist(), dtype=object)
+        v = np.asarray(t.column("v").to_pylist(), dtype=object)
+        du = dg[np.searchsorted(nd, u)]
+        dv = dg[np.searchsorted(nd, v)]
+        u_first = (du < dv) | ((du == dv) & (u <= v))
+        return pa.table({"s": pa.array(np.where(u_first, u, v), pa.string()),
+                         "t": pa.array(np.where(u_first, v, u), pa.string())})
 
     return und.map_batches(orient, batch_format="pyarrow",
                            zero_copy_batch=True).materialize()
@@ -399,8 +412,8 @@ def triangle_count(
     from .util import coarse_partitioned
 
     und = _normalize_edges(edges, a_col, b_col)
-    _, deg = _degrees(und)
-    oriented = _orient(und, deg)
+    _, nodes, degs = _degrees(und)
+    oriented = _orient(und, nodes, degs)
 
     def wedges(block: pa.Table) -> pa.Table:
         out_schema = pa.schema([pa.field("pair", pa.string()),
@@ -465,8 +478,8 @@ def local_clustering(
     from .util import coarse_partitioned
 
     und = _normalize_edges(edges, a_col, b_col)
-    deg_ds, deg = _degrees(und)
-    oriented = _orient(und, deg)
+    deg_ds, nodes, degs = _degrees(und)
+    oriented = _orient(und, nodes, degs)
 
     def wedges(block: pa.Table) -> pa.Table:
         out_schema = pa.schema([pa.field("pair", pa.string()),

@@ -21,6 +21,21 @@ def _hex_threshold(rate: float, digits: int = 4) -> str:
     return format(k, f"0{digits}x")
 
 
+def _int_threshold(rate: float, digits: int = 4) -> int:
+    """Integer hash-range threshold with an explicit match-all edge.
+
+    Compared as ``int(md5_prefix, 16) < k``. At ``rate >= 1.0`` returns
+    ``16**digits`` (match-all) — the STRING form of that threshold is
+    ``'10000'`` (digits+1 chars), which loses the lexicographic compare
+    against most digits-char hashes and silently mislabels the final
+    split (mix_domains guards this with its ``k >= base`` branch; every
+    hash-range operator must do the same)."""
+    base = 16 ** digits
+    if rate >= 1.0 - 1e-12:
+        return base
+    return max(0, min(base, int(rate * base)))
+
+
 def _row_keys(t: pa.Table, cols: list[str], sep: str) -> list[str]:
     """Concatenated per-row key strings, built columnar (Arrow cast + join —
     matches SQL ``CAST(c AS VARCHAR) || sep || ...`` exactly); only the md5
@@ -42,11 +57,12 @@ def deterministic_sample(
     Equivalent SQL predicate:
     ``substr(md5(CAST(c1 AS VARCHAR) || '-' || ...), 1, digits) < '<hex>'``.
     """
-    thr = _hex_threshold(rate, digits)
+    thr = _int_threshold(rate, digits)
 
     def fn(t: pa.Table) -> pa.Table:
         keys = _row_keys(t, key_fn_cols, sep)
-        keep = [hashlib.md5(k.encode()).hexdigest()[:digits] < thr for k in keys]
+        keep = [int(hashlib.md5(k.encode()).hexdigest()[:digits], 16) < thr
+                for k in keys]
         return t.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -105,13 +121,13 @@ def hash_split(
     acc = 0.0
     for name, frac in splits.items():
         acc += frac
-        bounds.append((name, _hex_threshold(acc, digits)))
+        bounds.append((name, _int_threshold(acc, digits)))
 
     def fn(t: pa.Table) -> pa.Table:
         keys = _row_keys(t, key_fn_cols, sep)
         out = []
         for k in keys:
-            h = hashlib.md5(k.encode()).hexdigest()[:digits]
+            h = int(hashlib.md5(k.encode()).hexdigest()[:digits], 16)
             for name, b in bounds:
                 if h < b:
                     out.append(name)
@@ -246,11 +262,11 @@ def leakage_safe_split(
     so the assignment is cluster-size-invariant and SQL-replayable
     (``MIN(id) OVER (PARTITION BY group)``).
     """
-    bounds: list[tuple[str, str]] = []
+    bounds: list[tuple[str, int]] = []
     acc = 0.0
     for name, frac in splits.items():
         acc += frac
-        bounds.append((name, _hex_threshold(acc, digits)))
+        bounds.append((name, _int_threshold(acc, digits)))
 
     from .util import coarse_partitioned
 
@@ -274,7 +290,7 @@ def leakage_safe_split(
         # one md5 per GROUP, not per row
         labels = []
         for r in reps:
-            h = hashlib.md5(str(r).encode()).hexdigest()[:digits]
+            h = int(hashlib.md5(str(r).encode()).hexdigest()[:digits], 16)
             for name, b in bounds:
                 if h < b:
                     labels.append(name)

@@ -57,11 +57,18 @@ ALL = entrymod.queries()
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_query_matches_oracle(con, name):
-    ray_df = _normalize(_to_pandas(ALL[name](SF_DIR)))
-    sql_df = _normalize(con.sql(ORACLE[name]).df())
-    assert list(ray_df.columns) == list(sql_df.columns), (
-        f"{name}: columns {list(ray_df.columns)} vs {list(sql_df.columns)}"
+    ray_raw = _to_pandas(ALL[name](SF_DIR))
+    sql_raw = con.sql(ORACLE[name]).df()
+    # Column ORDER must match the oracle in the tables' NATIVE layout — the
+    # driver's gate hashes values in native column order, so this check must
+    # run BEFORE _normalize's alphabetical re-sort (which would make it a
+    # tautology and let the local sweep certify what the driver rejects).
+    assert list(ray_raw.columns) == list(sql_raw.columns), (
+        f"{name}: native column order {list(ray_raw.columns)} "
+        f"vs oracle {list(sql_raw.columns)}"
     )
+    ray_df = _normalize(ray_raw)
+    sql_df = _normalize(sql_raw)
     assert len(ray_df) == len(sql_df), f"{name}: {len(ray_df)} vs {len(sql_df)} rows"
     for c in ray_df.columns:
         a, b = ray_df[c].to_numpy(), sql_df[c].to_numpy()

@@ -1,0 +1,52 @@
+"""Round-5 regression and operator tests."""
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+
+def test_split_fractions_summing_to_one_cover_all_rows():
+    """ADVICE r5 (medium): when splits sum to 1.0 the final threshold's hex
+    string is 5 chars ('10000') and the lexicographic compare mislabeled
+    most of the final split as 'rest'. The integer match-all branch must
+    cover every row, in every hash-range operator."""
+    from audio_feature_extraction_ray.stages.sampling import (
+        deterministic_sample, hash_split, leakage_safe_split)
+
+    rows = [{"id": i, "fp": f"g{i % 23}"} for i in range(400)]
+    ds = ray.data.from_items(rows).repartition(4)
+
+    out = leakage_safe_split(ds, "fp", "id", {"train": 0.8, "test": 0.2}).take_all()
+    labels = {r["split"] for r in out}
+    assert "rest" not in labels, f"groups fell off the 1.0 edge: {labels}"
+    assert labels == {"train", "test"}
+
+    out2 = hash_split(ds, ["id"], {"train": 0.5, "test": 0.5}).take_all()
+    labels2 = {r["split"] for r in out2}
+    assert "rest" not in labels2 and labels2 == {"train", "test"}
+
+    # rate=1.0 sampling must keep everything
+    kept = deterministic_sample(ds, ["id"], 1.0).count()
+    assert kept == 400
+
+
+def test_semantic_dedup_overflow_rows_not_dropped():
+    """ADVICE r5: clusters above max_group used to silently drop overflow
+    rows from the output. They must pass through keep=True, truncated=True."""
+    from audio_feature_extraction_ray.stages.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    # one tight cluster of 50 near-identical vectors
+    base = rng.normal(size=8)
+    rows = [{"vec_id": i,
+             "embedding": (base + rng.normal(scale=1e-3, size=8)).tolist()}
+            for i in range(50)]
+    ds = ray.data.from_items(rows).repartition(3)
+    out = semantic_dedup(ds, k=1, iters=2, threshold=0.99, max_group=10).take_all()
+    assert len(out) == 50, "overflow rows were dropped from the output"
+    over = [r for r in out if r["vec_id"] >= 10]
+    assert all(r["keep"] for r in over)
+    assert all(r["truncated"] for r in over)
+    checked = [r for r in out if r["vec_id"] < 10]
+    # within the checked prefix, near-identical vectors dedup to the min id
+    assert sum(r["keep"] for r in checked) == 1
