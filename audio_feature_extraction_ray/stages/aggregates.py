@@ -131,7 +131,13 @@ def grouped_agg_fast(
         res = res.rename_columns([ren.get(n, n) for n in res.column_names])
         return res
 
-    partial = ds.map_batches(phase1, batch_format="pyarrow", zero_copy_batch=True)
+    # batch_size=None: combine WHOLE blocks — the default 4096-row batches
+    # would cap map-side combining at per-4096-row distincts, shipping up to
+    # rows/4096 partials per key instead of one per block (with the coarser
+    # wedge partitioning this cut the dense triangle pair exchange from
+    # 122 MB to 76 MB at sf0.1).
+    partial = ds.map_batches(phase1, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
 
     def bucketize(t: pa.Table) -> pa.Table:
         # columnar key hash (no per-row Python): polars hash_rows is a

@@ -32,6 +32,24 @@ CORRESPONDENCE_TOL_MS = 250.0
 CORRESPONDENCE_STANDARD = 0.95
 
 
+def _band_row_update(acc: np.ndarray, i: int, j_lo: int, j_hi: int,
+                     costs: np.ndarray) -> None:
+    """One banded DP row, fully vectorized. The recurrence
+    ``acc[i,j] = c[j] + min(acc[i-1,j], acc[i-1,j-1], acc[i,j-1])`` looks
+    serial in j (the horizontal term), but expanding the horizontal chain
+    gives ``acc[i,j] = C[j] + min_{k<=j}(m[k] - C[k-1])`` with
+    ``m = min(up, diag)`` and ``C`` the band-local cost prefix sum — one
+    cumsum + one running min, no per-cell Python. Cells left of the band
+    are +inf (never assigned), so the horizontal entry INTO the band is
+    correctly absent."""
+    u = acc[i - 1, j_lo:j_hi + 1]
+    d = acc[i - 1, j_lo - 1:j_hi]
+    m = np.minimum(u, d)
+    C = np.cumsum(costs)
+    shifted = np.concatenate(([0.0], C[:-1]))
+    acc[i, j_lo:j_hi + 1] = C + np.minimum.accumulate(m - shifted)
+
+
 def dtw_align(
     a: np.ndarray, b: np.ndarray, band_frac: float = 0.2
 ) -> list[tuple[int, int]]:
@@ -53,9 +71,7 @@ def dtw_align(
         j_lo = max(1, center - band)
         j_hi = min(t2, center + band)
         costs = np.linalg.norm(a[i - 1][None, :] - b[j_lo - 1 : j_hi], axis=1)
-        for idx, j in enumerate(range(j_lo, j_hi + 1)):
-            best_prev = min(acc[i - 1, j], acc[i, j - 1], acc[i - 1, j - 1])
-            acc[i, j] = costs[idx] + best_prev
+        _band_row_update(acc, i, j_lo, j_hi, costs)
     # backtrack
     path = []
     i, j = t1, t2
@@ -152,9 +168,7 @@ def dtw_align_multiscale(
     for i in range(1, t1 + 1):
         j_lo, j_hi = int(win[i - 1, 0]) + 1, int(win[i - 1, 1]) + 1
         costs = np.linalg.norm(a[i - 1][None, :] - b[j_lo - 1 : j_hi], axis=1)
-        for idx, j in enumerate(range(j_lo, j_hi + 1)):
-            best_prev = min(acc[i - 1, j], acc[i, j - 1], acc[i - 1, j - 1])
-            acc[i, j] = costs[idx] + best_prev
+        _band_row_update(acc, i, j_lo, j_hi, costs)
     path = []
     i, j = t1, t2
     if not np.isfinite(acc[i, j]):

@@ -436,8 +436,19 @@ def tfidf_top_terms(
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 # per-worker memo: token -> (bucket-hash int, sign) so each distinct token
-# is md5'd once per worker process, not once per occurrence
+# is md5'd once per worker process, not once per occurrence. BOUNDED: on an
+# open-vocabulary corpus an uncapped memo grows to full-vocabulary size per
+# worker for the process lifetime — past the cap the oldest half is evicted
+# (insertion order; the memo is a pure optimization, never correctness).
 _HASHVEC_CACHE: dict = {}
+_HASHVEC_CACHE_MAX = 2_000_000
+
+
+def _hashvec_cache_put(tok, memo) -> None:
+    if len(_HASHVEC_CACHE) >= _HASHVEC_CACHE_MAX:
+        for k in list(_HASHVEC_CACHE)[: _HASHVEC_CACHE_MAX // 2]:
+            del _HASHVEC_CACHE[k]
+    _HASHVEC_CACHE[tok] = memo
 
 
 def hashing_vectorizer(
@@ -483,7 +494,7 @@ def hashing_vectorizer(
             if memo is None:
                 hx = hashlib.md5(tok.encode("utf-8", "surrogatepass")).hexdigest()
                 memo = (int(hx[:8], 16), 1 if int(hx[8], 16) % 2 == 0 else -1)
-                _HASHVEC_CACHE[tok] = memo
+                _hashvec_cache_put(tok, memo)
             buckets_v[i] = memo[0]
             signs_v[i] = memo[1]
         idx = toks.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -728,12 +739,98 @@ def build_vocab(
     return out
 
 
+def bpe_merge_loop(
+    words: list[str],
+    counts,
+    n_merges: int,
+    min_pair_count: int = 2,
+    end_of_word: str = "</w>",
+) -> list[tuple[int, str, str, str, int]]:
+    """The pinned-table BPE merge loop: ``n_merges`` iterations over an
+    in-memory (word, count) vocabulary — pure polars/numpy, ZERO Ray
+    executions. Semantics identical to the distributed per-merge route
+    (same (count DESC, (l, r) ASC) tie-break, same affected-subset merge
+    application); route parity is pinned in pytest.
+
+    Per iteration: adjacent (l, r) pairs explode from the symbol lists
+    columnar (polars list slice + explode — no per-word Python), the best
+    pair is one group-sum + sort, and only words CONTAINING the winning
+    pair are rebuilt in Python (the affected subset shrinks as training
+    proceeds)."""
+    import polars as pl
+
+    syms: list[list[str]] = [list(w) + [end_of_word] for w in words]
+    counts = np.asarray(counts, dtype=np.int64)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        df = pl.DataFrame({"syms": syms, "n": counts},
+                          schema={"syms": pl.List(pl.Utf8), "n": pl.Int64})
+        ex = (
+            df.with_row_index("wi")
+            .select(
+                "wi", "n",
+                pl.col("syms").list.slice(0, pl.col("syms").list.len() - 1)
+                .alias("l"),
+                pl.col("syms").list.slice(1).alias("r"),
+            )
+            .explode(["l", "r"])
+            .drop_nulls("l")
+        )
+        if ex.height == 0:
+            break
+        best = (
+            ex.group_by(["l", "r"]).agg(pl.col("n").sum())
+            .sort(["n", "l", "r"], descending=[True, False, False])
+            .head(1)
+        )
+        if best.height == 0 or best["n"][0] < min_pair_count:
+            break
+        l, r, cnt = best["l"][0], best["r"][0], int(best["n"][0])
+        merged = l + r
+        merges.append((rank, l, r, merged, cnt))
+        affected = (
+            ex.filter((pl.col("l") == l) & (pl.col("r") == r))
+            .get_column("wi").unique().to_numpy()
+        )
+        for wi in affected:
+            row = syms[wi]
+            out, i = [], 0
+            while i < len(row):
+                if i + 1 < len(row) and row[i] == l and row[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(row[i])
+                    i += 1
+            syms[int(wi)] = out
+    return merges
+
+
+@ray.remote
+def _bpe_merge_task(n_merges, min_pair_count, end_of_word, *tables):
+    """One long-lived task pinning the vocabulary-scale word table and
+    running the whole merge loop in place — the per-merge cost is pure
+    compute, never a driver⇄cluster round-trip."""
+    parts = [t.select(["word", "n"]) for t in tables
+             if t.num_rows and "word" in t.column_names]
+    if not parts:
+        return []
+    t = pa.concat_tables(parts, promote_options="permissive")
+    return bpe_merge_loop(
+        t.column("word").to_pylist(),
+        t.column("n").to_numpy(zero_copy_only=False),
+        n_merges, min_pair_count, end_of_word,
+    )
+
+
 def bpe_train(
     ds: ray.data.Dataset,
     text_col: str = "text",
     n_merges: int = 20,
     min_pair_count: int = 2,
     end_of_word: str = "</w>",
+    distributed: bool | None = None,
+    vocab_threshold: int = 20_000_000,
 ) -> ray.data.Dataset:
     """Distributed BPE-merge training (Sennrich et al. 2016, public): learn
     the ``n_merges`` highest-count adjacent-symbol merges over the corpus,
@@ -744,29 +841,25 @@ def bpe_train(
 
     Scale shape: the corpus is tokenized ONCE into a distinct-WORD frequency
     table (map-side combine; raw tokens never shuffle — the same contract as
-    :func:`build_vocab`), and all iterations run on that vocabulary-scale
-    table. Per merge iteration: every block emits per-block (pair, weighted
-    count) partials from pure offset arithmetic over the flattened symbol
-    lists, the tiny partial stream hash-combines
-    (:func:`~.aggregates.grouped_agg_fast`), and a partial top-k returns the
-    single best pair — only the winning 1-row merge is broadcast back, and
-    the merge application rebuilds ONLY words containing the pair (located
-    by the same vectorized adjacency mask; unaffected rows pass through a
-    zero-copy filter). Per-word Python runs once at init (character
-    splitting, vocabulary-scale) and per merge on the affected subset,
-    which shrinks as training proceeds.
+    :func:`build_vocab`). That table is VOCABULARY-scale, so below
+    ``vocab_threshold`` rows the merge loop runs pinned in ONE remote task
+    (:func:`bpe_merge_loop` — zero per-merge Ray executions; a real
+    tokenizer run is tens of thousands of merges, and two driver round-trips
+    per merge is a wall-clock scale-killer regardless of cluster size).
+    Above the threshold the per-merge distributed route takes over: every
+    block emits (pair, weighted count) partials from offset arithmetic over
+    the flattened symbol lists, the tiny partial stream hash-combines, a
+    partial top-k returns the single best pair, and the merge application
+    rebuilds ONLY words containing it. ``distributed`` forces a route
+    (parity pinned in pytest).
 
     Stops early when the best pair's count drops below ``min_pair_count``.
 
     Reference analog: the fit-once/apply-many codec layout of
-    04_distillation_experiment/feature_extraction_for_student.py — the
-    learned merge table is the "model" later encode stages consume.
+    04_feature_extraction_experiment/feature_extraction_for_student.py —
+    the learned merge table is the "model" later encode stages consume.
     """
-    import polars as pl
-
     from .aggregates import grouped_agg_fast
-    from .util import topk
-
 
     def to_tokens(t: pa.Table) -> pa.Table:
         flat, _, _ = _flat_tokens(t.column(text_col))
@@ -780,7 +873,40 @@ def bpe_train(
         keys=["word"],
         specs=[],
         count_alias="n",
-    )
+    ).materialize()
+
+    if distributed is None:
+        distributed = words.count() > vocab_threshold
+    if distributed:
+        merges = _bpe_train_distributed(words, n_merges, min_pair_count,
+                                        end_of_word)
+    else:
+        refs = words.to_arrow_refs()
+        merges = ray.get(_bpe_merge_task.remote(
+            n_merges, min_pair_count, end_of_word, *refs))
+
+    out = pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "merged": pa.array([m[3] for m in merges], pa.string()),
+        "n": pa.array([m[4] for m in merges], pa.int64()),
+    })
+    return ray.data.from_arrow(out)
+
+
+def _bpe_train_distributed(
+    words: ray.data.Dataset,
+    n_merges: int,
+    min_pair_count: int,
+    end_of_word: str,
+) -> list[tuple[int, str, str, str, int]]:
+    """The above-threshold BPE route: the word table stays a Dataset and
+    each merge is one distributed partial-count pass + partial top-k."""
+    import polars as pl
+
+    from .aggregates import grouped_agg_fast
+    from .util import topk
 
     def init_syms(t: pa.Table) -> pa.Table:
         ws = t.column("word").to_pylist()
@@ -885,14 +1011,7 @@ def bpe_train(
 
         wt = wt.map_batches(apply_merge, batch_format="pyarrow").materialize()
 
-    out = pa.table({
-        "rank": pa.array([m[0] for m in merges], pa.int64()),
-        "left": pa.array([m[1] for m in merges], pa.string()),
-        "right": pa.array([m[2] for m in merges], pa.string()),
-        "merged": pa.array([m[3] for m in merges], pa.string()),
-        "n": pa.array([m[4] for m in merges], pa.int64()),
-    })
-    return ray.data.from_arrow(out)
+    return merges
 
 
 def _md5_route(id_col: str, n_partitions: int):

@@ -69,6 +69,9 @@ HEADLINE = [
     # round 4, monitoring batch
     "psi_event_types",
     "ks_event_types",
+    # round 5: verified near-dup (oracle-paired), support-pruned graph
+    "minhash_verified_documents",
+    "triangles_suppliers",
 ]
 
 

@@ -50,3 +50,52 @@ def test_semantic_dedup_overflow_rows_not_dropped():
     checked = [r for r in out if r["vec_id"] < 10]
     # within the checked prefix, near-identical vectors dedup to the min id
     assert sum(r["keep"] for r in checked) == 1
+
+
+def test_bpe_train_route_parity():
+    """The pinned-table merge loop and the per-merge distributed route must
+    learn identical merge tables (same tie-breaks)."""
+    from audio_feature_extraction_ray.stages.text import bpe_train
+
+    rows = [{"text": t} for t in [
+        "low lower lowest low low", "new newer newest new",
+        "wide wider widest wide wide wide", "low new wide er est",
+    ] * 5]
+    ds = ray.data.from_items(rows).repartition(3)
+    a = bpe_train(ds, n_merges=12, distributed=False).take_all()
+    b = bpe_train(ds, n_merges=12, distributed=True).take_all()
+    assert a == b
+    assert len(a) > 0
+
+
+def test_dtw_band_row_vectorization_matches_serial_dp():
+    """The prefix-min row update must equal the cell-by-cell banded DP."""
+    from audio_feature_extraction_ray.stages.align import dtw_align
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(60, 4))
+    b = rng.normal(size=(75, 4))
+
+    def serial(a, b, band_frac=0.2):
+        t1, t2 = len(a), len(b)
+        band = max(1, int(band_frac * max(t1, t2)))
+        acc = np.full((t1 + 1, t2 + 1), np.inf)
+        acc[0, 0] = 0.0
+        for i in range(1, t1 + 1):
+            center = int(round((i - 1) * (t2 - 1) / max(t1 - 1, 1))) + 1
+            j_lo, j_hi = max(1, center - band), min(t2, center + band)
+            costs = np.linalg.norm(a[i - 1][None, :] - b[j_lo - 1:j_hi], axis=1)
+            for idx, j in enumerate(range(j_lo, j_hi + 1)):
+                acc[i, j] = costs[idx] + min(acc[i - 1, j], acc[i, j - 1],
+                                             acc[i - 1, j - 1])
+        path = []
+        i, j = t1, t2
+        while i > 0 and j > 0:
+            path.append((i - 1, j - 1))
+            _, i, j = min([(acc[i - 1, j - 1], i - 1, j - 1),
+                           (acc[i - 1, j], i - 1, j),
+                           (acc[i, j - 1], i, j - 1)], key=lambda m: m[0])
+        path.reverse()
+        return path
+
+    assert dtw_align(a, b) == serial(a, b)
