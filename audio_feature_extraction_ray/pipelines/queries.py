@@ -1609,7 +1609,27 @@ def _supplier_projection(sf_dir: str, min_support: int = 2):
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
                        join_type="inner", num_partitions=8)
-    cs = grouped_agg_fast(joined, keys=["o_custkey", "l_suppkey"], specs=[])
+    cs = grouped_agg_fast(joined, keys=["o_custkey", "l_suppkey"],
+                          specs=[]).materialize()
+
+    # Dense route: when the supplier side is small enough that a
+    # supplier×customer bitset fits one worker (here 1000 × 100k/8 =
+    # 12.5 MB at sf0.1), pair support is a task-local popcount against the
+    # broadcast matrix and NOTHING pair-shaped ever crosses an exchange —
+    # the wedge emission below ships one row per (customer, supplier-pair)
+    # co-occurrence, the pipeline's dominant wire cost (76 MB at sf0.1).
+    import numpy as np
+
+    from ..stages.aggregates import approx_distinct
+    from ..stages.graph import cooccurrence_pairs_dense
+
+    supp = np.sort(np.asarray(cs.unique("l_suppkey")))
+    n_cust = approx_distinct(cs, "o_custkey")
+    matrix_bytes = len(supp) * ((n_cust + 63) // 64) * 8
+    if len(supp) <= 8192 and matrix_bytes <= 512 * 1024 * 1024:
+        dense = cooccurrence_pairs_dense(
+            cs, "o_custkey", "l_suppkey", supp, min_support=min_support)
+        return dense.select_columns(["src", "dst"])
 
     def supplier_pairs(block: pa.Table) -> pa.Table:
         import numpy as np

@@ -99,3 +99,25 @@ def test_dtw_band_row_vectorization_matches_serial_dp():
         return path
 
     assert dtw_align(a, b) == serial(a, b)
+
+
+def test_triangle_routes_parity():
+    """Dense bitset route and sparse wedge-join route must agree on both
+    the global count and per-node clustering output."""
+    from audio_feature_extraction_ray.stages.graph import (
+        local_clustering, triangle_count)
+
+    rng = np.random.default_rng(11)
+    edges = [{"src": int(a), "dst": int(b)}
+             for a, b in rng.integers(0, 40, size=(500, 2)) if a != b]
+    ds = ray.data.from_items(edges).repartition(4)
+
+    td = triangle_count(ds, dense_node_threshold=1_000).take_all()
+    ts = triangle_count(ds, dense_node_threshold=0).take_all()
+    assert td[0]["n_triangles"] == ts[0]["n_triangles"] > 0
+
+    cd = sorted(local_clustering(ds, dense_node_threshold=1_000).take_all(),
+                key=lambda r: r["node"])
+    cs = sorted(local_clustering(ds, dense_node_threshold=0).take_all(),
+                key=lambda r: r["node"])
+    assert cd == cs
