@@ -121,3 +121,53 @@ def test_triangle_routes_parity():
     cs = sorted(local_clustering(ds, dense_node_threshold=0).take_all(),
                 key=lambda r: r["node"])
     assert cd == cs
+
+
+def test_dense_triangle_count_matches_bruteforce():
+    from itertools import combinations
+
+    from audio_feature_extraction_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        edges = {(int(min(a, b)), int(max(a, b)))
+                 for a, b in rng.integers(0, 25, size=(120, 2)) if a != b}
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        expected = sum(1 for a, b, c in combinations(sorted(adj), 3)
+                       if b in adj[a] and c in adj[a] and c in adj[b])
+        ds = ray.data.from_items(
+            [{"src": u, "dst": v} for u, v in edges]).repartition(3)
+        got = triangle_count(ds, dense_node_threshold=1_000).take_all()
+        assert got[0]["n_triangles"] == expected, f"trial {trial}"
+
+
+def test_cooccurrence_pairs_dense_matches_bruteforce():
+    from collections import Counter
+
+    from audio_feature_extraction_ray.stages.graph import (
+        cooccurrence_pairs_dense)
+
+    rng = np.random.default_rng(31)
+    rows = [{"g": int(g), "it": int(i)}
+            for g, i in {(int(a), int(b))
+                         for a, b in rng.integers(0, 30, size=(400, 2))}]
+    support = Counter()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], set()).add(r["it"])
+    for g, items in by_g.items():
+        for a in items:
+            for b in items:
+                if a < b:
+                    support[(a, b)] += 1
+    expected = {(a, b, c) for (a, b), c in support.items() if c >= 2}
+
+    items = np.sort(np.asarray(sorted({r["it"] for r in rows})))
+    ds = ray.data.from_items(rows).repartition(4)
+    out = cooccurrence_pairs_dense(ds, "g", "it", items, min_support=2,
+                                   rows_per_task=7).take_all()
+    got = {(r["src"], r["dst"], r["support"]) for r in out}
+    assert got == expected
