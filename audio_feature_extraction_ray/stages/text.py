@@ -747,52 +747,60 @@ def bpe_merge_loop(
     end_of_word: str = "</w>",
 ) -> list[tuple[int, str, str, str, int]]:
     """The pinned-table BPE merge loop: ``n_merges`` iterations over an
-    in-memory (word, count) vocabulary — pure polars/numpy, ZERO Ray
-    executions. Semantics identical to the distributed per-merge route
-    (same (count DESC, (l, r) ASC) tie-break, same affected-subset merge
-    application); route parity is pinned in pytest.
+    in-memory (word, count) vocabulary — ZERO Ray executions. Semantics
+    identical to the distributed per-merge route (same (count DESC,
+    (l, r) ASC) tie-break, same greedy left-to-right merge application);
+    route parity is pinned in pytest.
 
-    Per iteration: adjacent (l, r) pairs explode from the symbol lists
-    columnar (polars list slice + explode — no per-word Python), the best
-    pair is one group-sum + sort, and only words CONTAINING the winning
-    pair are rebuilt in Python (the affected subset shrinks as training
-    proceeds)."""
-    import polars as pl
+    Incremental (the textbook fast trainer): pair counts build once, a
+    lazy max-heap keyed (-count, l, r) yields each round's best pair
+    (stale entries are popped and discarded; every count change pushes a
+    fresh entry, so the first entry matching its pair's CURRENT count is
+    the true deterministic max), and a merge re-counts only the words
+    that contain the winning pair — per-merge work is O(affected
+    symbols), not O(corpus vocabulary)."""
+    import heapq
 
     syms: list[list[str]] = [list(w) + [end_of_word] for w in words]
     counts = np.asarray(counts, dtype=np.int64)
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, row in enumerate(syms):
+        c = int(counts[wi])
+        for p in zip(row, row[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(wi)
+    heap = [(-n, l, r) for (l, r), n in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def bump(p: tuple[str, str], delta: int, wi: int, present_after: bool):
+        n = pair_counts.get(p, 0) + delta
+        if n <= 0:
+            pair_counts.pop(p, None)
+        else:
+            pair_counts[p] = n
+            heapq.heappush(heap, (-n, p[0], p[1]))
+        ws = pair_words.setdefault(p, set())
+        if present_after:
+            ws.add(wi)
+        else:
+            ws.discard(wi)
+
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(n_merges):
-        df = pl.DataFrame({"syms": syms, "n": counts},
-                          schema={"syms": pl.List(pl.Utf8), "n": pl.Int64})
-        ex = (
-            df.with_row_index("wi")
-            .select(
-                "wi", "n",
-                pl.col("syms").list.slice(0, pl.col("syms").list.len() - 1)
-                .alias("l"),
-                pl.col("syms").list.slice(1).alias("r"),
-            )
-            .explode(["l", "r"])
-            .drop_nulls("l")
-        )
-        if ex.height == 0:
+        best = None
+        while heap:
+            negn, l, r = heap[0]
+            if pair_counts.get((l, r)) == -negn:
+                best = (l, r, -negn)
+                break
+            heapq.heappop(heap)  # stale
+        if best is None or best[2] < min_pair_count:
             break
-        best = (
-            ex.group_by(["l", "r"]).agg(pl.col("n").sum())
-            .sort(["n", "l", "r"], descending=[True, False, False])
-            .head(1)
-        )
-        if best.height == 0 or best["n"][0] < min_pair_count:
-            break
-        l, r, cnt = best["l"][0], best["r"][0], int(best["n"][0])
+        l, r, cnt = best
         merged = l + r
         merges.append((rank, l, r, merged, cnt))
-        affected = (
-            ex.filter((pl.col("l") == l) & (pl.col("r") == r))
-            .get_column("wi").unique().to_numpy()
-        )
-        for wi in affected:
+        for wi in sorted(pair_words.get((l, r), ())):
             row = syms[wi]
             out, i = [], 0
             while i < len(row):
@@ -802,7 +810,15 @@ def bpe_merge_loop(
                 else:
                     out.append(row[i])
                     i += 1
-            syms[int(wi)] = out
+            c = int(counts[wi])
+            old = list(zip(row, row[1:]))
+            new = list(zip(out, out[1:]))
+            new_set = set(new)
+            for p in old:
+                bump(p, -c, wi, False)
+            for p in new:
+                bump(p, c, wi, p in new_set)
+            syms[wi] = out
     return merges
 
 
