@@ -1593,7 +1593,8 @@ SELECT node, ROUND(r, 9) AS rank FROM it3
 """
 
 
-def _supplier_projection(sf_dir: str, min_support: int = 2):
+def _supplier_projection(sf_dir: str, min_support: int = 2,
+                         dense_max_items: int = 8192):
     """Distinct supplier–supplier edges (two suppliers share at least
     ``min_support`` customers): the co-purchase projection both graph gate
     queries run on. The support prune (same contract as
@@ -1601,7 +1602,8 @@ def _supplier_projection(sf_dir: str, min_support: int = 2):
     incidental single-customer co-purchases BEFORE the triangle machinery —
     the wedge set grows quadratically in adjacency size, so this is where
     the graph pipelines' exchange bytes come from. The threshold is folded
-    into the oracle SQL (``HAVING COUNT(*) >= 2``)."""
+    into the oracle SQL (``HAVING COUNT(*) >= 2``). Dense/sparse route
+    parity is pinned in pytest via ``dense_max_items``."""
     from ..stages.joins import hash_join
     from ..stages.util import coarse_partitioned
 
@@ -1623,10 +1625,17 @@ def _supplier_projection(sf_dir: str, min_support: int = 2):
     from ..stages.aggregates import approx_distinct
     from ..stages.graph import cooccurrence_pairs_dense
 
-    supp = np.sort(np.asarray(cs.unique("l_suppkey")))
+    # item-scale supplier vector: per-block distincts fold on the driver
+    # (one streaming pass over the pinned cs blocks — no extra shuffle)
+    def block_supp(t: pa.Table) -> pa.Table:
+        return pa.table({"s": pc.unique(t.column("l_suppkey"))})
+
+    srows = cs.map_batches(block_supp, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None).take_all()
+    supp = np.unique(np.asarray([r["s"] for r in srows]))
     n_cust = approx_distinct(cs, "o_custkey")
     matrix_bytes = len(supp) * ((n_cust + 63) // 64) * 8
-    if len(supp) <= 8192 and matrix_bytes <= 512 * 1024 * 1024:
+    if len(supp) <= dense_max_items and matrix_bytes <= 512 * 1024 * 1024:
         dense = cooccurrence_pairs_dense(
             cs, "o_custkey", "l_suppkey", supp, min_support=min_support)
         return dense.select_columns(["src", "dst"])

@@ -41,7 +41,16 @@ def _band_row_update(acc: np.ndarray, i: int, j_lo: int, j_hi: int,
     ``m = min(up, diag)`` and ``C`` the band-local cost prefix sum — one
     cumsum + one running min, no per-cell Python. Cells left of the band
     are +inf (never assigned), so the horizontal entry INTO the band is
-    correctly absent."""
+    correctly absent.
+
+    Equivalence contract: the prefix-sum reassociation shifts ``acc``
+    values by O(eps · row length) relative to the cell-by-cell fold, so
+    on EXACT ties (repeated frames, quantized features) the backtrack may
+    pick a DIFFERENT cost-optimal path than the serial DP would. Path
+    COST is equal to fp tolerance, the path is always a valid monotonic
+    warping, and the result is deterministic run-to-run — which is what
+    the alignment metrics and the rows-only gate require. Pinned in
+    pytest as cost/validity/determinism, not exact path identity."""
     u = acc[i - 1, j_lo:j_hi + 1]
     d = acc[i - 1, j_lo - 1:j_hi]
     m = np.minimum(u, d)

@@ -331,6 +331,17 @@ def _orient(und: ray.data.Dataset, nodes: np.ndarray, degs: np.ndarray):
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
+def _scatter_or(mat: np.ndarray, flat: np.ndarray, bits: np.ndarray) -> None:
+    """OR ``bits`` into ``mat.reshape(-1)[flat]`` with duplicate ``flat``
+    entries combined first — vectorized scatter-OR shared by both bitset
+    builders (np.bitwise_or.at is interpreter-speed; sort + reduceat is
+    not)."""
+    order = np.argsort(flat, kind="stable")
+    flat, bits = flat[order], bits[order]
+    starts = np.concatenate(([0], np.flatnonzero(flat[1:] != flat[:-1]) + 1))
+    mat.reshape(-1)[flat[starts]] |= np.bitwise_or.reduceat(bits, starts)
+
+
 def _popcount_rows(words: np.ndarray) -> np.ndarray:
     """Per-row popcount of a (k, W) uint64 array — uint8-view + 256-entry
     table (numpy 1.x has no bitwise_count)."""
@@ -356,12 +367,7 @@ def _build_bitset_adjacency(nodes: np.ndarray, *tables) -> np.ndarray:
         cols = np.concatenate([v, u])
         bits = (np.uint64(1) << (cols.astype(np.uint64) & np.uint64(63)))
         flat = rows.astype(np.int64) * w + (cols >> 6).astype(np.int64)
-        # vectorized scatter-OR: sort by destination word, OR within groups
-        order = np.argsort(flat, kind="stable")
-        flat, bits = flat[order], bits[order]
-        starts = np.concatenate(([0], np.flatnonzero(flat[1:] != flat[:-1]) + 1))
-        merged = np.bitwise_or.reduceat(bits, starts)
-        mat.reshape(-1)[flat[starts]] |= merged
+        _scatter_or(mat, flat, bits)
     return mat
 
 
@@ -402,22 +408,22 @@ def _build_bipartite_bitset(items: np.ndarray, group_col: str, item_col: str,
     uint64 bitset, bit g of row i set iff item i occurs in group g. The
     co-occurrence support of items (i, j) is then popcount(row_i & row_j)
     — no pair ever crosses an exchange."""
+    parts = [t for t in tables if t.num_rows]
+    if not parts:
+        return np.zeros((len(items), 1), dtype=np.uint64)
     gv = np.concatenate([
         np.asarray(t.column(group_col).to_pylist(), dtype=object)
-        for t in tables if t.num_rows])
+        for t in parts])
     iv = np.concatenate([
         np.asarray(t.column(item_col).to_pylist(), dtype=object)
-        for t in tables if t.num_rows])
+        for t in parts])
     _, ginv = np.unique(gv, return_inverse=True)
     ii = np.searchsorted(items, iv)
     w = (int(ginv.max()) + 64) // 64
     mat = np.zeros((len(items), w), dtype=np.uint64)
     bits = np.uint64(1) << (ginv.astype(np.uint64) & np.uint64(63))
     flat = ii.astype(np.int64) * w + (ginv >> 6).astype(np.int64)
-    order = np.argsort(flat, kind="stable")
-    flat, bits = flat[order], bits[order]
-    starts = np.concatenate(([0], np.flatnonzero(flat[1:] != flat[:-1]) + 1))
-    mat.reshape(-1)[flat[starts]] |= np.bitwise_or.reduceat(bits, starts)
+    _scatter_or(mat, flat, bits)
     return mat
 
 

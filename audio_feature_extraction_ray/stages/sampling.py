@@ -16,11 +16,6 @@ import pyarrow.compute as pc
 import ray.data
 
 
-def _hex_threshold(rate: float, digits: int = 4) -> str:
-    k = max(0, min(16**digits, int(rate * (16**digits))))
-    return format(k, f"0{digits}x")
-
-
 def _int_threshold(rate: float, digits: int = 4) -> int:
     """Integer hash-range threshold with an explicit match-all edge.
 

@@ -811,13 +811,10 @@ def bpe_merge_loop(
                     out.append(row[i])
                     i += 1
             c = int(counts[wi])
-            old = list(zip(row, row[1:]))
-            new = list(zip(out, out[1:]))
-            new_set = set(new)
-            for p in old:
+            for p in zip(row, row[1:]):
                 bump(p, -c, wi, False)
-            for p in new:
-                bump(p, c, wi, p in new_set)
+            for p in zip(out, out[1:]):
+                bump(p, c, wi, True)
             syms[wi] = out
     return merges
 

@@ -142,3 +142,20 @@ def test_hex_threshold_string_compare_matches_integer(k, h):
     want = h < k
     got = k >= 65536 or hs < format(k, "04x")
     assert got == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(rate=st.floats(0.0, 2.0, allow_nan=False),
+       h=st.integers(0, 65535))
+def test_int_threshold_matches_hex_string_compare(rate, h):
+    """_int_threshold's integer compare must agree with the SQL oracles'
+    hex-string compare for every sub-1.0 rate, and be match-all at >= 1.0
+    (where the string form '10000' would lose the lexicographic compare)."""
+    from audio_feature_extraction_ray.stages.sampling import _int_threshold
+
+    thr = _int_threshold(rate, 4)
+    if rate >= 1.0:
+        assert thr == 65536 and h < thr
+    else:
+        k = max(0, min(65536, int(rate * 65536)))
+        assert (h < thr) == (format(h, "04x") < format(k, "04x"))

@@ -69,14 +69,15 @@ def test_bpe_train_route_parity():
 
 
 def test_dtw_band_row_vectorization_matches_serial_dp():
-    """The prefix-min row update must equal the cell-by-cell banded DP."""
+    """The prefix-min row update is value-equivalent to the cell-by-cell
+    banded DP: same optimal path COST to fp tolerance, a valid monotonic
+    path, deterministic run-to-run. Exact path identity is NOT the
+    contract — prefix-sum reassociation (~1e-14 on acc cells) may break
+    ties differently on repeated/quantized frames (see _band_row_update's
+    docstring)."""
     from audio_feature_extraction_ray.stages.align import dtw_align
 
-    rng = np.random.default_rng(3)
-    a = rng.normal(size=(60, 4))
-    b = rng.normal(size=(75, 4))
-
-    def serial(a, b, band_frac=0.2):
+    def serial_acc(a, b, band_frac=0.2):
         t1, t2 = len(a), len(b)
         band = max(1, int(band_frac * max(t1, t2)))
         acc = np.full((t1 + 1, t2 + 1), np.inf)
@@ -88,17 +89,29 @@ def test_dtw_band_row_vectorization_matches_serial_dp():
             for idx, j in enumerate(range(j_lo, j_hi + 1)):
                 acc[i, j] = costs[idx] + min(acc[i - 1, j], acc[i, j - 1],
                                              acc[i - 1, j - 1])
-        path = []
-        i, j = t1, t2
-        while i > 0 and j > 0:
-            path.append((i - 1, j - 1))
-            _, i, j = min([(acc[i - 1, j - 1], i - 1, j - 1),
-                           (acc[i - 1, j], i - 1, j),
-                           (acc[i, j - 1], i, j - 1)], key=lambda m: m[0])
-        path.reverse()
-        return path
+        return acc
 
-    assert dtw_align(a, b) == serial(a, b)
+    def path_cost(path, a, b):
+        return float(sum(np.linalg.norm(a[i] - b[j]) for i, j in path))
+
+    rng = np.random.default_rng(3)
+    for trial, (t1, t2, d, quantize) in enumerate(
+            [(60, 75, 4, False), (34, 36, 1, False), (40, 40, 2, True)]):
+        a = rng.normal(size=(t1, d))
+        b = rng.normal(size=(t2, d))
+        if quantize:  # tie-heavy: repeated/quantized frames
+            a, b = np.round(a), np.round(b)
+        path = dtw_align(a, b)
+        # endpoints + monotonic contiguous steps
+        assert path[0] == (0, 0) and path[-1] == (t1 - 1, t2 - 1)
+        steps = {(pi - qi, pj - qj)
+                 for (qi, qj), (pi, pj) in zip(path, path[1:])}
+        assert steps <= {(1, 0), (0, 1), (1, 1)}
+        # optimal cost matches the serial DP's optimum to fp tolerance
+        acc = serial_acc(a, b)
+        assert abs(path_cost(path, a, b) - acc[t1, t2]) < 1e-6, f"trial {trial}"
+        # deterministic run-to-run
+        assert dtw_align(a, b) == path
 
 
 def test_triangle_routes_parity():
@@ -171,3 +184,17 @@ def test_cooccurrence_pairs_dense_matches_bruteforce():
                                    rows_per_task=7).take_all()
     got = {(r["src"], r["dst"], r["support"]) for r in out}
     assert got == expected
+
+
+def test_supplier_projection_route_parity():
+    """The dense bitset route and the packed-wedge sparse fallback of
+    _supplier_projection must emit the identical pruned pair set."""
+    from audio_feature_extraction_ray.pipelines.queries import (
+        _supplier_projection)
+
+    sf = "/root/testdata/sf0.001"
+    dense = {(r["src"], r["dst"])
+             for r in _supplier_projection(sf).take_all()}
+    sparse = {(r["src"], r["dst"])
+              for r in _supplier_projection(sf, dense_max_items=0).take_all()}
+    assert dense == sparse and len(dense) > 0
