@@ -2500,9 +2500,13 @@ def q_minhash_verified_documents(sf_dir: str):
     oracle's string-set ratio)."""
     from ..stages.dedup import minhash_dedup_verified
 
+    import pyarrow.dataset as pads
+
     N = 250
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
-        .filter(expr=f"doc_id < {N}")
+    # probe predicate pushed INTO the read: at corpus scale only the
+    # qualifying row groups leave storage, instead of a full scan + filter
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      filter=(pads.field("doc_id") < N))
     pairs = minhash_dedup_verified(
         docs, id_col="doc_id", est_threshold=0.5, exact_threshold=0.8,
         shingle_k=5,
@@ -2774,9 +2778,11 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     dataset; only the 30 probe texts are broadcast."""
     import ray as _ray
 
+    import pyarrow.dataset as pads
+
     N = 30
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
-        .filter(expr=f"doc_id < {N}")
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      filter=(pads.field("doc_id") < N))
     small = pa.concat_tables(list(docs.iter_batches(batch_format="pyarrow", batch_size=None)))
     grams: dict[int, frozenset] = {}
     for did, txt in zip(small.column("doc_id").to_pylist(), small.column("text").to_pylist()):
@@ -2821,8 +2827,14 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
 
 def q_knn_embeddings(sf_dir: str):
     """Brute-force cosine top-10 for probe vectors vec_id < 5."""
+    import pyarrow.dataset as pads
+
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    probes = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    # probe predicate pushed into its own pruned read — the full-corpus
+    # scan stays lazy for the distributed side only
+    probes = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                        filter=(pads.field("vec_id") < 5)) \
+        .to_pandas().sort_values("vec_id")
     qm = np.stack(probes["embedding"].to_list()).astype(np.float64)
     out = knn_bruteforce(emb, probes["vec_id"].to_numpy(), qm, k=10)
     return out.select_columns(["query_id", "vec_id", "rank"])
@@ -2841,8 +2853,12 @@ QUALIFY rank <= 10
 
 def q_neardup_embeddings(sf_dir: str):
     """Exact cosine-threshold pairs: probes vec_id < 100 vs the full table."""
+    import pyarrow.dataset as pads
+
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    probes = emb.filter(expr="vec_id < 100").to_pandas().sort_values("vec_id")
+    probes = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                        filter=(pads.field("vec_id") < 100)) \
+        .to_pandas().sort_values("vec_id")
     qids = probes["vec_id"].to_numpy()
     qm = _normalize(np.stack(probes["embedding"].to_list()).astype(np.float64))
     import ray as _ray
@@ -4039,8 +4055,14 @@ def q_knn_ivf_embeddings(sf_dir: str):
     the exact path is pinned in pytest; the gate pins determinism."""
     from ..stages.similarity import knn_ivf
 
+    import pyarrow.dataset as pads
+
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    probes = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    # probe predicate pushed into its own pruned read — the full-corpus
+    # scan stays lazy for the distributed side only
+    probes = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                        filter=(pads.field("vec_id") < 5)) \
+        .to_pandas().sort_values("vec_id")
     qm = np.stack(probes["embedding"].to_list()).astype(np.float64)
     out = knn_ivf(emb, probes["vec_id"].to_numpy(), qm, k=10)
     return out.select_columns(["query_id", "vec_id", "rank"]).sort(["query_id", "rank"])
@@ -4050,8 +4072,14 @@ def q_knn_lsh_embeddings(sf_dir: str):
     """ANN scale path (rows-only): hyperplane-LSH bucketed top-k."""
     from ..stages.similarity import knn_lsh
 
+    import pyarrow.dataset as pads
+
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    probes = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    # probe predicate pushed into its own pruned read — the full-corpus
+    # scan stays lazy for the distributed side only
+    probes = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                        filter=(pads.field("vec_id") < 5)) \
+        .to_pandas().sort_values("vec_id")
     qm = np.stack(probes["embedding"].to_list()).astype(np.float64)
     out = knn_lsh(emb, probes["vec_id"].to_numpy(), qm, k=10)
     return out.select_columns(["query_id", "vec_id", "rank"]).sort(["query_id", "rank"])
