@@ -309,7 +309,12 @@ def approx_quantiles_grouped(
 
         out_k, out_m, out_w = [], [], []
         # per-batch per-key sketches via a local sort by (key, value)
+        # drop_nulls catches Arrow nulls; the is_not_nan filter catches raw
+        # float NaNs, which would otherwise poison a group's centroid means
+        # (the ungrouped approx_quantiles guards identically)
         df = _pl.from_arrow(t.select([key, col])).drop_nulls()
+        if df.height and df[col].dtype.is_float():
+            df = df.filter(_pl.col(col).is_not_nan())
         if df.height == 0:
             return pa.table(
                 {key: pa.array([], t.schema.field(key).type),
@@ -436,7 +441,11 @@ def approx_distinct(
 
     parts = list(
         ds.select_columns([col])
-        .map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+        # batch_size=None: one m-register row per BLOCK — the 4096-row
+        # default would emit one register table per 4096 input rows,
+        # making the pre-combine exchange ~input-sized
+        .map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
         .repartition(1)
         .map_batches(combine, batch_format="pyarrow", batch_size=None)
         .iter_batches(batch_format="pyarrow", batch_size=None)
@@ -458,12 +467,17 @@ def exact_quantiles(ds: ray.data.Dataset, col: str, qs: list[float]) -> list[flo
 
     Distributed sort on the single projected column, then a streaming scan of
     sorted batches that only keeps the values at the target ranks — the driver
-    never holds the column.
+    never holds the column. Null rows are excluded (SQL quantile_cont
+    semantics): ranks are computed over the NON-NULL count, and the sort
+    input is pre-filtered so nulls can never occupy a target rank.
     """
-    n = ds.count()
+    base = ds.select_columns([col]).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column(col))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    n = base.count()
     if n == 0:
         return [float("nan")] * len(qs)
-    sorted_ds = ds.select_columns([col]).sort(col)
+    sorted_ds = base.sort(col)
     # target (possibly fractional) ranks, quantile_cont style
     pos = [(q * (n - 1)) for q in qs]
     need: dict[int, float | None] = {}
@@ -807,7 +821,11 @@ def heavy_hitters(
             }
         )
 
-    p1 = ds.map_batches(pass1, batch_format="pyarrow", zero_copy_batch=True)
+    # batch_size=None: per-BLOCK candidate pruning (the 4096-row default
+    # weakens the per-batch phi threshold and multiplies partial rows; the
+    # final output is identical either way — pass 2 recounts exactly)
+    p1 = ds.map_batches(pass1, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
     agg = grouped_agg_fast(p1, keys=[col], specs=[("c", "c", "sum")])
     blocks = [b for b in ray.get(agg.to_arrow_refs()) if b.num_rows > 0]
     cand_tbl = pa.concat_tables(blocks).combine_chunks() if blocks else pa.table(
@@ -838,7 +856,8 @@ def heavy_hitters(
         )
 
     exact = grouped_agg_fast(
-        ds.map_batches(pass2, batch_format="pyarrow", zero_copy_batch=True),
+        ds.map_batches(pass2, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
         keys=[col],
         specs=[("n", "n", "sum")],
     )
@@ -1099,17 +1118,10 @@ def grouped_spearman(
             schema=out_schema,
         )
 
-    def add_part(t: pa.Table) -> pa.Table:
-        import polars as _pl
+    from .util import coarse_partitioned
 
-        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
-        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
-
-    return ds.select_columns([key, x, y]).map_batches(
-        add_part, batch_format="pyarrow"
-    ).groupby("__part").map_groups(
-        lambda t: block_stats(t.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    return coarse_partitioned(ds.select_columns([key, x, y]), key,
+                              block_stats, n_partitions=n_partitions)
 
 
 def cooccurrence_lift(
@@ -1180,15 +1192,10 @@ def cooccurrence_lift(
             "item_b": items.take(pa.array(ib, pa.int64())),
         })
 
-    def add_part(t: pa.Table) -> pa.Table:
-        import polars as _pl
+    from .util import coarse_partitioned
 
-        h = _pl.from_arrow(pa.table({"k": t.column(basket)})).hash_rows(seed=19).to_numpy()
-        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
-
-    pairs = distinct.map_batches(add_part, batch_format="pyarrow") \
-        .groupby("__part").map_groups(
-            lambda t: pairs_block(t.drop_columns(["__part"])), batch_format="pyarrow")
+    pairs = coarse_partitioned(distinct, basket, pairs_block,
+                               n_partitions=n_partitions)
     counts = grouped_agg_fast(pairs, keys=["item_a", "item_b"], specs=[],
                               count_alias="n_ab")
 
@@ -1393,8 +1400,12 @@ def rollup_agg(
                 cols = {k: pa.nulls(1, key_types[k]) for k in keys}
                 cols[count_alias] = pa.array(
                     [_pc2.sum(t.column(count_alias)).as_py() or 0], pa.int64())
+                # keep the FINEST level's sum dtype — a float64 literal here
+                # would give the union blocks disagreeing schemas on
+                # integer value columns
                 cols[sum_alias] = pa.array(
-                    [_pc2.sum(t.column(sum_alias)).as_py()], pa.float64())
+                    [_pc2.sum(t.column(sum_alias)).as_py()],
+                    fschema.field(sum_alias).type)
             if level_col:
                 cols[level_col] = pa.array(
                     [len(keys) - len(level_keys)] * n_rows, pa.int64())
@@ -1703,22 +1714,30 @@ def psi_by_group(
         ])
         if t.num_rows == 0:
             return out_schema.empty_table()
-        # groups with no reference period have no bin basis: drop their rows
-        known = pa.array([g in sp for g in t.column(group_col).to_pylist()])
-        t = t.filter(known)
-        if t.num_rows == 0:
-            return out_schema.empty_table()
-        groups = t.column(group_col).to_pylist()
+        # per-row Python only over the DICTIONARY (group-scale): span
+        # bounds gather onto rows via the encoded indices
+        enc = t.column(group_col).combine_chunks().dictionary_encode()
+        dvals = enc.dictionary.to_pylist()
+        known_d = np.asarray([g in sp for g in dvals], dtype=bool)
+        mn_d = np.asarray([sp[g][0] if g in sp else np.nan for g in dvals])
+        mx_d = np.asarray([sp[g][1] if g in sp else np.nan for g in dvals])
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        mn = np.asarray([sp[g][0] for g in groups])
-        mx = np.asarray([sp[g][1] for g in groups])
+        # groups with no reference period have no bin basis, and null/NaN
+        # values carry no bin mass (SQL COUNT/aggregate null exclusion —
+        # counting them as bin-0 probability would fabricate drift)
+        keep = known_d[idx] & np.isfinite(v)
+        if not keep.any():
+            return out_schema.empty_table()
+        v, mn, mx = v[keep], mn_d[idx[keep]], mx_d[idx[keep]]
         with np.errstate(invalid="ignore", divide="ignore"):
             frac = (v - mn) / np.where(mx > mn, mx - mn, 1.0)
             b = np.floor(frac * n_bins)
         b = np.clip(np.where(np.isfinite(b), b, 0), 0, n_bins - 1).astype(np.int64)
+        kept = t.filter(pa.array(keep))
         return pa.table({
-            group_col: t.column(group_col),
-            "__ref": t.column("__ref"),
+            group_col: kept.column(group_col),
+            "__ref": kept.column("__ref"),
             "__bin": pa.array(b),
         })
 
@@ -1813,14 +1832,25 @@ def ks_by_group(
             pa.field("n_cur", pa.int64()),
             pa.field("ks_d", pa.float64()),
         ])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        # null/NaN values join neither sample (scipy/SQL null exclusion) —
+        # counting them would inflate one period's ECDF denominator and
+        # report drift between identical non-null distributions
+        vals = np.asarray(
+            t.column(value_col).to_pandas(), dtype=np.float64)  # nulls→NaN
+        keep = np.isfinite(vals)
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+            vals = vals[keep]
+        t = t.combine_chunks()
         n = t.num_rows
         if n == 0:
             return out_schema.empty_table()
-        t = t.combine_chunks()
         gcol = t.column(group_col).combine_chunks()
         enc = gcol.dictionary_encode()
         g = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = vals
         ref = t.column("__ref").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((v, g))
         g, v, ref = g[order], v[order], ref[order]

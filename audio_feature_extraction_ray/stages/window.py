@@ -28,7 +28,7 @@ import pyarrow as pa
 
 import ray.data
 
-from .util import arrow_schema_of, coarse_partitioned, grouped_segments, widen_blocks
+from .util import arrow_schema_of, coarse_partitioned
 
 
 def _f64(col) -> np.ndarray:
@@ -280,7 +280,6 @@ def window_features(
     trailing = trailing or []
     if interp_method not in ("linear", "cubic"):
         raise ValueError(f"interp_method must be 'linear' or 'cubic', got {interp_method!r}")
-    _interp_fn = _interp_time if interp_method == "linear" else _interp_time_cubic
     if in_schema is not None:
         # caller-supplied input schema: skips the ds.schema() probe, which on
         # a lazy map_batches pipeline costs a full partial EXECUTION (executor
@@ -501,15 +500,8 @@ def window_features(
 
     n_partitions = 64
 
-    def add_part(t: pa.Table) -> pa.Table:
-        import polars as _pl
-
-        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
-        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
-
-    return widen_blocks(ds.map_batches(add_part, batch_format="pyarrow")).groupby("__part").map_groups(
-        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    return coarse_partitioned(ds, key, vector_block,
+                              n_partitions=n_partitions)
 
 
 def window_features_bucketed(
@@ -1230,10 +1222,21 @@ def grouped_rank(
     order = [(c, "descending" if d else "ascending") for c, d in zip(sort_keys, descending)]
 
     def _adjacent_neq(arr: pa.Array, n: int) -> np.ndarray:
+        if pa.types.is_null(arr.type):
+            # an all-null column (one partition's slice can surface as the
+            # Arrow null TYPE) is one value run: no boundaries
+            return np.zeros(n - 1, dtype=bool)
+        a, b = arr.slice(1), arr.slice(0, n - 1)
         neq = pa.compute.fill_null(
-            pa.compute.invert(pa.compute.equal(arr.slice(1), arr.slice(0, n - 1))),
-            True,
+            pa.compute.invert(pa.compute.equal(a, b)), True,
         )
+        # SQL window semantics: NULL keys form ONE partition and NULL sort
+        # values tie — adjacent null-vs-null must NOT be a boundary (the
+        # plain equal() kernel yields null there, which fill_null(True)
+        # would wrongly split)
+        both_null = pa.compute.and_(pa.compute.is_null(a),
+                                    pa.compute.is_null(b))
+        neq = pa.compute.and_(neq, pa.compute.invert(both_null))
         return np.asarray(neq.to_numpy(zero_copy_only=False), dtype=bool)
 
     def vector_part(t: pa.Table) -> pa.Table:
@@ -1431,18 +1434,8 @@ def resample_grid(
             cols[f"{c}_ffill"] = pa.array(x[src], pa.float64(), from_pandas=True)
         return pa.table(cols, schema=out_schema)
 
-    def add_part(t: pa.Table) -> pa.Table:
-        import polars as _pl
-
-        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
-        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
-
-    cols_needed = [key, ts] + value_cols
-    return widen_blocks(ds.select_columns(cols_needed).map_batches(
-        add_part, batch_format="pyarrow"
-    )).groupby("__part").map_groups(
-        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    return coarse_partitioned(ds.select_columns([key, ts] + value_cols),
+                              key, vector_block, n_partitions=n_partitions)
 
 
 def rolling_order_stats(
@@ -1503,15 +1496,8 @@ def rolling_order_stats(
         block = block.append_column(max_f, pa.array(mx, pa.float64(), from_pandas=True))
         return block
 
-    def add_part(t: pa.Table) -> pa.Table:
-        import polars as _pl
-
-        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
-        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
-
-    return widen_blocks(ds.map_batches(add_part, batch_format="pyarrow")).groupby("__part").map_groups(
-        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    return coarse_partitioned(ds, key, vector_block,
+                              n_partitions=n_partitions)
 
 
 
@@ -1592,15 +1578,8 @@ def rolling_corr(
             c = np.where((m >= 2) & (den > 0), num / np.where(den > 0, den, 1.0), np.nan)
         return block.append_column(out_f, pa.array(c, pa.float64(), from_pandas=True))
 
-    def add_part(t: pa.Table) -> pa.Table:
-        import polars as _pl
-
-        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
-        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
-
-    return widen_blocks(ds.map_batches(add_part, batch_format="pyarrow")).groupby("__part").map_groups(
-        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    return coarse_partitioned(ds, key, vector_block,
+                              n_partitions=n_partitions)
 
 
 def rolling_regression(
@@ -1678,15 +1657,8 @@ def rolling_regression(
             pa.array(intercept, pa.float64(), from_pandas=True),
         )
 
-    def add_part(t: pa.Table) -> pa.Table:
-        import polars as _pl
-
-        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
-        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
-
-    return widen_blocks(ds.map_batches(add_part, batch_format="pyarrow")).groupby("__part").map_groups(
-        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    return coarse_partitioned(ds, key, vector_block,
+                              n_partitions=n_partitions)
 
 
 def ewma(
@@ -1767,15 +1739,8 @@ def ewma(
             out[st:st + size] = seg_ewma(x[st:st + size])
         return block.append_column(out_field, pa.array(out, pa.float64(), from_pandas=True))
 
-    def add_part(t: pa.Table) -> pa.Table:
-        import polars as _pl
-
-        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
-        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
-
-    return widen_blocks(ds.map_batches(add_part, batch_format="pyarrow")).groupby("__part").map_groups(
-        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    return coarse_partitioned(ds, key, vector_block,
+                              n_partitions=n_partitions)
 
 
 def add_calendar_columns(
@@ -1870,15 +1835,8 @@ def transition_counts(
             "next_" + state_col: states.take(pa.array(cur + 1, pa.int64())),
         }, schema=out_schema)
 
-    def add_part(t: pa.Table) -> pa.Table:
-        import polars as _pl
-
-        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
-        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
-
-    pairs = widen_blocks(ds.map_batches(add_part, batch_format="pyarrow")).groupby("__part").map_groups(
-        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    pairs = coarse_partitioned(ds, key, vector_block,
+                               n_partitions=n_partitions)
     return grouped_agg_fast(pairs, keys=[state_col, "next_" + state_col],
                             specs=[], count_alias="n")
 
@@ -1943,15 +1901,8 @@ def time_weighted_avg(
             "__den": pa.array(dt, pa.float64()),
         }, schema=out_schema)
 
-    def add_part(t: pa.Table) -> pa.Table:
-        import polars as _pl
-
-        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
-        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
-
-    traps = widen_blocks(ds.map_batches(add_part, batch_format="pyarrow")).groupby("__part").map_groups(
-        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    traps = coarse_partitioned(ds, key, vector_block,
+                               n_partitions=n_partitions)
     sums = grouped_agg_fast(traps, keys=[key],
                             specs=[("__num_s", "__num", "sum"), ("__den_s", "__den", "sum")])
 
@@ -2030,15 +1981,6 @@ def value_runs(
             "n_run": pa.array(rlens.astype(np.int64), pa.int64()),
         }, schema=out_schema)
 
-    def add_part(t: pa.Table) -> pa.Table:
-        import polars as _pl
-
-        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
-        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
-
     cols = [key, ts, state_col] + ([tiebreak] if tiebreak else [])
-    return widen_blocks(ds.select_columns(cols).map_batches(
-        add_part, batch_format="pyarrow"
-    )).groupby("__part").map_groups(
-        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    return coarse_partitioned(ds.select_columns(cols), key, vector_block,
+                              n_partitions=n_partitions)

@@ -304,6 +304,11 @@ def write_value_partitioned_resumable(
         ext = "parquet" if file_format == "parquet" else file_format
         path = os.path.join(out_dir, f"cat-{safe}.{ext}")
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        # canonical sort BEFORE writing — group row order is scheduling-
+        # dependent, and the resume contract promises a byte-identical
+        # rewrite (the hash-partitioned writer sorts identically; hashing
+        # sorted rows while writing unsorted ones broke that promise)
+        group = group.take(_canonical_order(group, sort_keys))
         _write_table(group, tmp, file_format)
         os.replace(tmp, path)
         row = {

@@ -198,3 +198,105 @@ def test_supplier_projection_route_parity():
     sparse = {(r["src"], r["dst"])
               for r in _supplier_projection(sf, dense_max_items=0).take_all()}
     assert dense == sparse and len(dense) > 0
+
+
+def test_psi_and_ks_exclude_null_values():
+    """Null values must carry no probability mass (PSI bin-0 / KS ECDF
+    denominators): identical non-null distributions with one-sided nulls
+    must report zero drift."""
+    from audio_feature_extraction_ray.stages.aggregates import (
+        ks_by_group, psi_by_group)
+
+    rows = []
+    for i in range(200):
+        v = float(i % 20)
+        rows.append({"g": "a", "v": v, "ts": 100})            # reference
+        rows.append({"g": "a", "v": v, "ts": 300})            # current
+    for _ in range(50):  # nulls only in the CURRENT period
+        rows.append({"g": "a", "v": None, "ts": 300})
+    ds = ray.data.from_items(rows).repartition(3)
+
+    psi = psi_by_group(ds, "g", "v", "ts", cutoff_us=200).take_all()
+    assert psi[0]["n_ref"] == 200 and psi[0]["n_cur"] == 200
+    assert abs(psi[0]["psi"]) < 1e-9
+
+    ks = ks_by_group(ds, "g", "v", "ts", cutoff_us=200).take_all()
+    assert ks[0]["n_ref"] == 200 and ks[0]["n_cur"] == 200
+    assert ks[0]["ks_d"] == 0.0
+
+
+def test_exact_quantiles_ignore_nulls():
+    from audio_feature_extraction_ray.stages.aggregates import exact_quantiles
+
+    rows = [{"v": float(i)} for i in range(90)] + [{"v": None}] * 10
+    ds = ray.data.from_items(rows).repartition(4)
+    q50, q95 = exact_quantiles(ds, "v", [0.5, 0.95])
+    # quantile_cont over the 90 non-null values 0..89
+    assert abs(q50 - 44.5) < 1e-9
+    assert abs(q95 - 84.55) < 1e-9
+
+
+def test_rollup_agg_integer_sum_keeps_one_dtype():
+    from audio_feature_extraction_ray.stages.aggregates import rollup_agg
+
+    rows = [{"a": f"k{i % 2}", "b": f"j{i % 3}", "v": i} for i in range(30)]
+    ds = ray.data.from_items(rows).repartition(2)
+    out = rollup_agg(ds, ["a", "b"], "v", level_col="lvl")
+    types = {str(b.schema.field("sum_v").type)
+             for b in out.iter_batches(batch_format="pyarrow", batch_size=None)
+             if b.num_rows}
+    assert len(types) == 1, f"union blocks disagree on sum_v dtype: {types}"
+    grand = [r for r in out.take_all() if r["lvl"] == 2]
+    assert grand[0]["sum_v"] == sum(range(30))
+
+
+def test_grouped_rank_null_keys_and_null_sort_values():
+    """SQL window semantics: NULL keys form ONE partition; NULL sort
+    values tie under RANK."""
+    from audio_feature_extraction_ray.stages.window import grouped_rank
+
+    rows = [
+        {"k": None, "s": 1.0, "i": 0},
+        {"k": None, "s": 2.0, "i": 1},
+        {"k": "a", "s": None, "i": 2},
+        {"k": "a", "s": None, "i": 3},
+        {"k": "a", "s": 5.0, "i": 4},
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    rn = {r["i"]: r for r in grouped_rank(
+        ds, "k", ["s", "i"]).take_all()}
+    # NULL partition: two rows, row_numbers 1 and 2 (not two separate
+    # partitions each ranking 1)
+    assert sorted([rn[0]["row_number"], rn[1]["row_number"]]) == [1, 2]
+    out = {r["i"]: r for r in grouped_rank(
+        ds, "k", ["s"], tie_aware=True).take_all()}
+    # Arrow sorts nulls LAST ascending: s=5.0 ranks 1, the two NULLs tie at 2
+    assert out[4]["rank"] == 1
+    assert out[2]["rank"] == out[3]["rank"] == 2
+
+
+def test_value_partitioned_writer_is_byte_deterministic():
+    import shutil
+
+    from audio_feature_extraction_ray.state.checkpoint import (
+        write_value_partitioned_resumable)
+
+    rows = [{"cat": f"c{i % 3}", "x": i, "r": (i * 7) % 5} for i in range(60)]
+
+    def write_once(seed_order):
+        d = f"/tmp/vpw_test_{seed_order}"
+        shutil.rmtree(d, ignore_errors=True)
+        import os
+        os.makedirs(d)
+        shuffled = list(rows)
+        rng = np.random.default_rng(seed_order)
+        rng.shuffle(shuffled)
+        ds = ray.data.from_items(shuffled).repartition(5)
+        write_value_partitioned_resumable(ds, d, "cat", sort_keys=["x"])
+        return {f: open(f"{d}/{f}", "rb").read()
+                for f in sorted(os.listdir(d)) if f.endswith(".parquet")}
+
+    a, b = write_once(1), write_once(2)
+    assert a.keys() == b.keys()
+    for f in a:
+        assert a[f] == b[f], f"file bytes differ for {f} across row orders"
