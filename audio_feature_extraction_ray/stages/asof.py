@@ -106,6 +106,11 @@ def asof_join(
     )
 
     def prep_right(t: pa.Table) -> pa.Table:
+        # build rows with a NULL timestamp cannot participate in an as-of
+        # ordering (SQL ASOF JOIN right-side null exclusion) — the nullsafe
+        # 0-fill downstream would otherwise make them matchable as epoch 0,
+        # emitting value columns with a null matched_ts
+        t = t.filter(pc.is_valid(t.column(right_ts)))
         out: dict[str, pa.Array | pa.ChunkedArray] = {}
         for name, typ in left_cols:
             if name == on:
@@ -184,6 +189,12 @@ def asof_join(
             return out_schema.empty_table()
         p_orig = orig_s[probe_pos]
         p_valid = has_match[probe_pos]
+        # a probe with a NULL timestamp is unmatchable (its nullsafe 0-fill
+        # would otherwise as-of match forward to the EARLIEST build row);
+        # the probe row itself is still emitted with null match columns
+        lts_valid = pc.is_valid(part.column(left_ts)) \
+            .to_numpy(zero_copy_only=False)
+        p_valid = p_valid & lts_valid[p_orig]
         p_build_orig = orig_s[np.where(p_valid, match_pos[probe_pos], 0)]
         if tolerance_us is not None:
             m_rts = rts_all[p_build_orig]
@@ -286,6 +297,10 @@ def asof_join_broadcast(
         n = local.num_rows
         if n == 0:
             return mid_schema.empty_table()
+        # build rows with a NULL timestamp cannot be as-of matched (same
+        # exclusion as the shuffle path; _ts_i64 would turn them into
+        # garbage int64 ordering keys)
+        block = block.filter(pc.is_valid(block.column(right_ts)))
         # per-entity vectorized sorted merges; the loop is over the probe
         # side's DISTINCT LOCAL ENTITIES (small by contract), never rows
         bts = _ts_i64(block.column(right_ts))
@@ -298,17 +313,21 @@ def asof_join_broadcast(
             rts = bts[bmask.to_numpy(zero_copy_only=False)]
             order = np.argsort(rts, kind="stable")
             rts_sorted = rts[order]
-            lts = _ts_i64(lt.column(left_ts))
+            lts = _ts_i64_nullsafe(lt.column(left_ts))
+            # a probe with a NULL timestamp is unmatchable (emitted with
+            # null match columns) — same exclusion as the shuffle path
+            lts_valid = pc.is_valid(lt.column(left_ts)) \
+                .to_numpy(zero_copy_only=False)
             cols = {name: lt.column(name) for name, _ in left_cols}
             if fwd:
                 idx = np.searchsorted(rts_sorted, lts, side="left")
-                valid = idx < len(rts_sorted)
+                valid = (idx < len(rts_sorted)) & lts_valid
                 idx_c = np.minimum(idx, len(rts_sorted) - 1)
                 if tolerance_us is not None:
                     valid &= (rts_sorted[idx_c] - lts) <= tolerance_us
             else:
                 idx = np.searchsorted(rts_sorted, lts, side="right") - 1
-                valid = idx >= 0
+                valid = (idx >= 0) & lts_valid
                 idx_c = np.maximum(idx, 0)
                 if tolerance_us is not None:
                     valid &= (lts - rts_sorted[idx_c]) <= tolerance_us
@@ -648,6 +667,12 @@ def salt_hot_keys(
 
         if t.num_rows == 0:
             return t.append_column("__salt", pa.array([], pa.int32()))
+        if not hot:
+            # no hot keys (auto-detect on an unskewed distribution): every
+            # row salts 0 — an empty pa.array is null-typed and would make
+            # is_in raise a type mismatch in every map task
+            return t.append_column(
+                "__salt", pa.array(np.zeros(t.num_rows, dtype=np.int32)))
         cols = [salt_by] if salt_by is not None else t.column_names
         h = _pl.from_arrow(t.select(cols)).hash_rows(seed=11).to_numpy()
         salt = (h % np.uint64(salt_buckets)).astype(np.int32)

@@ -56,9 +56,15 @@ def dedup_exact(
         new_run[0] = True
         for kcol in keys:
             arr = t.column(kcol).combine_chunks()
-            neq = pc.fill_null(
-                pc.invert(pc.equal(arr.slice(1), arr.slice(0, n - 1))), True
-            )
+            if pa.types.is_null(arr.type):
+                continue  # all-null column: one run
+            a, b = arr.slice(1), arr.slice(0, n - 1)
+            neq = pc.fill_null(pc.invert(pc.equal(a, b)), True)
+            # SQL GROUP BY collapses NULL keys into ONE group — adjacent
+            # null-vs-null is not a run boundary (equal() yields null
+            # there, which fill_null(True) alone would wrongly split)
+            neq = pc.and_(neq, pc.invert(
+                pc.and_(pc.is_null(a), pc.is_null(b))))
             new_run[1:] |= np.asarray(
                 neq.to_numpy(zero_copy_only=False), dtype=bool
             )
@@ -389,8 +395,13 @@ def minhash_dedup_pairs(
         )
 
     pairs = widen_blocks(banded).groupby("band").map_groups(candidates, batch_format="pyarrow")
-    # same pair can surface from multiple bands → dedup on (id_a, id_b)
-    return dedup_exact(pairs, ["id_a", "id_b"], order_col="est_jaccard", keep="max")
+    # same pair can surface from multiple bands → dedup on (id_a, id_b).
+    # Order by TRUNCATED (any-band semantics, matching the prefix path):
+    # est_jaccard is identical across a pair's bands (computed from the
+    # full signature), so ordering by it left the surviving row's
+    # truncated flag to shuffle arrival order — nondeterministic.
+    return dedup_exact(pairs, ["id_a", "id_b"], order_col="truncated",
+                       keep="max")
 
 
 def minhash_dedup_verified(
@@ -498,6 +509,13 @@ def hamming_dedup_pairs(
     rest."""
     if bands is None:
         bands = next(b for b in (1, 2, 4, 8, 16, 32) if b > max_hamming)
+    elif bands <= max_hamming:
+        # pigeonhole requires MORE bands than differing bits — fewer would
+        # silently drop true near-dup pairs (a pair may differ in every band)
+        raise ValueError(
+            f"bands={bands} <= max_hamming={max_hamming} voids the pigeonhole "
+            f"recall guarantee; pass bands > max_hamming (or bands=None)"
+        )
 
     def to_bands(batch: pa.Table) -> pa.Table:
         # vectorized over rows (matches functions.textfx.simhash_bands):
@@ -724,14 +742,9 @@ def distributed_anti_join(
     key_type = lschema.types[lschema.names.index(key)]
     union_names = list(lschema.names) + ["__side", "__bucket"]
 
-    def bucket_of(col) -> pa.Array:
-        import polars as _pl
+    from .util import key_bucketer
 
-        if len(col) == 0:
-            return pa.array([], pa.int32())
-        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        h = _pl.from_arrow(pa.table({"k": arr.cast(key_type)})).hash_rows(seed=7).to_numpy()
-        return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+    bucket_of = key_bucketer(key_type, num_buckets)
 
     def prep_left(t: pa.Table) -> pa.Table:
         out = {n: t.column(n) for n in lschema.names}
@@ -815,6 +828,12 @@ def embedding_dedup_pairs(
     planes_holder: dict[int, np.ndarray] = {}
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                id_col: batch.column(id_col),
+                emb_col: batch.column(emb_col),
+                "bucket": pa.array([], pa.int64()),
+            })
         emb = _normalize(_stack_embeddings(batch.column(emb_col)))
         if not planes_holder:
             planes_holder[0] = _hyperplanes(emb.shape[1], n_planes, seed)
@@ -981,7 +1000,12 @@ def consecutive_neardup_flags(
         block = block.combine_chunks()
         g = block.column(key).combine_chunks().dictionary_encode().indices \
             .to_numpy(zero_copy_only=False).astype(np.int64)
-        tsv = block.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # normalize the timestamp UNIT first: a ns- or s-unit input cast
+        # straight to int64 would be reinterpreted as us downstream
+        tcol = block.column(ts)
+        if pa.types.is_timestamp(tcol.type):
+            tcol = tcol.cast(pa.timestamp("us", tz=tcol.type.tz), safe=False)
+        tsv = tcol.cast(pa.int64()).to_numpy(zero_copy_only=False)
         order = np.lexsort((tsv, g))
         g = g[order]
         tsv = tsv[order]
@@ -1005,18 +1029,8 @@ def consecutive_neardup_flags(
             "is_consecutive_neardup": pa.array(flag),
         }, schema=out_schema)
 
-    def add_part(t: pa.Table) -> pa.Table:
-        import polars as _pl
-
-        h = _pl.from_arrow(pa.table({"k": t.column(key)})).hash_rows(seed=19).to_numpy()
-        return t.append_column("__part", pa.array((h % n_partitions).astype(np.int32)))
-
-    cols = [key, ts, hash_col]
-    return widen_blocks(ds.select_columns(cols).map_batches(
-        add_part, batch_format="pyarrow"
-    )).groupby("__part").map_groups(
-        lambda t: vector_block(t.drop_columns(["__part"])), batch_format="pyarrow"
-    )
+    return coarse_partitioned(ds.select_columns([key, ts, hash_col]), key,
+                              vector_block, n_partitions=n_partitions)
 
 
 def semantic_dedup(

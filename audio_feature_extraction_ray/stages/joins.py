@@ -161,7 +161,11 @@ def bloom_semi_join(
     import ray as _ray
 
     kc = keys_col or key
-    n_est = keys_ds.count()  # cheap (metadata / streaming count), no shuffle
+    # pin the key pipeline: count() would otherwise EXECUTE it once for
+    # sizing and the partial-bits scan would execute it again — doubling
+    # the cost whenever keys_ds is a computed pipeline, not a raw read
+    keys_ds = keys_ds.select_columns([kc]).materialize()
+    n_est = keys_ds.count()
     proto = _BloomFilter(n_est, fpp)
     m, k = proto.m, proto.k
 
@@ -173,7 +177,7 @@ def bloom_semi_join(
         return pa.table({"bits": pa.array([f.bits.tobytes()], pa.large_binary())})
 
     merged = (
-        keys_ds.select_columns([kc])
+        keys_ds
         .map_batches(partial_bits, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=65536)
         .repartition(1)
@@ -273,14 +277,9 @@ def bucket_hash_join(
     union_fields = lcols + rcols + [("__side", pa.int8()), ("__bucket", pa.int32())]
     union_names = [n for n, _ in union_fields]
 
-    def bucket_of(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-        import polars as _pl
+    from .util import key_bucketer
 
-        if len(col) == 0:
-            return pa.array([], pa.int32())
-        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        h = _pl.from_arrow(pa.table({"k": arr.cast(key_type)})).hash_rows(seed=7).to_numpy()
-        return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+    bucket_of = key_bucketer(key_type, num_buckets)
 
     def prep_left(t: pa.Table) -> pa.Table:
         out = {n: t.column(n) for n, _ in lcols}

@@ -25,6 +25,9 @@ def _stack_embeddings(col) -> np.ndarray:
     if pa.types.is_fixed_size_list(a.type):
         d = a.type.list_size
         return a.flatten().to_numpy(zero_copy_only=False).reshape(-1, d).astype(np.float64)
+    if len(a) == 0:
+        # np.stack([]) raises; an upstream filter can legally empty a block
+        return np.empty((0, 0), dtype=np.float64)
     return np.stack(a.to_pylist()).astype(np.float64)
 
 
@@ -43,6 +46,10 @@ class _PartialTopK:
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         emb = _normalize(_stack_embeddings(batch.column(self.emb_col)))
         scores = emb @ self.qmat.T  # (B, Q)
@@ -159,6 +166,10 @@ def knn_ivf(
             self.qids, self.qm, self.cent, self.qcells = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
             emb = _normalize(_stack_embeddings(batch.column(emb_col)))
             cells = np.argmax(emb @ self.cent.T, axis=1)
@@ -238,6 +249,10 @@ def knn_lsh(
             self.qids, self.qm, self.planes, self.qb = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
             emb = _normalize(_stack_embeddings(batch.column(emb_col)))
             buckets = lsh_bucket_ids(emb, self.planes)
@@ -298,6 +313,18 @@ def label_centroids_cosine(
     from .aggregates import grouped_agg_fast
 
     def to_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    label_col: pa.array([], t.schema.field(label_col).type),
+                    "dim": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.float64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        # null labels carry no centroid mass (their dictionary index is
+        # null -> int64 garbage -> IndexError in the scatter-add)
+        t = t.filter(pc.is_valid(t.column(label_col)))
         if t.num_rows == 0:
             return pa.table(
                 {

@@ -184,6 +184,26 @@ def grouped_segments(
     return coarse_partitioned(ds, key, run_part, n_partitions=n_partitions, seed=seed)
 
 
+def key_bucketer(key_type: "pa.DataType", num_buckets: int, seed: int = 7):
+    """Columnar key→bucket hash shared by the bucketed exchanges
+    (bucket_hash_join, distributed_anti_join): polars ``hash_rows`` over the
+    key cast to one common type, modulo ``num_buckets``. One definition so
+    the two sides of any bucketed exchange can never drift apart."""
+
+    def bucket_of(col) -> pa.Array:
+        import numpy as np
+        import polars as _pl
+
+        if len(col) == 0:
+            return pa.array([], pa.int32())
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        h = _pl.from_arrow(pa.table({"k": arr.cast(key_type)})) \
+            .hash_rows(seed=seed).to_numpy()
+        return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+
+    return bucket_of
+
+
 def arrow_schema_of(ds: ray.data.Dataset) -> tuple[ray.data.Dataset, pa.Schema]:
     """Return ``(ds, arrow schema)``, normalizing pandas-backed blocks.
 

@@ -300,3 +300,96 @@ def test_value_partitioned_writer_is_byte_deterministic():
     assert a.keys() == b.keys()
     for f in a:
         assert a[f] == b[f], f"file bytes differ for {f} across row orders"
+
+
+def test_salt_hot_keys_empty_hot_list_is_noop():
+    """auto-salting an unskewed distribution yields no hot keys; the salter
+    must still run (everything salts 0), not crash on a null-typed value
+    set."""
+    from audio_feature_extraction_ray.stages.asof import (
+        auto_salt_hot_keys, salt_hot_keys)
+
+    rows = [{"k": f"u{i}", "v": i} for i in range(200)]  # perfectly uniform
+    ds = ray.data.from_items(rows).repartition(3)
+    out = salt_hot_keys(ds, "k", []).take_all()
+    assert len(out) == 200 and all(r["__salt"] == 0 for r in out)
+    salted, hot = auto_salt_hot_keys(ds, "k", phi=0.25)
+    assert hot == [] and salted.count() == 200
+
+
+def test_asof_join_excludes_null_timestamps():
+    """Null build timestamps must be unmatchable (not epoch-0); null probe
+    timestamps emit the probe row with null match columns."""
+    import pyarrow as pa
+
+    from audio_feature_extraction_ray.stages.asof import (
+        asof_join, asof_join_broadcast)
+
+    probes = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "a"]),
+        "ts": pa.array([50, None], pa.int64()),
+        "pid": pa.array([0, 1], pa.int64()),
+    }))
+    build = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "a"]),
+        # null build ts: never matchable
+        "bts": pa.array([None, 40], pa.int64()),
+        "price": pa.array([9.0, 7.0], pa.float64()),
+    }))
+    for fn in (asof_join, asof_join_broadcast):
+        out = {r["pid"]: r for r in fn(
+            probes, build, on="k", left_ts="ts", right_ts="bts",
+            value_cols=["price"]).take_all()}
+        assert len(out) == 2, fn.__name__
+        assert out[0]["price_asof"] == 7.0 and out[0]["matched_ts"] == 40
+        assert out[1]["price_asof"] is None and out[1]["matched_ts"] is None
+        # forward direction: a null probe ts must NOT match the earliest build
+        fwd = {r["pid"]: r for r in fn(
+            probes, build, on="k", left_ts="ts", right_ts="bts",
+            value_cols=["price"], direction="forward").take_all()}
+        assert fwd[1]["price_asof"] is None, fn.__name__
+
+
+def test_dedup_exact_collapses_null_keys():
+    from audio_feature_extraction_ray.stages.dedup import dedup_exact
+
+    rows = [{"fp": None, "id": 3}, {"fp": None, "id": 1},
+            {"fp": "x", "id": 5}, {"fp": "x", "id": 2}]
+    ds = ray.data.from_items(rows).repartition(2)
+    out = sorted(dedup_exact(ds, ["fp"], "id").take_all(),
+                 key=lambda r: (r["fp"] is None, r["id"]))
+    # SQL GROUP BY: one row per key INCLUDING the null group, min id kept
+    assert [(r["fp"], r["id"]) for r in out] == [("x", 2), (None, 1)]
+
+
+def test_consecutive_neardups_normalize_ts_unit():
+    import pyarrow as pa
+
+    from audio_feature_extraction_ray.stages.dedup import (
+        consecutive_neardup_flags)
+
+    t = pa.table({
+        "image_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000_000, 1_700_000_001_000_000_000],
+                       pa.timestamp("ns")),
+        "phash": pa.array([0b1010, 0b1011], pa.int64()),
+    })
+    out = sorted(ray.data.from_arrow(t).map_batches(
+        lambda x: x, batch_format="pyarrow") .pipe if False else
+        __import__("audio_feature_extraction_ray.stages.dedup",
+                   fromlist=["consecutive_neardup_flags"])
+        .consecutive_neardup_flags(ray.data.from_arrow(t)).take_all(),
+        key=lambda r: r["ts"])
+    # ns input must come back as real 2023 timestamps, not year 55969
+    assert all(2020 <= r["ts"].year <= 2030 for r in out)
+    assert out[1]["prev_hamming"] == 1 and out[1]["is_consecutive_neardup"]
+
+
+def test_hamming_bands_validation():
+    import pytest as _pytest
+
+    from audio_feature_extraction_ray.stages.dedup import hamming_dedup_pairs
+
+    ds = ray.data.from_items([{"id": 1, "sig": 3}])
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        hamming_dedup_pairs(ds, "id", "sig", max_hamming=3, bands=2)
