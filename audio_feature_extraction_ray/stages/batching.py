@@ -160,7 +160,12 @@ def assign_aspect_buckets(
         h = t.column(h_col).to_numpy(zero_copy_only=False).astype(np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
             aspect = w / h
-            idx = np.searchsorted(mids, np.log(np.maximum(aspect, 1e-12)))
+            # corrupt metadata (null/zero dims -> NaN/inf aspect) falls back
+            # to ratio 1.0 (square = least resize distortion) instead of
+            # silently landing in the WIDEST bucket via searchsorted's
+            # NaN/inf end-position behavior
+            safe = np.where(np.isfinite(aspect), aspect, 1.0)
+            idx = np.searchsorted(mids, np.log(np.maximum(safe, 1e-12)))
         t = t.append_column("aspect", pa.array(aspect, pa.float64(), from_pandas=True))
         return t.append_column("aspect_bucket", pa.array(idx.astype(np.int32)))
 
@@ -606,12 +611,7 @@ def resize_to_bucket_stage(
 
         ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
         concurrency = (1, max(2, ncpu))
-    b = np.asarray(sorted(buckets), dtype=np.float64)
-    targets = []
-    for r in b:
-        th = int(round(np.sqrt(target_area / r)))
-        tw = int(round(np.sqrt(target_area * r)))
-        targets.append((max(th, 1), max(tw, 1)))
+    targets = _bucket_targets(buckets, target_area)
 
     class ResizeToBucket:
         def __init__(self):

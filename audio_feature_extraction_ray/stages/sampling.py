@@ -31,10 +31,12 @@ def _int_threshold(rate: float, digits: int = 4) -> int:
     return max(0, min(base, int(rate * base)))
 
 
-def _row_keys(t: pa.Table, cols: list[str], sep: str) -> list[str]:
+def _row_keys(t: pa.Table, cols: list[str], sep: str) -> list:
     """Concatenated per-row key strings, built columnar (Arrow cast + join —
-    matches SQL ``CAST(c AS VARCHAR) || sep || ...`` exactly); only the md5
-    itself remains per-row (the oracle contract pins the hash function)."""
+    matches SQL ``CAST(c AS VARCHAR) || sep || ...`` exactly, INCLUDING null
+    propagation: any null key column yields a None entry, which every caller
+    treats as SQL's NULL-comparison no-match). Only the md5 itself remains
+    per-row (the oracle contract pins the hash function)."""
     arrs = [pc.cast(t.column(c), pa.string()) for c in cols]
     joined = arrs[0] if len(arrs) == 1 else pc.binary_join_element_wise(*arrs, sep)
     return joined.to_pylist()
@@ -56,7 +58,9 @@ def deterministic_sample(
 
     def fn(t: pa.Table) -> pa.Table:
         keys = _row_keys(t, key_fn_cols, sep)
-        keep = [int(hashlib.md5(k.encode()).hexdigest()[:digits], 16) < thr
+        # null key -> SQL `NULL < thr` is NULL -> row excluded
+        keep = [k is not None
+                and int(hashlib.md5(k.encode()).hexdigest()[:digits], 16) < thr
                 for k in keys]
         return t.filter(pa.array(keep))
 
@@ -85,18 +89,32 @@ def weighted_sample(
 
     def score(t: pa.Table) -> pa.Table:
         keys = _row_keys(t, key_cols, sep)
+        # null key -> no sampling score: the row is excluded outright
+        # (SQL: POW over a NULL hash is NULL — never a top-k candidate)
+        valid = [s is not None for s in keys]
+        if not all(valid):
+            t = t.filter(pa.array(valid))
+            keys = [s for s in keys if s is not None]
         u = np.array(
             [int(hashlib.md5(s.encode()).hexdigest()[:13], 16) for s in keys],
             dtype=np.float64,
         ) / float(16**13)
         w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
         sc = np.power(u, 1.0 / np.maximum(w, 1e-12))
-        return t.append_column("score", pa.array(sc, pa.float64()))
+        return t.append_column("score", pa.array(sc, pa.float64())) \
+            .append_column("__wskey", pa.array(keys, pa.string()))
 
     scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
-    keys = ["score"] + ([tiebreak] if tiebreak else [])
-    desc = [True] + ([False] if tiebreak else [])
-    return topk(scored, keys, k, descending=desc)
+    # the key string is the default secondary order: identical scores can
+    # only come from identical KEYS (u is a pure key hash), so the sample's
+    # key multiset is deterministic on any cluster size; pass ``tiebreak``
+    # (a unique column) when exact duplicate keys must also resolve their
+    # payload rows deterministically
+    keys = ["score", "__wskey"] + ([tiebreak] if tiebreak else [])
+    desc = [True, False] + ([False] if tiebreak else [])
+    out = topk(scored, keys, k, descending=desc)
+    return out.map_batches(lambda t: t.drop_columns(["__wskey"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
 
 
 def hash_split(
@@ -122,6 +140,10 @@ def hash_split(
         keys = _row_keys(t, key_fn_cols, sep)
         out = []
         for k in keys:
+            if k is None:
+                # SQL: CASE WHEN NULL < thr ... -> every arm NULL -> ELSE
+                out.append("rest")
+                continue
             h = int(hashlib.md5(k.encode()).hexdigest()[:digits], 16)
             for name, b in bounds:
                 if h < b:
@@ -156,7 +178,10 @@ def stratified_sample(
 
     def add_hash(t: pa.Table) -> pa.Table:
         keys = _row_keys(t, key_cols, sep)
-        h = [hashlib.md5(s.encode()).hexdigest()[:digits] for s in keys]
+        # null key -> lexicographically-last sentinel ('g' > any hex char):
+        # sampled only after every hashed row, mirroring SQL NULLS LAST
+        h = ["g" if s is None else
+             hashlib.md5(s.encode()).hexdigest()[:digits] for s in keys]
         return t.append_column(hash_col, pa.array(h, pa.string()))
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
@@ -223,7 +248,10 @@ def mix_domains(
         keys = _row_keys(t, key_cols, sep)
         ks = [thr.get(d, -1) for d in doms]
         keep = [
-            k >= base or (k >= 0 and int(hashlib.md5(s.encode()).hexdigest()[:digits], 16) < k)
+            s is not None
+            and (k >= base
+                 or (k >= 0
+                     and int(hashlib.md5(s.encode()).hexdigest()[:digits], 16) < k))
             for k, s in zip(ks, keys)
         ]
         kept = t.filter(pa.array(keep))
@@ -276,8 +304,13 @@ def leakage_safe_split(
         if block.num_rows == 0:
             return out_schema.empty_table()
         g = block.column(group_col)
-        codes = (g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g) \
-            .dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = (g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g) \
+            .dictionary_encode()
+        # NULL group values form ONE group of their own (SQL PARTITION BY
+        # groups NULLs together) — a null dictionary index would otherwise
+        # become INT64_MIN and blow up the scatter-min
+        codes = pc.fill_null(enc.indices, len(enc.dictionary)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
         ids = block.column(id_col).to_numpy(zero_copy_only=False)
         n_groups = int(codes.max()) + 1
         reps = np.full(n_groups, ids.max())

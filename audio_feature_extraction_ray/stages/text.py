@@ -29,6 +29,18 @@ from ..functions.textfx import (
 
 QUALITY_COLS = ("n_chars_calc", "n_tokens", "punct_ratio", "digit_ratio", "upper_ratio", "avg_token_len")
 
+# shared bound for the per-actor token memos: on an open-vocabulary corpus an
+# uncapped memo grows to full-vocabulary size per actor for the actor's
+# lifetime — past the cap the oldest half evicts (insertion order; every memo
+# here is a pure optimization, never correctness)
+_ACTOR_CACHE_MAX = 2_000_000
+
+
+def _bound_cache(cache: dict, cap: int = _ACTOR_CACHE_MAX) -> None:
+    if len(cache) >= cap:
+        for k in list(cache)[: cap // 2]:
+            del cache[k]
+
 
 class TextFeatures:
     """Callable-class actor stage: documents → per-doc text features."""
@@ -56,6 +68,8 @@ class TextFeatures:
         from ..functions import textfx  # noqa: F401
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        _bound_cache(self._token_cache)
+        _bound_cache(self._fp_cache)
         col = batch.column(self.text_col)
         out = {n: batch.column(n) for n in batch.column_names}
         if self.quality:
@@ -216,6 +230,7 @@ class _TagContamination:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.textfx import contamination_batch
 
+        _bound_cache(self._cache)
         hits, flag = contamination_batch(
             batch.column(self.text_col), self.bench, self.window, self._cache
         )
@@ -366,6 +381,11 @@ def tfidf_top_terms(
     if max_vocab is not None:
         from .util import topk
 
+        # pin before count(): the count would otherwise EXECUTE the whole
+        # tokenize+DF pipeline once, and the topk/collect below would
+        # re-execute it from the source (unigram_lm_scores materializes
+        # for the same reason)
+        df_ds = df_ds.materialize()
         total_vocab = df_ds.count()
         df_ds = topk(df_ds, ["df", "token"], k=max_vocab, descending=[True, False])
         if total_vocab > max_vocab:
@@ -1039,6 +1059,13 @@ def _md5_route(id_col: str, n_partitions: int):
 
     def add_part(t: pa.Table) -> pa.Table:
         ids = pc.cast(t.column(id_col), pa.string()).to_pylist()
+        if any(s is None for s in ids):
+            # packing orders by id within each partition — a null id has no
+            # deterministic place; fail loudly instead of an AttributeError
+            # deep in the map task
+            raise ValueError(
+                f"{id_col!r} contains null ids — md5-routed packing needs a "
+                f"non-null unique id per row")
         part = [int(hashlib.md5(s.encode()).hexdigest()[0], 16) % n_partitions
                 for s in ids]
         return t.append_column("part", pa.array(part, pa.int64()))
@@ -1167,6 +1194,7 @@ class BpeEncoder:
         hit = self._cache.get(w)
         if hit is not None:
             return hit
+        _bound_cache(self._cache)
         syms = list(w) + [self.eow]
         ranks = self.ranks
         while len(syms) > 1:

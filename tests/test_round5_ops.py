@@ -393,3 +393,43 @@ def test_hamming_bands_validation():
     ds = ray.data.from_items([{"id": 1, "sig": 3}])
     with _pytest.raises(ValueError, match="pigeonhole"):
         hamming_dedup_pairs(ds, "id", "sig", max_hamming=3, bands=2)
+
+
+def test_sampling_operators_handle_null_keys():
+    """SQL null-comparison semantics: null-keyed rows are no-match (sample
+    excludes, split labels 'rest', mix drops) instead of AttributeError."""
+    import pyarrow as pa
+
+    from audio_feature_extraction_ray.stages.sampling import (
+        deterministic_sample, hash_split, leakage_safe_split, mix_domains,
+        stratified_sample, weighted_sample)
+
+    t = pa.table({
+        "id": pa.array(list(range(40)), pa.int64()),
+        "k": pa.array([None if i % 5 == 0 else f"v{i}" for i in range(40)]),
+        "grp": pa.array([None if i < 4 else f"g{i % 7}" for i in range(40)]),
+        "w": pa.array([1.0] * 40, pa.float64()),
+        "dom": pa.array(["a" if i % 2 else "b" for i in range(40)]),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    kept = deterministic_sample(ds, ["k"], 1.0).take_all()
+    assert len(kept) == 32 and all(r["k"] is not None for r in kept)
+
+    split = hash_split(ds, ["k"], {"train": 0.5, "test": 0.5}).take_all()
+    assert all(r["split"] == "rest" for r in split if r["k"] is None)
+
+    ws = weighted_sample(ds, ["k"], "w", k=40).take_all()
+    assert all(r["k"] is not None for r in ws) and len(ws) == 32
+
+    st = stratified_sample(ds, "dom", ["k"], k=100).take_all()
+    assert len(st) == 40  # null keys sample last but are not dropped
+
+    mx = mix_domains(ds, "dom", "w", ["k"]).take_all()
+    assert all(r["k"] is not None for r in mx)
+
+    # null GROUP values form one leakage group with a real split label
+    ls = leakage_safe_split(ds, "grp", "id", {"train": 0.8, "test": 0.2}).take_all()
+    nulls = [r for r in ls if r["grp"] is None]
+    assert len(nulls) == 4
+    assert len({(r["split"], r["group_rep"]) for r in nulls}) == 1
