@@ -734,6 +734,28 @@ WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
 """
 
 
+def q_global_rank_events(sf_dir: str):
+    """GLOBAL rank over a total order across the whole table — the
+    distributed total-sort surface: one range-partitioned sort, one
+    O(#blocks) offset pass, global row_number / percent_rank / NTILE(7)
+    with exact SQL semantics (no PARTITION BY)."""
+    from ..stages.window import global_rank
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "value"])
+    return global_rank(ev, sort_keys=["value", "event_id"],
+                       descending=[True, False], n_tiles=7)
+
+
+SQL_GLOBAL_RANK_EVENTS = """
+SELECT event_id, value,
+       ROW_NUMBER() OVER w AS row_number,
+       PERCENT_RANK() OVER w AS percent_rank,
+       NTILE(7) OVER w AS ntile
+FROM events
+WINDOW w AS (ORDER BY value DESC, event_id)
+"""
+
+
 def q_rank_ties_events(sf_dir: str):
     """Tie-aware RANK / DENSE_RANK / CUME_DIST per user over value DESC —
     rows with equal values share a rank and the cumulative distribution of
@@ -5256,6 +5278,7 @@ QUERIES = {
     "ffill_events": (q_ffill_events, SQL_FFILL_EVENTS),
     "cumulative_events": (q_cumulative_events, SQL_CUMULATIVE_EVENTS),
     "rank_events": (q_rank_events, SQL_RANK_EVENTS),
+    "global_rank_events": (q_global_rank_events, SQL_GLOBAL_RANK_EVENTS),
     "rank_ties_events": (q_rank_ties_events, SQL_RANK_TIES_EVENTS),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),

@@ -1294,6 +1294,79 @@ def grouped_rank(
     return coarse_partitioned(ds, key, vector_part)
 
 
+def global_rank(
+    ds: ray.data.Dataset,
+    sort_keys: list[str],
+    descending: bool | list[bool] = False,
+    n_tiles: int | None = None,
+) -> ray.data.Dataset:
+    """GLOBAL (un-partitioned) rank features over a TOTAL order across the
+    whole dataset: ``row_number`` (1-based), ``percent_rank`` and optional
+    ``ntile`` — exact SQL ``ROW_NUMBER()/PERCENT_RANK()/NTILE(k) OVER
+    (ORDER BY ...)`` semantics (NTILE's remainder rows fill the leading
+    buckets). ``sort_keys`` must be a total order (add a tiebreak column),
+    the same contract as :func:`grouped_rank`'s non-tie-aware mode.
+
+    Scale shape: ONE range-partitioned sort (Ray Data's native shuffle) is
+    the only data movement. Global offsets come from an O(#blocks) metadata
+    pass — a tiny remote count per sorted block, prefix-summed on the
+    driver, which therefore holds one integer per BLOCK, never per row —
+    and a second per-block vectorized pass adds ``offset + arange(rows)``.
+    Row data never touches the driver, and the output stays globally
+    sorted (this is also the engine's distributed total-sort surface).
+    """
+    import ray as _ray
+
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_keys)
+    ds, schema = arrow_schema_of(ds)
+    out_fields = [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
+    out_fields += [pa.field("row_number", pa.int64()),
+                   pa.field("percent_rank", pa.float64())]
+    if n_tiles is not None:
+        out_fields.append(pa.field("ntile", pa.int64()))
+    out_schema = pa.schema(out_fields)
+
+    refs = ds.sort(sort_keys, descending=descending).to_arrow_refs()
+
+    @_ray.remote(num_cpus=0.25)
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = np.asarray(_ray.get([_nrows.remote(r) for r in refs]), dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    offsets = np.concatenate([[0], np.cumsum(counts[:-1])])
+
+    @_ray.remote
+    def _rank_block(t: pa.Table, off: int) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        rn = off + 1 + np.arange(n, dtype=np.int64)
+        cols = {name: t.column(name) for name in t.column_names}
+        cols["row_number"] = pa.array(rn, pa.int64())
+        pr = (rn - 1) / (total - 1) if total > 1 else np.zeros(n, dtype=np.float64)
+        cols["percent_rank"] = pa.array(pr, pa.float64())
+        if n_tiles is not None:
+            small, big = total // n_tiles, total % n_tiles
+            thr = big * (small + 1)
+            r = rn - 1
+            # fewer rows than tiles: one row per leading bucket
+            tile = np.where(
+                small == 0,
+                r,
+                np.where(r < thr, r // max(small + 1, 1),
+                         big + (r - thr) // max(small, 1)),
+            )
+            cols["ntile"] = pa.array(tile + 1, pa.int64())
+        return pa.table(cols, schema=out_schema)
+
+    out_refs = [_rank_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def sessionize(
     ds: ray.data.Dataset,
     key: str,

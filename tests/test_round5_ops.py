@@ -433,3 +433,51 @@ def test_sampling_operators_handle_null_keys():
     nulls = [r for r in ls if r["grp"] is None]
     assert len(nulls) == 4
     assert len({(r["split"], r["group_rep"]) for r in nulls}) == 1
+
+
+def test_global_rank_multiblock_matches_pandas_and_edges():
+    """global_rank: row_number/percent_rank/ntile over a TOTAL order across
+    the WHOLE dataset, computed per sorted block with driver-side offsets —
+    must match single-process pandas semantics regardless of block count,
+    and handle the empty / fewer-rows-than-tiles edges."""
+    from audio_feature_extraction_ray.stages.window import global_rank
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 40, size=200)  # dense repeats → cross-block ties
+    rows = [{"id": i, "v": int(vals[i])} for i in range(200)]
+    ds = ray.data.from_items(rows).repartition(7)
+    out = global_rank(ds, sort_keys=["v", "id"], descending=[True, False],
+                      n_tiles=6).to_pandas()
+
+    # serial oracle: stable total order (v DESC, id ASC)
+    import pandas as pd
+    df = pd.DataFrame(rows).sort_values(["v", "id"], ascending=[False, True]
+                                        ).reset_index(drop=True)
+    n = len(df)
+    exp_rn = np.arange(1, n + 1)
+    srt = out.sort_values(["v", "id"], ascending=[False, True]).reset_index(drop=True)
+    assert (srt["id"].to_numpy() == df["id"].to_numpy()).all()
+    assert (srt["row_number"].to_numpy() == exp_rn).all()
+    assert np.array_equal(srt["percent_rank"].to_numpy(), (exp_rn - 1) / (n - 1))
+    # NTILE: remainder rows fill leading buckets
+    small, big = n // 6, n % 6
+    thr = big * (small + 1)
+    r = exp_rn - 1
+    exp_tile = np.where(r < thr, r // (small + 1), big + (r - thr) // small) + 1
+    assert (srt["ntile"].to_numpy() == exp_tile).all()
+    # emitted order IS the global order (total-sort surface)
+    assert (out["row_number"].to_numpy() == exp_rn).all()
+
+    # empty input
+    empty = global_rank(ds.filter(expr="v < 0"), sort_keys=["v", "id"])
+    assert empty.count() == 0
+    assert set(empty.schema().names) >= {"row_number", "percent_rank"}
+
+    # fewer rows than tiles: one row per leading bucket
+    tiny = ray.data.from_items(rows[:3]).repartition(2)
+    t = global_rank(tiny, sort_keys=["id"], n_tiles=8).to_pandas()
+    t = t.sort_values("id").reset_index(drop=True)
+    assert list(t["ntile"]) == [1, 2, 3]
+    # single row: percent_rank defined as 0.0
+    one = global_rank(ray.data.from_items(rows[:1]), sort_keys=["id"]).to_pandas()
+    assert one["percent_rank"].tolist() == [0.0]
