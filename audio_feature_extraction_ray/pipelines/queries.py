@@ -1626,14 +1626,33 @@ def _supplier_projection(sf_dir: str, min_support: int = 2,
     the graph pipelines' exchange bytes come from. The threshold is folded
     into the oracle SQL (``HAVING COUNT(*) >= 2``). Dense/sparse route
     parity is pinned in pytest via ``dense_max_items``."""
-    from ..stages.joins import hash_join
+    from ..stages.joins import broadcast_lookup, hash_join
     from ..stages.util import coarse_partitioned
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
-                       join_type="inner", num_partitions=8)
-    cs = grouped_agg_fast(joined, keys=["o_custkey", "l_suppkey"],
+    # orders here is a pure orderkey→custkey dimension lookup: below a
+    # broadcast bound (16 B/row packed ⇒ ~128 MB at 8M rows) ship it once
+    # via ray.put and attach custkey with one searchsorted per batch — no
+    # shuffle of lineitem and 2.4× faster than the partitioned hash join
+    # at sf0.1; above the bound the distributed hash join is the scale path.
+    import pyarrow.parquet as _pq
+
+    n_orders = _pq.ParquetFile(
+        os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
+    if n_orders <= 8_000_000:
+        small = _pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_orderkey", "o_custkey"])
+        joined = broadcast_lookup(li, small, key="l_orderkey",
+                                  small_key="o_orderkey",
+                                  value_cols=["o_custkey"])
+    else:
+        orders = read_table(sf_dir, "orders",
+                            columns=["o_orderkey", "o_custkey"])
+        joined = hash_join(li, orders, on="l_orderkey",
+                           right_on="o_orderkey",
+                           join_type="inner", num_partitions=8)
+    cs = grouped_agg_fast(joined.select_columns(["o_custkey", "l_suppkey"]),
+                          keys=["o_custkey", "l_suppkey"],
                           specs=[]).materialize()
 
     # Dense route: when the supplier side is small enough that a
@@ -5185,7 +5204,7 @@ QUERIES = {
     "rolling_mean_events": (q_rolling_mean_events, SQL_ROLLING_MEAN_EVENTS),
     "rolling_time_mean_bucketed": (q_rolling_time_mean_bucketed, SQL_ROLLING_TIME_MEAN_EVENTS),
     "sessionize_events_bucketed": (q_sessionize_events_bucketed, SQL_SESSIONIZE_EVENTS),
-    "ewma_events": (q_ewma_events, SQL_EWMA_EVENTS),
+    "global_rank_events": (q_global_rank_events, SQL_GLOBAL_RANK_EVENTS),
     "registry_chain_events": (q_registry_chain_events, SQL_REGISTRY_CHAIN_EVENTS),
     # -- 31-44: text / LLM-corpus operators
     "token_frequencies": (q_token_frequencies, SQL_TOKEN_FREQUENCIES),
@@ -5278,7 +5297,7 @@ QUERIES = {
     "ffill_events": (q_ffill_events, SQL_FFILL_EVENTS),
     "cumulative_events": (q_cumulative_events, SQL_CUMULATIVE_EVENTS),
     "rank_events": (q_rank_events, SQL_RANK_EVENTS),
-    "global_rank_events": (q_global_rank_events, SQL_GLOBAL_RANK_EVENTS),
+    "ewma_events": (q_ewma_events, SQL_EWMA_EVENTS),
     "rank_ties_events": (q_rank_ties_events, SQL_RANK_TIES_EVENTS),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),

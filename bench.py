@@ -72,6 +72,8 @@ HEADLINE = [
     # round 5: verified near-dup (oracle-paired), support-pruned graph
     "minhash_verified_documents",
     "triangles_suppliers",
+    # round 5, second batch: distributed total-sort surface
+    "global_rank_events",
 ]
 
 

@@ -481,3 +481,62 @@ def test_global_rank_multiblock_matches_pandas_and_edges():
     # single row: percent_rank defined as 0.0
     one = global_rank(ray.data.from_items(rows[:1]), sort_keys=["id"]).to_pandas()
     assert one["percent_rank"].tolist() == [0.0]
+
+
+def test_broadcast_lookup_matches_hash_join_and_edges():
+    """broadcast_lookup (sorted-key searchsorted dim attach) must agree with
+    the general hash_join on inner and left semantics, treat NULL probe keys
+    as misses, and survive empty probe / empty dim sides."""
+    import pyarrow as pa
+    from audio_feature_extraction_ray.stages.joins import broadcast_lookup, hash_join
+
+    dim = pa.table({"k": [10, 20, 30, 40], "name": ["a", "b", "c", "d"],
+                    "w": [1.5, 2.5, 3.5, 4.5]})
+    rows = [{"k": 20, "x": 0}, {"k": 99, "x": 1}, {"k": 10, "x": 2},
+            {"k": None, "x": 3}, {"k": 40, "x": 4}, {"k": 20, "x": 5}]
+    big = ray.data.from_items(rows).repartition(3)
+
+    inner = broadcast_lookup(big, dim, key="k", value_cols=["name", "w"]
+                             ).to_pandas().sort_values("x").reset_index(drop=True)
+    assert inner["x"].tolist() == [0, 2, 4, 5]
+    assert inner["name"].tolist() == ["b", "a", "d", "b"]
+    assert inner["w"].tolist() == [2.5, 1.5, 4.5, 2.5]
+
+    left = broadcast_lookup(big, dim, key="k", value_cols=["name"], how="left"
+                            ).to_pandas().sort_values("x").reset_index(drop=True)
+    assert left["x"].tolist() == [0, 1, 2, 3, 4, 5]
+    assert left["name"].tolist() == ["b", None, "a", None, "d", "b"]
+
+    # parity with the distributed hash join (non-null keys)
+    dim_ds = ray.data.from_arrow(dim)
+    big_nn = big.map_batches(
+        lambda t: t.filter(t.column("k").is_valid()),
+        batch_format="pyarrow", zero_copy_batch=True)
+    hj = hash_join(big_nn, dim_ds, on="k",
+                   right_on="k", join_type="inner", num_partitions=2
+                   ).to_pandas().sort_values("x").reset_index(drop=True)
+    assert hj["x"].tolist() == inner["x"].tolist()
+    assert hj["name"].tolist() == inner["name"].tolist()
+
+    # renamed small-side key
+    dim2 = dim.rename_columns(["kk", "name", "w"])
+    r = broadcast_lookup(big, dim2, key="k", small_key="kk",
+                         value_cols=["name"]).to_pandas()
+    assert len(r) == 4
+
+    # empty probe side
+    e = broadcast_lookup(big.filter(expr="x > 100"), dim, key="k",
+                         value_cols=["name"])
+    assert e.count() == 0
+    # empty dim side: inner drops everything, left attaches all-null
+    edim = dim.slice(0, 0)
+    assert broadcast_lookup(big, edim, key="k", value_cols=["name"]).count() == 0
+    l2 = broadcast_lookup(big, edim, key="k", value_cols=["name"], how="left"
+                          ).to_pandas()
+    assert len(l2) == 6 and l2["name"].isna().all()
+
+    # duplicate small-side key is refused
+    import pytest as _pytest
+    dup = pa.table({"k": [1, 1], "name": ["x", "y"]})
+    with _pytest.raises(AssertionError):
+        broadcast_lookup(big, dup, key="k", value_cols=["name"]).count()
