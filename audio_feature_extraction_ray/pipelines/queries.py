@@ -1810,7 +1810,7 @@ pn AS (
         SELECT c FROM tri)
   GROUP BY node
 )
-SELECT CAST(d.node AS VARCHAR) AS node,
+SELECT CAST(d.node AS BIGINT) AS node,
        CAST(d.d AS BIGINT) AS degree,
        CAST(COALESCE(pn.t, 0) AS BIGINT) AS triangles,
        ROUND(CASE WHEN d.d >= 2 THEN 2.0 * COALESCE(pn.t, 0) / (d.d * (d.d - 1))

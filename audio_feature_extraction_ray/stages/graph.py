@@ -262,15 +262,35 @@ def _pagerank_sharded(
     return ranks.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _col_np(col) -> np.ndarray:
+    """Column → numpy vector for searchsorted/bitset index math: integer
+    columns come out as native int64 (no Python boxing — the fast path for
+    numeric node keys), anything else as an object array of Python
+    values. Both sort/compare consistently within one dtype, which is all
+    the callers rely on."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_integer(arr.type):
+        return pc.cast(arr, pa.int64()).to_numpy(zero_copy_only=False)
+    return np.asarray(arr.to_pylist(), dtype=object)
+
+
 def _normalize_edges(edges: ray.data.Dataset, a_col: str, b_col: str):
-    """Distinct undirected (u, v) pairs with self-loops dropped and both
-    endpoints cast to string — the shared first step of the wedge-join
-    operators."""
+    """Distinct undirected (u, v) pairs with self-loops dropped — the
+    shared first step of the wedge-join operators. Integer endpoints stay
+    int64 end-to-end (the distinct groupby and every downstream
+    searchsorted run on native ints); any other label type is normalized
+    to string."""
     from .aggregates import grouped_agg_fast
+    from .util import arrow_schema_of
+
+    edges, schema = arrow_schema_of(edges)
+    int_labels = (pa.types.is_integer(schema.field(a_col).type)
+                  and pa.types.is_integer(schema.field(b_col).type))
+    label_t = pa.int64() if int_labels else pa.string()
 
     def norm(t: pa.Table) -> pa.Table:
-        a = pc.cast(t.column(a_col), pa.string())
-        b = pc.cast(t.column(b_col), pa.string())
+        a = pc.cast(t.column(a_col), label_t)
+        b = pc.cast(t.column(b_col), label_t)
         keep = pc.invert(pc.equal(a, b))
         a, b = a.filter(keep), b.filter(keep)
         return pa.table({"u": pc.min_element_wise(a, b),
@@ -299,7 +319,10 @@ def _degrees(und: ray.data.Dataset):
         keys=["node"], specs=[], count_alias="degree",
     ).materialize()
     rows = deg_ds.take_all()
-    nodes = np.asarray([r["node"] for r in rows], dtype=object)
+    node_dtype = (np.int64 if rows and isinstance(rows[0]["node"],
+                                                  (int, np.integer))
+                  else object)
+    nodes = np.asarray([r["node"] for r in rows], dtype=node_dtype)
     degs = np.asarray([r["degree"] for r in rows], dtype=np.int64)
     order = np.argsort(nodes, kind="stable")
     return deg_ds, nodes[order], degs[order]
@@ -316,13 +339,14 @@ def _orient(und: ray.data.Dataset, nodes: np.ndarray, degs: np.ndarray):
 
     def orient(t: pa.Table) -> pa.Table:
         nd, dg = ray.get(nref)
-        u = np.asarray(t.column("u").to_pylist(), dtype=object)
-        v = np.asarray(t.column("v").to_pylist(), dtype=object)
+        u = _col_np(t.column("u"))
+        v = _col_np(t.column("v"))
         du = dg[np.searchsorted(nd, u)]
         dv = dg[np.searchsorted(nd, v)]
         u_first = (du < dv) | ((du == dv) & (u <= v))
-        return pa.table({"s": pa.array(np.where(u_first, u, v), pa.string()),
-                         "t": pa.array(np.where(u_first, v, u), pa.string())})
+        label_t = t.schema.field("u").type
+        return pa.table({"s": pa.array(np.where(u_first, u, v), label_t),
+                         "t": pa.array(np.where(u_first, v, u), label_t)})
 
     return und.map_batches(orient, batch_format="pyarrow",
                            zero_copy_batch=True).materialize()
@@ -359,10 +383,8 @@ def _build_bitset_adjacency(nodes: np.ndarray, *tables) -> np.ndarray:
     for t in tables:
         if t.num_rows == 0:
             continue
-        u = np.searchsorted(nodes, np.asarray(t.column("u").to_pylist(),
-                                              dtype=object))
-        v = np.searchsorted(nodes, np.asarray(t.column("v").to_pylist(),
-                                              dtype=object))
+        u = np.searchsorted(nodes, _col_np(t.column("u")))
+        v = np.searchsorted(nodes, _col_np(t.column("v")))
         rows = np.concatenate([u, v])
         cols = np.concatenate([v, u])
         bits = (np.uint64(1) << (cols.astype(np.uint64) & np.uint64(63)))
@@ -382,17 +404,14 @@ def _dense_edge_commons(und: ray.data.Dataset, nodes: np.ndarray):
     nref = ray.put(nodes)
 
     def per_block(t: pa.Table) -> pa.Table:
-        out_schema = pa.schema([pa.field("u", pa.string()),
-                                pa.field("v", pa.string()),
+        out_schema = pa.schema([t.schema.field("u"), t.schema.field("v"),
                                 pa.field("c", pa.int64())])
         if t.num_rows == 0:
             return out_schema.empty_table()
         mat = ray.get(matref)
         nd = ray.get(nref)
-        u = np.asarray(t.column("u").to_pylist(), dtype=object)
-        v = np.asarray(t.column("v").to_pylist(), dtype=object)
-        ui = np.searchsorted(nd, u)
-        vi = np.searchsorted(nd, v)
+        ui = np.searchsorted(nd, _col_np(t.column("u")))
+        vi = np.searchsorted(nd, _col_np(t.column("v")))
         c = _popcount_rows(mat[ui] & mat[vi])
         return pa.table({"u": t.column("u"), "v": t.column("v"),
                          "c": pa.array(c, pa.int64())})
@@ -411,12 +430,8 @@ def _build_bipartite_bitset(items: np.ndarray, group_col: str, item_col: str,
     parts = [t for t in tables if t.num_rows]
     if not parts:
         return np.zeros((len(items), 1), dtype=np.uint64)
-    gv = np.concatenate([
-        np.asarray(t.column(group_col).to_pylist(), dtype=object)
-        for t in parts])
-    iv = np.concatenate([
-        np.asarray(t.column(item_col).to_pylist(), dtype=object)
-        for t in parts])
+    gv = np.concatenate([_col_np(t.column(group_col)) for t in parts])
+    iv = np.concatenate([_col_np(t.column(item_col)) for t in parts])
     _, ginv = np.unique(gv, return_inverse=True)
     ii = np.searchsorted(items, iv)
     w = (int(ginv.max()) + 64) // 64
@@ -489,7 +504,15 @@ def _pair_key(a, b) -> "pa.Array":
     """Collision-free join key for a node pair: ``f"{len(a)}:{a}{b}"``.
     Node labels are arbitrary strings (any byte may appear), so no
     separator char is safe — the length prefix makes the encoding
-    injective instead. Built columnar from two string arrays."""
+    injective instead. Integer labels are rendered as decimal strings
+    first (distinct ints → distinct digit strings, so injectivity
+    holds). Accepts pyarrow arrays or numpy vectors."""
+    if not isinstance(a, (pa.Array, pa.ChunkedArray)):
+        a = pa.array(a)
+    if not isinstance(b, (pa.Array, pa.ChunkedArray)):
+        b = pa.array(b)
+    a = pc.cast(a, pa.string())
+    b = pc.cast(b, pa.string())
     ln = pc.cast(pc.utf8_length(a), pa.string())
     return pc.binary_join_element_wise(ln, a, b, ":")
 
@@ -515,8 +538,8 @@ def _adjacency_wedges(block: pa.Table, max_adj: int, keep_apex: bool):
     edges: per apex, all out-neighbor pairs via ``np.triu_indices``.
     Returns (a, b, apex, truncated) numpy arrays (apex None-filled when
     ``keep_apex`` is False)."""
-    s = np.asarray(block.column("s").to_pylist(), dtype=object)
-    t_ = np.asarray(block.column("t").to_pylist(), dtype=object)
+    s = _col_np(block.column("s"))
+    t_ = _col_np(block.column("t"))
     order = np.lexsort((t_, s))
     s, t_ = s[order], t_[order]
     starts = np.concatenate(([0], np.flatnonzero(s[1:] != s[:-1]) + 1,
@@ -534,7 +557,7 @@ def _adjacency_wedges(block: pa.Table, max_adj: int, keep_apex: bool):
         a_out.append(adj[iu])
         b_out.append(adj[ju])
         if keep_apex:
-            apex_out.append(np.full(len(iu), s[starts[i]], dtype=object))
+            apex_out.append(np.full(len(iu), s[starts[i]], dtype=s.dtype))
     if not a_out:
         return None, None, None, truncated
     a = np.concatenate(a_out)
@@ -601,7 +624,7 @@ def triangle_count(
         a, b, _, truncated = _adjacency_wedges(block, max_adj, keep_apex=False)
         if a is None:
             return out_schema.empty_table()
-        key = _pair_key(pa.array(a, pa.string()), pa.array(b, pa.string()))
+        key = _pair_key(a, b)
         agg = (
             pl.from_arrow(pa.table({"pair": key}))
             .group_by("pair").len("n")
@@ -692,21 +715,22 @@ def local_clustering(
                                   zero_copy_batch=True)
 
     oriented = _orient(und, nodes, degs)
+    label_t = pa.int64() if nodes.dtype == np.int64 else pa.string()
 
     def wedges(block: pa.Table) -> pa.Table:
         out_schema = pa.schema([pa.field("pair", pa.string()),
-                                pa.field("wa", pa.string()),
-                                pa.field("wb", pa.string()),
-                                pa.field("apex", pa.string())])
+                                pa.field("wa", label_t),
+                                pa.field("wb", label_t),
+                                pa.field("apex", label_t)])
         if block.num_rows == 0:
             return out_schema.empty_table()
         a, b, apex, _ = _adjacency_wedges(block, max_adj, keep_apex=True)
         if a is None:
             return out_schema.empty_table()
-        aa = pa.array(a, pa.string())
-        bb = pa.array(b, pa.string())
+        aa = pa.array(a, label_t)
+        bb = pa.array(b, label_t)
         return pa.table({"pair": _pair_key(aa, bb), "wa": aa, "wb": bb,
-                         "apex": pa.array(apex, pa.string())})
+                         "apex": pa.array(apex, label_t)})
 
     wedge_ds = coarse_partitioned(oriented, "s", wedges,
                                   n_partitions=n_partitions)
@@ -716,7 +740,7 @@ def local_clustering(
     # each matched wedge is one triangle {apex, wa, wb}: 3 corner rows
     def corners(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"node": pa.array([], pa.string())})
+            return pa.table({"node": pa.array([], label_t)})
         both = pa.concat_arrays([
             c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
             for c in (t.column("apex"), t.column("wa"), t.column("wb"))])

@@ -540,3 +540,33 @@ def test_broadcast_lookup_matches_hash_join_and_edges():
     dup = pa.table({"k": [1, 1], "name": ["x", "y"]})
     with _pytest.raises(AssertionError):
         broadcast_lookup(big, dup, key="k", value_cols=["name"]).count()
+
+
+def test_graph_int_and_string_labels_agree():
+    """Integer node labels take the native-int64 fast path (no string cast,
+    no object arrays); the SAME graph fed as strings must produce identical
+    triangle counts and clustering values on BOTH routes."""
+    from audio_feature_extraction_ray.stages.graph import (
+        local_clustering, triangle_count)
+
+    rng = np.random.default_rng(41)
+    edges = [(int(a), int(b))
+             for a, b in rng.integers(0, 30, size=(260, 2)) if a != b]
+    ds_i = ray.data.from_items(
+        [{"src": u, "dst": v} for u, v in edges]).repartition(3)
+    ds_s = ray.data.from_items(
+        [{"src": str(u), "dst": str(v)} for u, v in edges]).repartition(3)
+
+    for thr in (1_000, 0):  # dense route, then sparse wedge-join route
+        ti = triangle_count(ds_i, dense_node_threshold=thr).take_all()
+        ts = triangle_count(ds_s, dense_node_threshold=thr).take_all()
+        assert ti[0]["n_triangles"] == ts[0]["n_triangles"] > 0
+
+        ci = {str(r["node"]): (r["degree"], r["triangles"], r["cc"])
+              for r in local_clustering(ds_i, dense_node_threshold=thr).take_all()}
+        cs = {r["node"]: (r["degree"], r["triangles"], r["cc"])
+              for r in local_clustering(ds_s, dense_node_threshold=thr).take_all()}
+        assert ci == cs
+        # int labels must come back as native ints, not strings
+        sample = local_clustering(ds_i, dense_node_threshold=thr).take(1)[0]
+        assert isinstance(sample["node"], (int, np.integer))
