@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-import zlib
 
 import numpy as np
 
@@ -171,6 +170,10 @@ def _token_hash_stream(texts, token_hash_cache: dict | None = None):
         if v is None:
             v = _token_hash32(tok)
             cache[tok] = v
+        elif isinstance(v, np.ndarray):
+            raise TypeError(
+                "token_hash_cache holds ndarray values — it was shared with "
+                "simhash_batch's byte_hash_cache; use separate dicts")
         hvals[k] = v
     h = hvals[idx]
     starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
@@ -409,21 +412,6 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
     return vals.min(axis=1)
 
 
-def band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
-    """LSH band keys: crc32 of each band's bytes, offset by band index.
-
-    Collisions across different band contents only add candidate pairs — they
-    are verified against the full signature afterwards, so a 32-bit band hash
-    is safe (and cheap at 10^12-row scale).
-    """
-    r = len(sig) // bands
-    keys = np.empty(bands, dtype=np.int64)
-    for bi in range(bands):
-        payload = sig[bi * r : (bi + 1) * r].tobytes()
-        keys[bi] = (bi << 32) | zlib.crc32(payload)
-    return keys
-
-
 def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float(np.mean(sig_a == sig_b))
 
@@ -561,12 +549,18 @@ def langid_batch(texts) -> list[str]:
     return [langs[b] if s > 0.0 else "und" for b, s in zip(best, best_score)]
 
 
-def simhash_batch(texts, token_hash_cache: dict | None = None) -> np.ndarray:
+def simhash_batch(texts, byte_hash_cache: dict | None = None) -> np.ndarray:
     """Vectorized :func:`simhash64` over a string column.
 
     Unique (row, token) pairs are deduped columnarly; each distinct token is
     md5-hashed ONCE (and cached across batches when the caller holds the
     cache, e.g. an actor) — output is bit-identical to the serial kernel.
+
+    ``byte_hash_cache`` maps token → 8-byte uint8 ndarray. It is NOT
+    interchangeable with the ``token_hash_cache`` (token → int) the
+    fingerprint/repetition kernels take — sharing one dict would silently
+    corrupt signatures, so the parameter name differs and the value type is
+    checked on reuse.
     """
     flat, off, _ = _flat_tokens(texts)
     n_rows = len(off) - 1
@@ -589,7 +583,7 @@ def simhash_batch(texts, token_hash_cache: dict | None = None) -> np.ndarray:
     urow, uidx = urow[keep], uidx[keep]
     if len(urow) == 0:
         return out
-    cache = token_hash_cache if token_hash_cache is not None else {}
+    cache = byte_hash_cache if byte_hash_cache is not None else {}
     vocab_list = vocab.to_pylist()
     byte_mat = np.empty((K, 8), dtype=np.uint8)
     for k, tok in enumerate(vocab_list):
@@ -597,6 +591,10 @@ def simhash_batch(texts, token_hash_cache: dict | None = None) -> np.ndarray:
         if b is None:
             b = np.frombuffer(np.uint64(_token_hash64(tok)).tobytes(), dtype=np.uint8)
             cache[tok] = b
+        elif not isinstance(b, np.ndarray):
+            raise TypeError(
+                "byte_hash_cache holds non-ndarray values — it was shared "
+                "with a token_hash_cache (int values); use separate dicts")
         byte_mat[k] = b
     bits = np.unpackbits(byte_mat[:, ::-1], axis=1)  # MSB-first = h >> (63..0)
     signs_dict = np.where(bits == 1, 1, -1).astype(np.int64)  # (K, 64)

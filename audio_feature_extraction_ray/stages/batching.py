@@ -177,7 +177,6 @@ def with_batch_ids(
     batch_size: int,
     order_cols: tuple[str, str] = ("image_id", "ts"),
     bucket_col: str = "aspect_bucket",
-    n_partitions: int = 64,
 ) -> ray.data.Dataset:
     """Append a global, deterministic ``batch_id`` within each aspect bucket:
     rows ordered by ``order_cols`` inside their bucket, chunked into

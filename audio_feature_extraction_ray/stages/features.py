@@ -222,12 +222,18 @@ def feature_stage(
     entity-partitioned source sizes blocks for even fan-out); a row-count
     batch size makes Ray re-bundle small blocks into fewer, bigger tasks."""
     if pool == "task":
+        # honor a concurrency cap on the task path too (a caller throttling
+        # the memory-heavy decode stage must not silently get unbounded task
+        # parallelism); tuples take their max — tasks have no pool floor
+        cap = (max(concurrency) if isinstance(concurrency, tuple)
+               else concurrency)
         return ds.map_batches(
             _decode_featurize_task,
             fn_kwargs={"features": tuple(features), "fused": fused},
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=batch_size,
+            concurrency=cap,
         )
     if concurrency is None:
         import ray as _ray
@@ -344,6 +350,12 @@ class ChannelHistogram:
     scales to any corpus (same pattern as the HLL register rows)."""
 
     def __init__(self, bins: int = 256):
+        if not (1 <= bins <= 256) or 256 % bins != 0:
+            # scale = 256 // bins: bins > 256 would floor-divide pixels by 0
+            # (numpy yields 0s -> every pixel lands in bin 0, silently) and
+            # a non-divisor leaves pixels past the last bin (bincount shape
+            # mismatch crashes the actor mid-stream)
+            raise ValueError(f"bins must divide 256 (1..256), got {bins}")
         self.bins = bins
         _ = codecs._D8, codecs._QSTEP  # warm per-actor codec state
 

@@ -62,6 +62,10 @@ def interval_join(
     Acero executes the per-partition equi-join, so point value columns must
     be non-nested (pack lists to binary as the dedup stages do).
     """
+    if bucket_us <= 0:
+        # s // bucket_us would ZeroDivisionError deep inside a worker (or
+        # produce negative replication counts) — fail at call time instead
+        raise ValueError(f"bucket_us must be a positive width, got {bucket_us}")
     intervals, ischema = arrow_schema_of(intervals)
     points, pschema = arrow_schema_of(points)
     ptypes = {n: t for n, t in zip(pschema.names, pschema.types)}

@@ -22,6 +22,14 @@ import ray.data
 
 def _stack_embeddings(col) -> np.ndarray:
     a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if a.null_count:
+        # Arrow's flatten() SKIPS null list slots, so stacking a nullable
+        # column would silently misalign rows against any id column the
+        # caller zips with. Fail loudly; callers that tolerate nulls filter
+        # first via _drop_null_embeddings.
+        raise ValueError(
+            "embedding column contains nulls; filter them (with their id "
+            "rows) before stacking — see _drop_null_embeddings")
     if pa.types.is_fixed_size_list(a.type):
         d = a.type.list_size
         return a.flatten().to_numpy(zero_copy_only=False).reshape(-1, d).astype(np.float64)
@@ -29,6 +37,17 @@ def _stack_embeddings(col) -> np.ndarray:
         # np.stack([]) raises; an upstream filter can legally empty a block
         return np.empty((0, 0), dtype=np.float64)
     return np.stack(a.to_pylist()).astype(np.float64)
+
+
+def _drop_null_embeddings(batch: pa.Table, emb_col: str) -> pa.Table:
+    """Drop rows whose embedding is null — WITH their id/label columns, so
+    downstream stacking stays row-aligned (SQL null-exclusion semantics,
+    same contract as the stat operators)."""
+    col = batch.column(emb_col)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        batch = batch.filter(arr.is_valid())
+    return batch
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -46,6 +65,7 @@ class _PartialTopK:
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = _drop_null_embeddings(batch, self.emb_col)
         if batch.num_rows == 0:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
@@ -121,10 +141,15 @@ def train_ivf_centroids(
 
     Driver-side on a bounded sample — at 10^12 scale this is the standard
     train-on-sample / assign-distributed IVF split."""
-    sample = pa.concat_tables(
-        list(ds.limit(sample_size).select_columns([emb_col])
-             .iter_batches(batch_format="pyarrow", batch_size=None))
-    )
+    tabs = [_drop_null_embeddings(t, emb_col)
+            for t in ds.limit(sample_size).select_columns([emb_col])
+            .iter_batches(batch_format="pyarrow", batch_size=None)]
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        # empty (or all-null) input: no cells to train — callers get zero
+        # centroids and produce an empty result instead of a driver crash
+        return np.empty((0, 0), dtype=np.float64)
+    sample = pa.concat_tables(tabs)
     x = _normalize(_stack_embeddings(sample.column(emb_col)))
     rng = np.random.Generator(np.random.Philox(key=[seed, 0x495646]))  # "IVF"
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
@@ -157,6 +182,14 @@ def knn_ivf(
     n_probe/n_centroids at some recall cost (the scale path next to
     :func:`knn_bruteforce`; recall tunable via n_probe)."""
     cent = train_ivf_centroids(ds, emb_col, n_centroids, seed=seed)
+    if len(cent) == 0:
+        # empty corpus: same clean empty result knn_bruteforce returns
+        return ray.data.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int64()),
+        }))
     qm = _normalize(query_matrix.astype(np.float64))
     q_cells = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]  # (Q, n_probe)
     ref = ray.put((np.asarray(query_ids, dtype=np.int64), qm, cent, q_cells))
@@ -166,6 +199,7 @@ def knn_ivf(
             self.qids, self.qm, self.cent, self.qcells = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = _drop_null_embeddings(batch, emb_col)
             if batch.num_rows == 0:
                 return pa.table({"query_id": pa.array([], pa.int64()),
                                  "vec_id": pa.array([], pa.int64()),
@@ -233,6 +267,7 @@ def knn_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    concurrency: int | tuple[int, int] = (1, 8),
 ) -> ray.data.Dataset:
     """Approximate top-k: score only vectors sharing the query's LSH bucket.
 
@@ -249,6 +284,7 @@ def knn_lsh(
             self.qids, self.qm, self.planes, self.qb = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = _drop_null_embeddings(batch, emb_col)
             if batch.num_rows == 0:
                 return pa.table({"query_id": pa.array([], pa.int64()),
                                  "vec_id": pa.array([], pa.int64()),
@@ -275,7 +311,8 @@ def knn_lsh(
                 }
             )
 
-    partial = ds.map_batches(PartialLSH, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+    partial = ds.map_batches(PartialLSH, batch_format="pyarrow",
+                             zero_copy_batch=True, concurrency=concurrency)
 
     def merge(group: pa.Table) -> pa.Table:
         ids = group.column("vec_id").to_numpy(zero_copy_only=False)
@@ -323,8 +360,11 @@ def label_centroids_cosine(
                 }
             )
         # null labels carry no centroid mass (their dictionary index is
-        # null -> int64 garbage -> IndexError in the scatter-add)
+        # null -> int64 garbage -> IndexError in the scatter-add); null
+        # embeddings likewise (flatten() would skip them and misalign the
+        # scatter against the label codes)
         t = t.filter(pc.is_valid(t.column(label_col)))
+        t = _drop_null_embeddings(t, emb_col)
         if t.num_rows == 0:
             return pa.table(
                 {
@@ -410,6 +450,7 @@ def quantize_embeddings(
     vector. Companion: :func:`dequantize_embeddings`."""
 
     def quant(t: pa.Table) -> pa.Table:
+        t = _drop_null_embeddings(t, emb_col)
         if t.num_rows == 0:
             return pa.table({
                 id_col: pa.array([], t.schema.field(id_col).type),

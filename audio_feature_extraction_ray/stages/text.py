@@ -62,13 +62,13 @@ class TextFeatures:
         self.repetition = repetition
         # per-actor token→md5 caches (tokens repeat heavily across documents;
         # each distinct token hashes once per actor per kernel)
-        self._token_cache: dict = {}
+        self._simhash_byte_cache: dict = {}  # token -> 8-byte ndarray (simhash kernel)
         self._fp_cache: dict = {}
         # warm compiled regexes once per actor
         from ..functions import textfx  # noqa: F401
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        _bound_cache(self._token_cache)
+        _bound_cache(self._simhash_byte_cache)
         _bound_cache(self._fp_cache)
         col = batch.column(self.text_col)
         out = {n: batch.column(n) for n in batch.column_names}
@@ -91,7 +91,7 @@ class TextFeatures:
                 pa.int64(),
             )
         if self.simhash:
-            out["simhash"] = pa.array(simhash_batch(col, self._token_cache), pa.int64())
+            out["simhash"] = pa.array(simhash_batch(col, self._simhash_byte_cache), pa.int64())
         if self.repetition:
             dup, top2 = repetition_batch(col, token_hash_cache=self._fp_cache)
             out["dup_line_frac"] = pa.array(dup, pa.float64())

@@ -570,3 +570,101 @@ def test_graph_int_and_string_labels_agree():
         # int labels must come back as native ints, not strings
         sample = local_clustering(ds_i, dense_node_threshold=thr).take(1)[0]
         assert isinstance(sample["node"], (int, np.integer))
+
+
+def test_null_embeddings_are_excluded_not_misaligned():
+    """Arrow's flatten() silently skips null list slots; a null embedding
+    must be EXCLUDED with its id row (SQL null semantics), never misalign
+    ids against the stacked matrix."""
+    from audio_feature_extraction_ray.stages.similarity import (
+        knn_bruteforce, knn_ivf, knn_lsh, label_centroids_cosine,
+        quantize_embeddings)
+
+    d = 8
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        emb = None if i % 7 == 3 else [float(x) for x in rng.normal(size=d)]
+        rows.append({"vec_id": i, "label": f"l{i % 3}", "embedding": emb})
+    ds = ray.data.from_items(rows).repartition(3)
+    dense = ray.data.from_items(
+        [r for r in rows if r["embedding"] is not None]).repartition(3)
+
+    qm = rng.normal(size=(2, d))
+    qids = np.array([100, 101])
+    got = knn_bruteforce(ds, qids, qm, k=5).take_all()
+    want = knn_bruteforce(dense, qids, qm, k=5).take_all()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(got, key=key) == sorted(want, key=key)
+    null_ids = {r["vec_id"] for r in rows if r["embedding"] is None}
+    assert not ({r["vec_id"] for r in got} & null_ids)
+
+    gi = knn_ivf(ds, qids, qm, k=5, n_centroids=4).take_all()
+    wi = knn_ivf(dense, qids, qm, k=5, n_centroids=4).take_all()
+    assert sorted(gi, key=key) == sorted(wi, key=key)
+
+    gl = knn_lsh(ds, qids, qm, k=5, n_planes=2).take_all()
+    wl = knn_lsh(dense, qids, qm, k=5, n_planes=2).take_all()
+    assert sorted(gl, key=key) == sorted(wl, key=key)
+
+    gc = sorted(label_centroids_cosine(ds, "label").take_all(),
+                key=lambda r: (r["label_a"], r["label_b"]))
+    wc = sorted(label_centroids_cosine(dense, "label").take_all(),
+                key=lambda r: (r["label_a"], r["label_b"]))
+    for a, b in zip(gc, wc):
+        assert a["label_a"] == b["label_a"] and a["label_b"] == b["label_b"]
+        assert abs(a["cosine"] - b["cosine"]) < 1e-12
+
+    q = quantize_embeddings(ds).take_all()
+    assert {r["vec_id"] for r in q} == {r["vec_id"] for r in rows
+                                        if r["embedding"] is not None}
+
+
+def test_knn_ivf_empty_corpus_returns_empty():
+    from audio_feature_extraction_ray.stages.similarity import knn_ivf
+
+    ds = ray.data.from_items(
+        [{"vec_id": 1, "embedding": [1.0, 0.0]}]).filter(expr="vec_id > 5")
+    out = knn_ivf(ds, np.array([9]), np.array([[1.0, 0.0]]), k=3)
+    assert out.count() == 0
+
+
+def test_channel_histogram_rejects_bad_bins():
+    from audio_feature_extraction_ray.stages.features import ChannelHistogram
+
+    for bad in (0, -4, 100, 512):
+        with pytest.raises(ValueError):
+            ChannelHistogram(bins=bad)
+    ChannelHistogram(bins=64)  # divisor of 256: fine
+
+
+def test_interval_join_rejects_nonpositive_bucket():
+    from audio_feature_extraction_ray.stages.interval import interval_join
+
+    iv = ray.data.from_items([{"k": 1, "s": 0, "e": 10}])
+    pt = ray.data.from_items([{"k": 1, "ts": 5, "v": 1.0}])
+    for bad in (0, -1):
+        with pytest.raises(ValueError):
+            interval_join(iv, pt, on="k", start_col="s", end_col="e",
+                          ts_col="ts", value_cols=["v"], bucket_us=bad)
+
+
+def test_hash_cache_cross_use_raises():
+    """A simhash byte cache and a fingerprint int cache must not be
+    interchangeable — sharing one dict raises instead of silently
+    corrupting signatures."""
+    import pyarrow as pa
+
+    from audio_feature_extraction_ray.functions.textfx import (
+        rolling_fingerprint_batch, simhash_batch)
+
+    texts = pa.array(["the quick brown fox", "jumps over the lazy dog"])
+    int_cache: dict = {}
+    rolling_fingerprint_batch(texts, token_hash_cache=int_cache)
+    with pytest.raises(TypeError):
+        simhash_batch(texts, byte_hash_cache=int_cache)
+
+    byte_cache: dict = {}
+    simhash_batch(texts, byte_hash_cache=byte_cache)
+    with pytest.raises(TypeError):
+        rolling_fingerprint_batch(texts, token_hash_cache=byte_cache)
