@@ -37,9 +37,14 @@ def _decode_raw(data: bytes) -> np.ndarray:
     if len(data) < 16:
         raise DecodeError("raw: truncated header")
     h, w, c = struct.unpack("<III", data[4:16])
+    # The module contract is "HxWx3 uint8 or DecodeError": a header-consistent
+    # payload with c != 3 (or a zero dimension) must fail HERE as a
+    # DecodeError, not later as an IndexError inside a feature kernel.
+    if c != 3 or h == 0 or w == 0:
+        raise DecodeError("raw: unsupported dimensions")
     need = h * w * c
     body = data[16:]
-    if len(body) != need or need == 0:
+    if len(body) != need:
         raise DecodeError("raw: payload size mismatch")
     return np.frombuffer(body, dtype=np.uint8).reshape(h, w, c)
 
@@ -101,6 +106,8 @@ def _decode_png(data: bytes) -> np.ndarray:
             w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
             if depth != 8 or ctype != 2:
                 raise DecodeError("png: only 8-bit RGB supported")
+            if w == 0 or h == 0:
+                raise DecodeError("png: zero dimension")
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":

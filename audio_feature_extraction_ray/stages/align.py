@@ -25,23 +25,32 @@ import pyarrow as pa
 
 import ray.data
 
-from .util import arrow_schema_of
+from .similarity import _drop_null_embeddings, _stack_embeddings
+from .util import arrow_schema_of, round_half_away
 
 RMSE_STANDARD_MS = 200.0  # reference: 05/dtw_alignment.py:1137-1141
 CORRESPONDENCE_TOL_MS = 250.0
 CORRESPONDENCE_STANDARD = 0.95
 
 
-def _band_row_update(acc: np.ndarray, i: int, j_lo: int, j_hi: int,
-                     costs: np.ndarray) -> None:
-    """One banded DP row, fully vectorized. The recurrence
+def _banded_dtw(
+    a: np.ndarray, b: np.ndarray, lo: np.ndarray, hi: np.ndarray
+) -> list[tuple[int, int]]:
+    """Banded DTW core over per-row windows, fully vectorized per row and
+    with **O(Σ band widths) memory** — only the in-band cells of each DP row
+    are stored (one flat ragged array + per-row offsets), never the full
+    (T1+1)×(T2+1) accumulator, so a 100k-frame pair at band 5% costs ~4 GB →
+    ~0.5 GB·band_frac, the bound the banded/multiscale variants advertise.
+
+    ``lo[i]``/``hi[i]`` are the inclusive 1-based DP-column window of row
+    ``i+1``. The recurrence
     ``acc[i,j] = c[j] + min(acc[i-1,j], acc[i-1,j-1], acc[i,j-1])`` looks
     serial in j (the horizontal term), but expanding the horizontal chain
     gives ``acc[i,j] = C[j] + min_{k<=j}(m[k] - C[k-1])`` with
     ``m = min(up, diag)`` and ``C`` the band-local cost prefix sum — one
-    cumsum + one running min, no per-cell Python. Cells left of the band
-    are +inf (never assigned), so the horizontal entry INTO the band is
-    correctly absent.
+    cumsum + one running min, no per-cell Python. Cells outside a row's
+    band read as +inf, so the horizontal entry INTO the band is correctly
+    absent.
 
     Equivalence contract: the prefix-sum reassociation shifts ``acc``
     values by O(eps · row length) relative to the cell-by-cell fold, so
@@ -51,12 +60,53 @@ def _band_row_update(acc: np.ndarray, i: int, j_lo: int, j_hi: int,
     warping, and the result is deterministic run-to-run — which is what
     the alignment metrics and the rows-only gate require. Pinned in
     pytest as cost/validity/determinism, not exact path identity."""
-    u = acc[i - 1, j_lo:j_hi + 1]
-    d = acc[i - 1, j_lo - 1:j_hi]
-    m = np.minimum(u, d)
-    C = np.cumsum(costs)
-    shifted = np.concatenate(([0.0], C[:-1]))
-    acc[i, j_lo:j_hi + 1] = C + np.minimum.accumulate(m - shifted)
+    t1, t2 = len(a), len(b)
+    inf = np.inf
+    lo = np.asarray(lo, dtype=np.int64)
+    hi = np.asarray(hi, dtype=np.int64)
+    widths = hi - lo + 1
+    off = np.concatenate(([0], np.cumsum(widths)))
+    flat = np.empty(int(off[-1]), dtype=np.float64)
+    prev_lo, prev_vals = 0, np.zeros(1)  # virtual row 0: acc[0,0]=0, rest inf
+    for i in range(1, t1 + 1):
+        j_lo, j_hi = int(lo[i - 1]), int(hi[i - 1])
+        w = j_hi - j_lo + 1
+        idx_u = np.arange(j_lo, j_hi + 1) - prev_lo
+        u = np.full(w, inf)
+        vu = (idx_u >= 0) & (idx_u < len(prev_vals))
+        u[vu] = prev_vals[idx_u[vu]]
+        d = np.full(w, inf)
+        idx_d = idx_u - 1
+        vd = (idx_d >= 0) & (idx_d < len(prev_vals))
+        d[vd] = prev_vals[idx_d[vd]]
+        costs = np.linalg.norm(a[i - 1][None, :] - b[j_lo - 1 : j_hi], axis=1)
+        C = np.cumsum(costs)
+        shifted = np.concatenate(([0.0], C[:-1]))
+        row = C + np.minimum.accumulate(np.minimum(u, d) - shifted)
+        flat[off[i - 1] : off[i]] = row
+        prev_lo, prev_vals = j_lo, row
+
+    def val(i: int, j: int) -> float:
+        if i == 0:
+            return 0.0 if j == 0 else inf
+        r_lo, r_hi = int(lo[i - 1]), int(hi[i - 1])
+        if r_lo <= j <= r_hi:
+            return float(flat[off[i - 1] + j - r_lo])
+        return inf
+
+    path = []
+    i, j = t1, t2
+    if not np.isfinite(val(i, j)):
+        # clamp to the best reachable end cell in the last row
+        last = flat[off[t1 - 1] : off[t1]]
+        j = int(lo[t1 - 1] + np.argmin(last))
+    while i > 0 and j > 0:
+        path.append((i - 1, j - 1))
+        moves = [(val(i - 1, j - 1), i - 1, j - 1), (val(i - 1, j), i - 1, j),
+                 (val(i, j - 1), i, j - 1)]
+        _, i, j = min(moves, key=lambda m: m[0])
+    path.reverse()
+    return path
 
 
 def dtw_align(
@@ -72,28 +122,13 @@ def dtw_align(
     if t1 == 0 or t2 == 0:
         return []
     band = max(1, int(band_frac * max(t1, t2)))
-    inf = np.inf
-    acc = np.full((t1 + 1, t2 + 1), inf)
-    acc[0, 0] = 0.0
-    for i in range(1, t1 + 1):
-        center = int(round((i - 1) * (t2 - 1) / max(t1 - 1, 1))) + 1 if t1 > 1 else 1
-        j_lo = max(1, center - band)
-        j_hi = min(t2, center + band)
-        costs = np.linalg.norm(a[i - 1][None, :] - b[j_lo - 1 : j_hi], axis=1)
-        _band_row_update(acc, i, j_lo, j_hi, costs)
-    # backtrack
-    path = []
-    i, j = t1, t2
-    if not np.isfinite(acc[i, j]):
-        # clamp to the best reachable end cell in the last row
-        j = int(np.argmin(acc[t1, 1:]) + 1)
-    while i > 0 and j > 0:
-        path.append((i - 1, j - 1))
-        moves = [(acc[i - 1, j - 1], i - 1, j - 1), (acc[i - 1, j], i - 1, j),
-                 (acc[i, j - 1], i, j - 1)]
-        _, i, j = min(moves, key=lambda m: m[0])
-    path.reverse()
-    return path
+    if t1 > 1:
+        center = np.rint(np.arange(t1) * (t2 - 1) / (t1 - 1)).astype(np.int64) + 1
+    else:
+        center = np.ones(1, dtype=np.int64)
+    lo = np.maximum(1, center - band)
+    hi = np.minimum(t2, center + band)
+    return _banded_dtw(a, b, lo, hi)
 
 
 def evaluate_alignment(
@@ -171,24 +206,7 @@ def dtw_align_multiscale(
     if not coarse:
         return dtw_align(a, b, band_frac)
     win = _project_band(coarse, t1, t2, factor, radius)
-    inf = np.inf
-    acc = np.full((t1 + 1, t2 + 1), inf)
-    acc[0, 0] = 0.0
-    for i in range(1, t1 + 1):
-        j_lo, j_hi = int(win[i - 1, 0]) + 1, int(win[i - 1, 1]) + 1
-        costs = np.linalg.norm(a[i - 1][None, :] - b[j_lo - 1 : j_hi], axis=1)
-        _band_row_update(acc, i, j_lo, j_hi, costs)
-    path = []
-    i, j = t1, t2
-    if not np.isfinite(acc[i, j]):
-        j = int(np.argmin(acc[t1, 1:]) + 1)
-    while i > 0 and j > 0:
-        path.append((i - 1, j - 1))
-        moves = [(acc[i - 1, j - 1], i - 1, j - 1), (acc[i - 1, j], i - 1, j),
-                 (acc[i, j - 1], i, j - 1)]
-        _, i, j = min(moves, key=lambda m: m[0])
-    path.reverse()
-    return path
+    return _banded_dtw(a, b, win[:, 0] + 1, win[:, 1] + 1)
 
 
 def smooth_path(path: list[tuple[int, int]], width: int = 3) -> list[tuple[int, int]]:
@@ -243,20 +261,17 @@ def align_pairs(
         import pyarrow.compute as pc
 
         part = group.filter(pc.equal(group.column(role_col), role))
+        # Null embedding slots are skipped by Arrow's flatten(), which would
+        # misalign the stacked matrix against the timestamp vector — drop
+        # them WITH their timestamp rows first (similarity._stack_embeddings
+        # contract; same fix as the knn/semantic-dedup stages).
+        part = _drop_null_embeddings(part, emb_col)
         ts = part.column(ts_col)
         ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
         if pa.types.is_timestamp(ts.type):
             ts = ts.cast(pa.timestamp("us"), safe=False).cast(pa.int64())
         tsv = ts.to_numpy(zero_copy_only=False).astype(np.int64)
-        emb = part.column(emb_col)
-        emb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
-        if pa.types.is_fixed_size_list(emb.type):
-            mat = emb.flatten().to_numpy(zero_copy_only=False).reshape(
-                -1, emb.type.list_size
-            ).astype(np.float64)
-        else:
-            lst = emb.to_pylist()
-            mat = np.array(lst, dtype=np.float64) if lst else np.zeros((0, 1))
+        mat = _stack_embeddings(part.column(emb_col))
         order = np.argsort(tsv, kind="stable")
         return mat[order], tsv[order]
 
@@ -349,17 +364,12 @@ def alignment_report(
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        import numpy as _np
-
         out = {n: t.column(n) for n in t.column_names}
         out["n_ok"] = t.column("n_ok").cast(pa.int64())
         for c in ("mean_rmse_ms", "mean_correspondence", "pct_meets_rmse",
                   "pct_meets_correspondence", "pct_meets_both"):
             arr = t.column(c).cast(pa.float64()).to_numpy(zero_copy_only=False)
-            scale = 1e6
-            r = _np.where(_np.isnan(arr), _np.nan,
-                          _np.where(arr >= 0, _np.floor(arr * scale + 0.5),
-                                    _np.ceil(arr * scale - 0.5)) / scale)
+            r = np.where(np.isnan(arr), np.nan, round_half_away(arr, 6))
             out[c] = pa.array(r, pa.float64(), from_pandas=True)
         return pa.table(out)
 
@@ -392,18 +402,12 @@ def pairwise_quality(
     )
 
     def _mean_vec(group: pa.Table, role: str) -> np.ndarray | None:
-        part = group.filter(pc.equal(group.column(role_col), role))
+        part = _drop_null_embeddings(
+            group.filter(pc.equal(group.column(role_col), role)), emb_col
+        )
         if part.num_rows == 0:
             return None
-        emb = part.column(emb_col)
-        emb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
-        if pa.types.is_fixed_size_list(emb.type):
-            mat = emb.flatten().to_numpy(zero_copy_only=False).reshape(
-                -1, emb.type.list_size
-            ).astype(np.float64)
-        else:
-            mat = np.array(emb.to_pylist(), dtype=np.float64)
-        return mat.mean(axis=0)
+        return _stack_embeddings(part.column(emb_col)).mean(axis=0)
 
     def per_pair(group: pa.Table) -> pa.Table:
         pid = group.column(pair_col)[0].as_py()

@@ -565,10 +565,17 @@ def write_training_shards(
                               zero_copy_batch=True)
 
     tagged = _attach_ids(ds, ids, broadcast_ids_threshold)
-    return write_partitioned_resumable(
+    manifest = write_partitioned_resumable(
         assign_aspect_buckets(tagged, buckets=buckets), out_dir, key="batch_id",
         n_partitions=n_shards, sort_keys=["batch_id"],
         group_transform=_pack_shard_fn(targets, buckets, target_area))
+    if done:
+        # Partial resume: drop_done pruned the committed shards upstream, so
+        # the writer never saw their groups and `manifest` holds only the
+        # newly written shards. Reload the on-disk manifest — now complete —
+        # to honor the "one row per shard" return contract.
+        return pa.Table.from_pylist(read_manifest(out_dir))
+    return manifest
 
 
 def iter_shard_batches(out_dir: str, start_after: int | None = None):

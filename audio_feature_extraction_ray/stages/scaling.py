@@ -161,6 +161,11 @@ def target_encode(
         stat_tbl = pa.concat_tables(blocks).combine_chunks()
         s = pc.cast(stat_tbl.column("__s"), pa.float64()).to_numpy(zero_copy_only=False)
         n = pc.cast(stat_tbl.column("__n"), pa.float64()).to_numpy(zero_copy_only=False)
+        # A category whose targets are ALL null has n_g == 0 and a null sum
+        # (NaN after cast). Treat its sum as 0 so the n_g -> 0 limit of the
+        # formula yields the smoothed prior mu instead of one NaN sum
+        # poisoning mu (and through it every category's encoding).
+        s = np.where(n > 0, np.nan_to_num(s, nan=0.0), 0.0)
         total_n = float(n.sum())
         mu = float(s.sum() / total_n) if total_n > 0 else 0.0
         enc = (s + smoothing * mu) / (n + smoothing)

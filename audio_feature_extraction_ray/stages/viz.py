@@ -16,6 +16,7 @@ minimal (heatmap + line strips + separators), but the sink plumbing
 from __future__ import annotations
 
 import os
+import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -186,10 +187,17 @@ def write_feature_pngs(
                        for c in series_cols], width=width,
             )
             data = _encode_png(panel)
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(data)
-            os.replace(tmp, path)  # atomic: resume never sees partial files
+            # uuid-suffixed tmp (checkpoint.py protocol): a retried/duplicate
+            # task writing the same id must never interleave into one tmp
+            # file and publish a torn PNG via os.replace.
+            tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+            try:
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                os.replace(tmp, path)  # atomic: resume never sees partial files
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
             paths.append(path)
             ws.append(panel.shape[1])
             hs.append(panel.shape[0])
