@@ -2491,8 +2491,13 @@ def q_dedup_keep_documents(sf_dir: str):
     def prefix_fp(t: pa.Table) -> pa.Table:
         import hashlib
 
+        # Trim EXACTLY the oracle's four characters (space/TAB/LF/CR) — full
+        # Unicode whitespace (utf8_trim_whitespace) would strip \x0b/\x0c/nbsp
+        # that DuckDB's trim(text, ' '||chr(9)||chr(10)||chr(13)) keeps,
+        # hashing different prefixes and diverging the kept-id set.
         pref = pc.utf8_slice_codeunits(
-            pc.utf8_lower(pc.utf8_trim_whitespace(t.column("text").combine_chunks())), 0, 20
+            pc.utf8_lower(pc.utf8_trim(t.column("text").combine_chunks(),
+                                       characters=" \t\n\r")), 0, 20
         )
         fps = [hashlib.md5(s.encode()).hexdigest() for s in pref.to_pylist()]
         return pa.table(

@@ -248,9 +248,14 @@ def run_scaling(sf_dir: str, trials: int = 3) -> dict:
                    str(cpus), "--entities", str(ents)]
             res = subprocess.run(cmd, capture_output=True, text=True,
                                  timeout=3600)
-            line = [l for l in res.stdout.strip().splitlines()
-                    if l.startswith("{")][-1]
-            out[label] = json.loads(line)
+            lines = [l for l in res.stdout.strip().splitlines()
+                     if l.startswith("{")]
+            if res.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"scaling leg {label} (cpus={cpus}, entities={ents}) "
+                    f"failed rc={res.returncode}: "
+                    f"{res.stderr.strip().splitlines()[-10:]}")
+            out[label] = json.loads(lines[-1])
         tp_low, tp_high = (out["low"]["images_per_sec"],
                            out["high"]["images_per_sec"])
         strong_eff = (tp_high / tp_low) / (32 / 8)

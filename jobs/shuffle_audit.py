@@ -36,6 +36,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def _sf_of(sf_dir: str) -> float:
+    """Scale factor from the dir name (bench.py's parser): tolerate paths
+    containing 'sf' with no trailing number instead of AttributeError."""
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
 EXCHANGE_RE = re.compile(r"Sort|Repartition|Aggregate|RandomShuffle|Shuffle|Join")
 
 _OP_RE = re.compile(r"^(?:\t)?(Operator \d+|Suboperator \d+) (\S+?):", re.M)
@@ -93,6 +100,12 @@ def exchange_stages(sections: list[dict]) -> list[dict]:
                 row.update(wire_rows=None, wire_bytes=None,
                            out_rows=None, out_bytes=None)
             rows.append(row)
+            # An exchange's OUTPUT is the next operator's input: promote it
+            # so a back-to-back cached exchange estimates from THIS stage,
+            # not from whatever operator preceded the pair.
+            tail = (reduce_side or src) if src is not None else None
+            if tail is not None and tail["bytes"] is not None:
+                prev_op = tail
             i = j
         else:
             if s["kind"] == "Operator" and s["bytes"] is not None:
@@ -177,7 +190,7 @@ def consume(ds) -> int:
 def run_flagship(cap: StatsCapture, sf_dir: str, scale: int) -> int:
     from audio_feature_extraction_ray.pipelines.flagship import feature_table, pit_join
 
-    sf = float(re.search(r"sf([0-9.]+)", sf_dir).group(1)) if "sf" in sf_dir else 0.1
+    sf = _sf_of(sf_dir)
     n_entities = scale * max(60, int(6000 * sf))
     # the broadcast PIT join consumes the feature side inside its own tasks
     # and assembles probe-sized output on the driver, so the returned
@@ -379,7 +392,7 @@ def run_training_batches(cap: StatsCapture, sf_dir: str, scale: int) -> int:
         synth_images_balanced, synth_images_meta)
     from audio_feature_extraction_ray.stages.batching import training_batches_ds
 
-    sf = float(re.search(r"sf([0-9.]+)", sf_dir).group(1)) if "sf" in sf_dir else 0.1
+    sf = _sf_of(sf_dir)
     n_entities = scale * max(12, int(600 * sf))
     packed = training_batches_ds(
         synth_images_balanced(n_entities), batch_size=8,

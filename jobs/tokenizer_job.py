@@ -65,11 +65,20 @@ def main():
 
     docs = read_table(args.sf_dir, "documents", columns=["doc_id", "source", "text"])
     if args.tile > 1:
+        # Shift keys AND perturb text: identical tiled text would share one
+        # fingerprint_md5 and exact dedup would collapse the rehearsal back
+        # to the 1x corpus before fit/encode/pack — the tile suffix keeps
+        # every copy a distinct document while preserving token statistics.
         def shifted(i):
             def fn(t: pa.Table) -> pa.Table:
-                idx = t.schema.get_field_index("doc_id")
-                return t.set_column(idx, "doc_id",
-                                    pc.add(t.column("doc_id"), pa.scalar(i << 40, pa.int64())))
+                t = t.set_column(
+                    t.schema.get_field_index("doc_id"), "doc_id",
+                    pc.add(t.column("doc_id"), pa.scalar(i << 40, pa.int64())))
+                return t.set_column(
+                    t.schema.get_field_index("text"), "text",
+                    pc.binary_join_element_wise(
+                        t.column("text").cast(pa.string()),
+                        pa.scalar(f"tile{i}"), " "))
             return fn
         docs = docs.union(*[docs.map_batches(shifted(i), batch_format="pyarrow")
                             for i in range(1, args.tile)])
@@ -89,6 +98,12 @@ def main():
     # ---- 2. fit tokenizer artifacts
     os.makedirs(args.out, exist_ok=True)
     t0 = time.time()
+    # Clear prior artifact dirs: write_parquet APPENDS uniquely-named files,
+    # so a re-run after a stage-3/4 failure would leave every merge rule and
+    # vocab row duplicated for any consumer reading the directory.
+    import shutil
+    for d in ("merges.parquet", "vocab.parquet"):
+        shutil.rmtree(os.path.join(args.out, d), ignore_errors=True)
     merges = bpe_train(curated.select_columns(["text"]), "text",
                        n_merges=args.merges).materialize()
     merges.write_parquet(os.path.join(args.out, "merges.parquet"))

@@ -35,7 +35,9 @@ for name in window:
     t0 = time.time()
     try:
         res = qs[name](sf)
-        df = res.to_pandas() if hasattr(res, "to_pandas") else (res if isinstance(res, pd.DataFrame) else res.to_pandas())
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        if not isinstance(df, pd.DataFrame):
+            raise TypeError(f"unsupported result type {type(res).__name__}")
     except Exception as ex:
         bad.append((name, f"engine error: {ex}")); print(name, "ENGINE ERROR", ex); continue
     sql = osql.get(name)
@@ -55,7 +57,11 @@ for name in window:
         b = odf.sort_values(list(odf.columns)).reset_index(drop=True)
         for c in a.columns:
             if np.issubdtype(a[c].dtype, np.number) and np.issubdtype(b[c].dtype, np.number):
-                if not np.allclose(a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float), atol=1e-9, equal_nan=True):
+                # EXACT equality (NaN==NaN), mirroring the driver's value
+                # hash — allclose's rtol would certify values the hash
+                # rejects (1e-5 relative ≈ 1e3 absolute on 1e8-scale sums).
+                x = a[c].to_numpy(dtype=float); y = b[c].to_numpy(dtype=float)
+                if not ((x == y) | (np.isnan(x) & np.isnan(y))).all():
                     ok, why = False, f"values differ in {c}"; break
             else:
                 if not (a[c].astype(str) == b[c].astype(str)).all():
