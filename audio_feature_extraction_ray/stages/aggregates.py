@@ -473,7 +473,9 @@ def exact_quantiles(ds: ray.data.Dataset, col: str, qs: list[float]) -> list[flo
     """
     base = ds.select_columns([col]).map_batches(
         lambda t: t.filter(pc.is_valid(t.column(col))),
-        batch_format="pyarrow", zero_copy_batch=True)
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # materialize: count() then sort() would otherwise EXECUTE the upstream
+    # pipeline twice (same reason bloom_semi_join/tfidf_top_terms pin theirs)
     n = base.count()
     if n == 0:
         return [float("nan")] * len(qs)
@@ -1016,6 +1018,18 @@ def funnel(
                 }
             )
         t = t.combine_chunks()
+        # SQL COUNT semantics: a NULL user is not a countable entity (a
+        # null dictionary index would also scatter to INT64_MIN and crash)
+        if t.column(user_col).null_count:
+            t = t.filter(pc.is_valid(t.column(user_col)))
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "step": pa.array(list(steps), pa.string()),
+                        "users": pa.array([0] * len(steps), pa.int64()),
+                    }
+                )
+            t = t.combine_chunks()
         codes = (
             t.column(user_col).combine_chunks().dictionary_encode().indices
             .to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1094,8 +1108,9 @@ def grouped_spearman(
         if n == 0:
             return out_schema.empty_table()
         xs, ys = xs[both], ys[both]
-        de = block.column(key).combine_chunks().dictionary_encode()
-        g = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        from .util import null_safe_group_codes
+
+        g, labels_of, _ = null_safe_group_codes(block.column(key))
         order = np.argsort(g, kind="stable")
         g, xs, ys = g[order], xs[order], ys[order]
         seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
@@ -1111,7 +1126,7 @@ def grouped_spearman(
             rho[si] = (dx * dy).sum() / np.sqrt(vx * vy) if vx > 0 and vy > 0 else np.nan
         return pa.table(
             {
-                key: de.dictionary.take(pa.array(g[seg_first])),
+                key: labels_of(g[seg_first]),
                 "n": pa.array(out_n, pa.int64()),
                 "spearman": pa.array(rho, pa.float64(), from_pandas=True),
             },
@@ -1463,9 +1478,9 @@ def approx_distinct_grouped(
         if t.num_rows == 0:
             return out_schema.empty_table()
         t = t.combine_chunks()
-        enc = t.column(key).combine_chunks().dictionary_encode()
-        gidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        n_groups = len(enc.dictionary)
+        from .util import null_safe_group_codes
+
+        gidx, labels_of, n_groups = null_safe_group_codes(t.column(key))
         h = _pl.from_arrow(t.select([col])).hash_rows(seed=99).to_numpy()
         bucket = (h >> np.uint64(64 - precision)).astype(np.int64)
         rest = (h << np.uint64(precision)) | np.uint64(1 << (precision - 1))
@@ -1474,7 +1489,7 @@ def approx_distinct_grouped(
         regs = np.zeros(n_groups * m, dtype=np.uint8)
         np.maximum.at(regs, gidx * m + bucket, rank.astype(np.uint8))
         return pa.table({
-            key: enc.dictionary,
+            key: labels_of(np.arange(n_groups)),
             "__regs": pa.FixedSizeBinaryArray.from_buffers(
                 pa.binary(m), n_groups, [None, pa.py_buffer(regs.tobytes())]),
         }, schema=out_schema)
@@ -1497,7 +1512,9 @@ def approx_distinct_grouped(
         order = pa.compute.sort_indices(pa.table({"k": kcol}), sort_keys=[("k", "ascending")])
         t = t.take(order)
         kcol = t.column(key).combine_chunks()
-        g = kcol.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        from .util import null_safe_group_codes
+
+        g, _, _ = null_safe_group_codes(kcol)  # null group merges as ONE key
         # read the FixedSizeBinary registers from the flat Arrow buffer —
         # one zero-copy view, not one Python bytes object per (block, key)
         rc = t.column("__regs").combine_chunks()
@@ -1847,9 +1864,9 @@ def ks_by_group(
         n = t.num_rows
         if n == 0:
             return out_schema.empty_table()
-        gcol = t.column(group_col).combine_chunks()
-        enc = gcol.dictionary_encode()
-        g = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        from .util import null_safe_group_codes
+
+        g, labels_of, _ = null_safe_group_codes(t.column(group_col))
         v = vals
         ref = t.column("__ref").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((v, g))
@@ -1882,7 +1899,7 @@ def ks_by_group(
                                     first_end_of_seg)
         valid = (n_ref > 0) & (n_cur > 0)
         d = np.where(valid & np.isfinite(d), np.round(d, digits), np.nan)
-        keys = enc.dictionary.take(pa.array(g[seg_first], pa.int64()))
+        keys = labels_of(g[seg_first])
         return pa.table({
             group_col: keys,
             "n_ref": pa.array(n_ref),

@@ -169,6 +169,16 @@ def asof_join(
         side_key = (1 - side) if fwd else side
         order = np.lexsort((orig, side_key, ts_u, g))
         g_s, build_s, orig_s = g[order], is_build[order], orig[order]
+        # SQL ASOF semantics: a NULL entity key never matches — null-key
+        # build rows must not be match candidates (all null keys encode to
+        # ONE dictionary code, so a null probe would otherwise as-of match
+        # a null build; the broadcast route and SQL both emit a miss)
+        if part.column(on).null_count:
+            key_valid = pc.is_valid(part.column(on)).to_numpy(zero_copy_only=False)
+            build_m = build_s & key_valid[orig_s]
+        else:
+            key_valid = None
+            build_m = build_s
         pos = np.arange(npart)
         seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g_s)) + 1))
         seg_sizes = np.diff(np.concatenate((seg_first, [npart])))
@@ -177,11 +187,11 @@ def asof_join(
             seg_end_of = np.repeat(seg_first + seg_sizes - 1, seg_sizes)
             # nearest build at/after me: minimum build position in my suffix
             match_pos = np.minimum.accumulate(
-                np.where(build_s, pos, npart)[::-1]
+                np.where(build_m, pos, npart)[::-1]
             )[::-1]
             has_match = match_pos <= seg_end_of
         else:
-            match_pos = np.maximum.accumulate(np.where(build_s, pos, -1))
+            match_pos = np.maximum.accumulate(np.where(build_m, pos, -1))
             has_match = match_pos >= seg_start_of
         probe_pos = np.flatnonzero(~build_s)
         n = len(probe_pos)
@@ -195,6 +205,9 @@ def asof_join(
         lts_valid = pc.is_valid(part.column(left_ts)) \
             .to_numpy(zero_copy_only=False)
         p_valid = p_valid & lts_valid[p_orig]
+        if key_valid is not None:
+            # null-key probes are misses (belt to the build_m exclusion)
+            p_valid = p_valid & key_valid[p_orig]
         p_build_orig = orig_s[np.where(p_valid, match_pos[probe_pos], 0)]
         if tolerance_us is not None:
             m_rts = rts_all[p_build_orig]
@@ -293,14 +306,21 @@ def asof_join_broadcast(
     def merge_block(block: pa.Table) -> pa.Table:
         probes: pa.Table = _ray.get(ref)
         ents = pc.unique(block.column(on))
+        if ents.null_count:
+            # a NULL entity key never as-of matches (SQL semantics; a None
+            # in the per-entity loop would also crash pc.equal's null mask)
+            ents = ents.drop_null()
         local = probes.filter(pc.is_in(probes.column(on), value_set=ents))
         n = local.num_rows
         if n == 0:
             return mid_schema.empty_table()
         # build rows with a NULL timestamp cannot be as-of matched (same
         # exclusion as the shuffle path; _ts_i64 would turn them into
-        # garbage int64 ordering keys)
-        block = block.filter(pc.is_valid(block.column(right_ts)))
+        # garbage int64 ordering keys); null-key build rows likewise
+        keep = pc.is_valid(block.column(right_ts))
+        if block.column(on).null_count:
+            keep = pc.and_(keep, pc.is_valid(block.column(on)))
+        block = block.filter(keep)
         # per-entity vectorized sorted merges; the loop is over the probe
         # side's DISTINCT LOCAL ENTITIES (small by contract), never rows
         bts = _ts_i64(block.column(right_ts))
@@ -311,6 +331,11 @@ def asof_join_broadcast(
             bmask = pc.equal(bent, ent)
             rt = block.filter(bmask)
             rts = bts[bmask.to_numpy(zero_copy_only=False)]
+            if len(rts) == 0:
+                # every build row for this entity was excluded (null ts):
+                # leave its probes unhandled — the driver miss path emits
+                # their null rows
+                continue
             order = np.argsort(rts, kind="stable")
             rts_sorted = rts[order]
             lts = _ts_i64_nullsafe(lt.column(left_ts))
@@ -340,6 +365,8 @@ def asof_join_broadcast(
             cols[matched_ts_col] = pc.if_else(validity, taken_ts, pa.nulls(len(lts), rts_type))
             cols["__pidx"] = lt.column("__pidx")
             out_parts.append(pa.table(cols, schema=mid_schema))
+        if not out_parts:
+            return mid_schema.empty_table()
         return pa.concat_tables(out_parts)
 
     _mbatches = list(
@@ -523,10 +550,20 @@ def asof_join_bucketed(
         orig = np.arange(npart)
         order = np.lexsort((orig, side, ts_u, g))
         g_s, build_s, ts_s, orig_s = g[order], is_build[order], ts_u[order], orig[order]
+        # null entity keys make __kb null (binary_join emits null) and all
+        # nulls share ONE dictionary code — SQL ASOF never matches a NULL
+        # key, so null-key builds are not candidates and null-key probes
+        # are misses (mirrors the plain-route exclusion)
+        if part.column("__kb").null_count:
+            kb_valid = pc.is_valid(part.column("__kb")).to_numpy(zero_copy_only=False)
+            build_m = build_s & kb_valid[orig_s]
+        else:
+            kb_valid = None
+            build_m = build_s
         pos = np.arange(npart)
         seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g_s)) + 1))
         seg_start_of = np.repeat(seg_first, np.diff(np.concatenate((seg_first, [npart]))))
-        lb = np.maximum.accumulate(np.where(build_s, pos, -1))
+        lb = np.maximum.accumulate(np.where(build_m, pos, -1))
         have_build = lb >= seg_start_of  # a build row in THIS group at/before me
         probe_pos = np.flatnonzero(~build_s)
         n_probes = len(probe_pos)
@@ -534,6 +571,8 @@ def asof_join_bucketed(
         if n_probes:
             p_orig = orig_s[probe_pos]
             p_valid = have_build[probe_pos]
+            if kb_valid is not None:
+                p_valid = p_valid & kb_valid[p_orig]
             p_build_orig = orig_s[np.where(p_valid, lb[probe_pos], 0)]
             take_probe = pa.array(p_orig, pa.int64())
             take_build = pa.array(p_build_orig, pa.int64())

@@ -543,6 +543,7 @@ def hamming_dedup_pairs(
         # vectorized pairwise hamming: xor + byte-level popcount
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         hs = group.column(sig_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        truncated = len(ids) > max_group  # module contract: caps are FLAGGED
         order = np.argsort(ids, kind="stable")[:max_group]
         ids, u = ids[order], hs[order].view(np.uint64)
         g = len(ids)
@@ -552,6 +553,7 @@ def hamming_dedup_pairs(
                     "id_a": pa.array([], pa.int64()),
                     "id_b": pa.array([], pa.int64()),
                     "hamming": pa.array([], pa.int64()),
+                    "truncated": pa.array([], pa.bool_()),
                 }
             )
         iu, ju = np.triu_indices(g, k=1)
@@ -563,11 +565,15 @@ def hamming_dedup_pairs(
                 "id_a": pa.array(ids[iu[m]], pa.int64()),
                 "id_b": pa.array(ids[ju[m]], pa.int64()),
                 "hamming": pa.array(ham[m], pa.int64()),
+                "truncated": pa.array(np.full(int(m.sum()), truncated), pa.bool_()),
             }
         )
 
     pairs = widen_blocks(banded).groupby("band").map_groups(candidates, batch_format="pyarrow")
-    return dedup_exact(pairs, ["id_a", "id_b"], order_col="hamming", keep="min")
+    # hamming is constant per pair (same signatures in every band), so
+    # ordering by truncated gives any-band flag semantics without touching
+    # the surviving distance value (same pattern as minhash_dedup_pairs)
+    return dedup_exact(pairs, ["id_a", "id_b"], order_col="truncated", keep="max")
 
 
 def simhash_dedup_pairs(
@@ -851,6 +857,7 @@ def embedding_dedup_pairs(
     def candidates(group: pa.Table) -> pa.Table:
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         emb = _normalize(_stack_embeddings(group.column(emb_col)))
+        truncated = len(ids) > max_group  # module contract: caps are FLAGGED
         order = np.argsort(ids, kind="stable")[:max_group]
         ids, emb = ids[order], emb[order]
         sims = emb @ emb.T
@@ -861,11 +868,14 @@ def embedding_dedup_pairs(
                 "id_a": pa.array(ids[iu[mask]].astype(np.int64), pa.int64()),
                 "id_b": pa.array(ids[ju[mask]].astype(np.int64), pa.int64()),
                 "cosine": pa.array(sims[iu, ju][mask].astype(np.float64), pa.float64()),
+                "truncated": pa.array(np.full(int(mask.sum()), truncated), pa.bool_()),
             }
         )
 
     pairs = widen_blocks(bucketed).groupby("bucket").map_groups(candidates, batch_format="pyarrow")
-    return dedup_exact(pairs, ["id_a", "id_b"], order_col="cosine", keep="max")
+    # cosine is constant per pair across buckets → order by truncated for
+    # any-bucket flag semantics (minhash pattern); value unchanged
+    return dedup_exact(pairs, ["id_a", "id_b"], order_col="truncated", keep="max")
 
 
 def substring_dup_pairs(

@@ -53,7 +53,16 @@ def pagerank(
     each iteration (2 bucket exchanges), with only three scalars on the
     driver. Route parity is pinned in pytest.
     """
-    pairs = edges.select_columns([src_col, dst_col]).materialize()
+    def drop_null_edges(t: pa.Table) -> pa.Table:
+        # an edge with a NULL endpoint is not an edge (SQL join semantics);
+        # a None in the node vector would also break np.sort/searchsorted
+        keep = pc.and_(pc.is_valid(t.column(src_col)),
+                       pc.is_valid(t.column(dst_col)))
+        return t.filter(keep)
+
+    pairs = edges.select_columns([src_col, dst_col]).map_batches(
+        drop_null_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     def keys_of(t: pa.Table) -> pa.Table:
         s = pc.cast(t.column(src_col), pa.string())

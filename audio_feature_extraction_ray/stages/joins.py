@@ -97,6 +97,10 @@ def broadcast_lookup(
         small = pa.concat_tables(tabs) if tabs else small.schema().empty_table()
     small_key = small_key or key
     skey = small.column(small_key).combine_chunks()
+    if skey.null_count:
+        raise ValueError(
+            "broadcast_lookup small-side key contains nulls (a null dim key "
+            "can never match; to_numpy would also degrade int64 to float64)")
     keys_np = skey.to_numpy(zero_copy_only=False)
     order = np.argsort(keys_np, kind="stable")
     keys_np = keys_np[order]
@@ -111,7 +115,16 @@ def broadcast_lookup(
     def fn(batch: pa.Table) -> pa.Table:
         kn, vs = ray.get(ref)
         probe_arr = batch.column(key).combine_chunks()
-        probe = probe_arr.to_numpy(zero_copy_only=False)
+        if probe_arr.null_count:
+            # fill_null keeps the NATIVE dtype: to_numpy on a nullable int64
+            # column degrades to float64, where keys above 2^53 collide and
+            # can hit the WRONG small-side row for the batch's non-null
+            # probes too. The filled sentinel rows are masked out below.
+            null_mask = np.asarray(probe_arr.is_null())
+            probe = probe_arr.fill_null(0).to_numpy(zero_copy_only=False)
+        else:
+            null_mask = None
+            probe = probe_arr.to_numpy(zero_copy_only=False)
         if len(kn) == 0:
             idx = np.zeros(len(probe), dtype=np.int64)
             hit = np.zeros(len(probe), dtype=bool)
@@ -121,8 +134,8 @@ def broadcast_lookup(
             with np.errstate(invalid="ignore"):
                 hit = kn[idx_c] == probe
             idx = idx_c
-        if probe_arr.null_count:
-            hit &= ~np.asarray(probe_arr.is_null())
+        if null_mask is not None:
+            hit &= ~null_mask
         cols = {c: batch.column(c) for c in batch.column_names}
         if how == "inner":
             if not hit.all():
@@ -352,6 +365,17 @@ def bucket_hash_join(
             f"bucket_hash_join: right-side output column(s) {dupes} are "
             f"ambiguous after applying rsuffix={rsuffix!r} — rename the "
             f"clashing column(s) or pick a collision-free suffix"
+        )
+    # ...and must not collide with a LEFT column either (e.g. left already
+    # has 'x_r' while right's 'x' suffixes to 'x_r'): prep_left would
+    # overwrite the left data with nulls and the duplicated union-schema
+    # field crashes the per-bucket select
+    cross = sorted(set(rout_names) & lnames)
+    if cross:
+        raise ValueError(
+            f"bucket_hash_join: suffixed right column(s) {cross} collide "
+            f"with left column(s) of the same name — rename them or pick a "
+            f"collision-free rsuffix (got {rsuffix!r})"
         )
     union_fields = lcols + rcols + [("__side", pa.int8()), ("__bucket", pa.int32())]
     union_names = [n for n, _ in union_fields]

@@ -95,11 +95,25 @@ def weighted_sample(
         if not all(valid):
             t = t.filter(pa.array(valid))
             keys = [s for s in keys if s is not None]
+        # null/NaN weight -> excluded outright, same SQL contract as null
+        # keys (POW with a NULL exponent is NULL — never a top-k candidate);
+        # a NaN score would otherwise survive Arrow's descending sort into
+        # the final k slots
+        wv = t.column(weight_col)
+        if wv.null_count:
+            wkeep = pc.is_valid(wv).to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(wkeep))
+            keys = [s for s, kp in zip(keys, wkeep) if kp]
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        if np.isnan(w).any():
+            wkeep = ~np.isnan(w)
+            t = t.filter(pa.array(wkeep))
+            keys = [s for s, kp in zip(keys, wkeep) if kp]
+            w = w[wkeep]
         u = np.array(
             [int(hashlib.md5(s.encode()).hexdigest()[:13], 16) for s in keys],
             dtype=np.float64,
         ) / float(16**13)
-        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
         sc = np.power(u, 1.0 / np.maximum(w, 1e-12))
         return t.append_column("score", pa.array(sc, pa.float64())) \
             .append_column("__wskey", pa.array(keys, pa.string()))

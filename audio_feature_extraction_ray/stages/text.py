@@ -465,9 +465,7 @@ _HASHVEC_CACHE_MAX = 2_000_000
 
 
 def _hashvec_cache_put(tok, memo) -> None:
-    if len(_HASHVEC_CACHE) >= _HASHVEC_CACHE_MAX:
-        for k in list(_HASHVEC_CACHE)[: _HASHVEC_CACHE_MAX // 2]:
-            del _HASHVEC_CACHE[k]
+    _bound_cache(_HASHVEC_CACHE, _HASHVEC_CACHE_MAX)
     _HASHVEC_CACHE[tok] = memo
 
 
@@ -646,15 +644,15 @@ def pmi_collocations(
             "w2": pc.list_element(parts, 1),
         })
 
-    def _as_lookup(name: str, cnt: str) -> pa.Table:
-        tables = list(uni_f.iter_batches(batch_format="pyarrow", batch_size=None))
-        t = pa.concat_tables(tables) if tables else pa.table(
-            {"gram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
-        return t.rename_columns([name, cnt])
+    # collect the unigram lookup ONCE; both joins are the same table under
+    # different column names (cooccurrence_lift's pattern)
+    _uni_tables = list(uni_f.iter_batches(batch_format="pyarrow", batch_size=None))
+    _uni_tbl = pa.concat_tables(_uni_tables) if _uni_tables else pa.table(
+        {"gram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
 
     pairs = bi_f.map_batches(split_words, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = broadcast_join(pairs, _as_lookup("w1", "c1"), "w1")
-    pairs = broadcast_join(pairs, _as_lookup("w2", "c2"), "w2")
+    pairs = broadcast_join(pairs, _uni_tbl.rename_columns(["w1", "c1"]), "w1")
+    pairs = broadcast_join(pairs, _uni_tbl.rename_columns(["w2", "c2"]), "w2")
 
     def score(t: pa.Table) -> pa.Table:
         c_xy = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)

@@ -7,6 +7,38 @@ import pyarrow as pa
 import ray.data
 
 
+def null_safe_group_codes(col):
+    """Dictionary codes for a group-key column with SQL GROUP BY null
+    semantics: all NULL keys form ONE extra group (code = len(dictionary))
+    instead of the INT64_MIN garbage ``to_numpy().astype(int64)`` produces
+    from null indices (which crashes scatter/take indexing downstream).
+
+    Returns ``(codes, labels_of, n_groups)``: an int64 code per row, a
+    ``labels_of(code_array) -> pa.Array`` mapping codes back to key values
+    (the null-group sentinel maps to a null), and the group count
+    (``len(dictionary)`` + 1 when nulls are present).
+    """
+    import numpy as np
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    de = arr.dictionary_encode()
+    nd = len(de.dictionary)
+    idx = de.indices
+    has_null = bool(idx.null_count)
+    if has_null:
+        codes = idx.fill_null(nd).to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def labels_of(code_arr) -> pa.Array:
+        a = np.asarray(code_arr, dtype=np.int64)
+        mask = a >= nd
+        return de.dictionary.take(
+            pa.array(np.where(mask, 0, a), pa.int64(), mask=mask))
+
+    return codes, labels_of, nd + (1 if has_null else 0)
+
+
 def topk(
     ds: ray.data.Dataset,
     sort_keys: list[str],
