@@ -5,7 +5,10 @@ registry queries at sf0.01 and compare each against its DuckDB oracle
 driver hashes. The local pytest gate runs at sf0.001; this catches any
 sf-dependent drift in the driver's window before the driver does.
 
-Usage: python jobs/window_sweep.py    (owns its own Ray session)
+Usage: python jobs/window_sweep.py          (first 50 — the driver window)
+       python jobs/window_sweep.py --all    (every registered query — the
+       tail is otherwise only oracle-checked at sf0.001 by pytest, so this
+       is the one check that catches sf-dependent drift OUTSIDE the window)
 """
 import glob
 import os
@@ -29,7 +32,7 @@ sf = "/root/testdata/sf0.01"
 con = duckdb.connect()
 for p in glob.glob(sf + "/*.parquet"):
     con.sql(f"CREATE VIEW {os.path.basename(p)[:-8]} AS SELECT * FROM read_parquet('{p}')")
-window = list(qs)[:50]
+window = list(qs) if "--all" in sys.argv[1:] else list(qs)[:50]
 bad = []
 for name in window:
     t0 = time.time()
