@@ -420,6 +420,10 @@ def approx_distinct(
         import polars as _pl
 
         regs = np.zeros(m, dtype=np.int64)
+        if t.num_rows and t.column(col).null_count:
+            # SQL COUNT(DISTINCT col) excludes NULL — hash_rows would
+            # otherwise register the null as one extra distinct element
+            t = t.filter(pc.is_valid(t.column(col)))
         if t.num_rows:
             h = _pl.from_arrow(t.select([col])).hash_rows(seed=99).to_numpy()
             bucket = (h >> np.uint64(64 - precision)).astype(np.int64)
@@ -1487,7 +1491,14 @@ def approx_distinct_grouped(
         exp = ((rest.astype(np.float64)).view(np.uint64) >> np.uint64(52)) - np.uint64(1023)
         rank = (64 - exp.astype(np.int64)).clip(1, 64 - precision + 1)
         regs = np.zeros(n_groups * m, dtype=np.uint8)
-        np.maximum.at(regs, gidx * m + bucket, rank.astype(np.uint8))
+        slots, ranks8 = gidx * m + bucket, rank.astype(np.uint8)
+        if t.column(col).null_count:
+            # SQL COUNT(DISTINCT col) excludes NULL values — mask them out
+            # of the register scatter (not a row filter: a group whose
+            # values are ALL null must still emit its key with estimate 0)
+            vmask = pc.is_valid(t.column(col)).to_numpy(zero_copy_only=False)
+            slots, ranks8 = slots[vmask], ranks8[vmask]
+        np.maximum.at(regs, slots, ranks8)
         return pa.table({
             key: labels_of(np.arange(n_groups)),
             "__regs": pa.FixedSizeBinaryArray.from_buffers(

@@ -156,8 +156,11 @@ def asof_join(
         npart = part.num_rows
         if npart == 0:
             return out_schema.empty_table()
-        g = part.column(on).combine_chunks().dictionary_encode().indices \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
+        from .util import null_safe_group_codes
+
+        # null keys form ONE group via an explicit sentinel code (a null
+        # dictionary index cast through float is undefined-behavior int64)
+        g, _, _ = null_safe_group_codes(part.column(on))
         side = part.column(_SIDE).to_numpy(zero_copy_only=False)
         is_build = side == 0
         lts_all = _ts_i64_nullsafe(part.column(left_ts))
@@ -537,8 +540,10 @@ def asof_join_bucketed(
         npart = part.num_rows
         if npart == 0:
             return fused_schema.empty_table()
-        g = part.column("__kb").combine_chunks().dictionary_encode().indices \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
+        from .util import null_safe_group_codes
+
+        # null composite keys form ONE group via an explicit sentinel code
+        g, _, _ = null_safe_group_codes(part.column("__kb"))
         side = part.column("__side").to_numpy(zero_copy_only=False)
         is_build = side == 0
         lts_all = _ts_i64_nullsafe(part.column(left_ts))

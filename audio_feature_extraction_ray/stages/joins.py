@@ -98,9 +98,11 @@ def broadcast_lookup(
     small_key = small_key or key
     skey = small.column(small_key).combine_chunks()
     if skey.null_count:
-        raise ValueError(
-            "broadcast_lookup small-side key contains nulls (a null dim key "
-            "can never match; to_numpy would also degrade int64 to float64)")
+        # a NULL dim key can never match (SQL equi-join) — drop the row up
+        # front; leaving it in would also degrade int64 keys to float64 in
+        # to_numpy, colliding keys above 2^53 onto the WRONG dim row
+        small = small.filter(pc.is_valid(skey))
+        skey = small.column(small_key).combine_chunks()
     keys_np = skey.to_numpy(zero_copy_only=False)
     order = np.argsort(keys_np, kind="stable")
     keys_np = keys_np[order]
@@ -116,12 +118,23 @@ def broadcast_lookup(
         kn, vs = ray.get(ref)
         probe_arr = batch.column(key).combine_chunks()
         if probe_arr.null_count:
-            # fill_null keeps the NATIVE dtype: to_numpy on a nullable int64
-            # column degrades to float64, where keys above 2^53 collide and
-            # can hit the WRONG small-side row for the batch's non-null
-            # probes too. The filled sentinel rows are masked out below.
             null_mask = np.asarray(probe_arr.is_null())
-            probe = probe_arr.fill_null(0).to_numpy(zero_copy_only=False)
+            ty = probe_arr.type
+            if pa.types.is_integer(ty):
+                # fill_null keeps the NATIVE dtype: to_numpy on a nullable
+                # int64 column degrades to float64, where keys above 2^53
+                # collide and can hit the WRONG small-side row for the
+                # batch's non-null probes too. Sentinels are masked below.
+                probe = probe_arr.fill_null(0).to_numpy(zero_copy_only=False)
+            elif pa.types.is_string(ty) or pa.types.is_large_string(ty):
+                # None objects would crash searchsorted's str comparisons
+                probe = probe_arr.fill_null("").to_numpy(zero_copy_only=False)
+            elif pa.types.is_binary(ty) or pa.types.is_large_binary(ty):
+                probe = probe_arr.fill_null(b"").to_numpy(zero_copy_only=False)
+            else:
+                # float → NaN, temporal → NaT: both sort/compare inertly in
+                # their native dtype, and the mask belts the miss anyway
+                probe = probe_arr.to_numpy(zero_copy_only=False)
         else:
             null_mask = None
             probe = probe_arr.to_numpy(zero_copy_only=False)

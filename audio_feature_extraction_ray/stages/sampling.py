@@ -98,15 +98,11 @@ def weighted_sample(
         # null/NaN weight -> excluded outright, same SQL contract as null
         # keys (POW with a NULL exponent is NULL — never a top-k candidate);
         # a NaN score would otherwise survive Arrow's descending sort into
-        # the final k slots
-        wv = t.column(weight_col)
-        if wv.null_count:
-            wkeep = pc.is_valid(wv).to_numpy(zero_copy_only=False)
-            t = t.filter(pa.array(wkeep))
-            keys = [s for s, kp in zip(keys, wkeep) if kp]
+        # the final k slots. ONE pass: to_numpy on a nullable numeric
+        # column already yields NaN for nulls, so one mask covers both.
         w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        if np.isnan(w).any():
-            wkeep = ~np.isnan(w)
+        wkeep = ~np.isnan(w)
+        if not wkeep.all():
             t = t.filter(pa.array(wkeep))
             keys = [s for s, kp in zip(keys, wkeep) if kp]
             w = w[wkeep]

@@ -25,14 +25,53 @@ def test_broadcast_lookup_null_probe_keeps_int64_precision(ray_session):
     assert rows[None] is None  # null probe is a miss, row preserved
 
 
-def test_broadcast_lookup_rejects_null_small_key(ray_session):
+def test_broadcast_lookup_drops_null_small_key(ray_session):
+    """A null dim key can never match (SQL equi-join) — the row is dropped
+    up front instead of degrading the int64 key vector to float64 (or
+    rejecting dim tables that are otherwise fine)."""
     from audio_feature_extraction_ray.stages.joins import broadcast_lookup
 
     small = pa.table({"k": pa.array([1, None], pa.int64()),
                       "v": pa.array([1.0, 2.0])})
-    big = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
-    with pytest.raises(ValueError, match="null"):
-        broadcast_lookup(big, small, "k", ["v"])
+    big = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    out = pa.concat_tables(
+        broadcast_lookup(big, small, "k", ["v"], how="left")
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    rows = {r["k"]: r["v"] for r in out.to_pylist()}
+    assert rows == {1: 1.0, 2: None}
+
+
+def test_broadcast_lookup_null_string_probe_is_a_miss(ray_session):
+    from audio_feature_extraction_ray.stages.joins import broadcast_lookup
+
+    small = pa.table({"k": pa.array(["a", ""], pa.string()),
+                      "v": pa.array([1.0, 2.0])})
+    big = rd.from_arrow(pa.table(
+        {"k": pa.array(["a", None, ""], pa.string())}))
+    out = pa.concat_tables(
+        broadcast_lookup(big, small, "k", ["v"], how="left")
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    rows = {r["k"]: r["v"] for r in out.to_pylist()}
+    # the null probe fills to the "" sentinel internally but must NOT take
+    # the empty-string dim row's value
+    assert rows == {"a": 1.0, None: None, "": 2.0}
+
+
+def test_approx_distinct_excludes_null_values(ray_session):
+    """SQL COUNT(DISTINCT col) excludes NULL — both the global sketch and
+    the grouped one (and an all-null group still emits its key with 0)."""
+    from audio_feature_extraction_ray.stages.aggregates import (
+        approx_distinct, approx_distinct_grouped)
+
+    t = pa.table({
+        "k": pa.array(["a"] * 3 + ["b"] * 2, pa.string()),
+        "x": pa.array([1.0, 2.0, None, None, None]),
+    })
+    ds = rd.from_arrow(t)
+    assert approx_distinct(ds, "x") == 2
+    g = approx_distinct_grouped(ds, "k", "x").to_pandas()
+    got = dict(zip(g.iloc[:, 0], g.iloc[:, 1]))
+    assert got == {"a": 2, "b": 0}
 
 
 def test_bucket_hash_join_left_suffix_collision_raises(ray_session):
