@@ -373,7 +373,9 @@ FROM events GROUP BY user_id
 
 def q_unique_event_types(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["event_type"])
-    vals = sorted(ds.unique("event_type"))
+    # SQL DISTINCT keeps NULL as one distinct value — sort it last instead of
+    # letting Python's sorted() choke on None < str
+    vals = sorted(ds.unique("event_type"), key=lambda v: (v is None, v or ""))
     return pa.table({"event_type": pa.array(vals, pa.string())})
 
 
@@ -432,14 +434,22 @@ def q_anti_join_customers(sf_dir: str):
     """
     big_orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]) \
         .filter(expr="o_totalprice > 400000.0")
-    keys = pa.table({"c_custkey": pa.array(sorted(big_orders.unique("o_custkey")), pa.int64())})
+    # anti-join = NOT EXISTS: a NULL build key matches nothing (drop it from
+    # the broadcast set); a NULL probe key is a miss, so anti KEEPS it —
+    # pc.is_in(null) is False, inverted to True, which is exactly NOT EXISTS
+    # (the oracle says NOT EXISTS, not NOT IN: one NULL in a NOT IN subquery
+    # would null-poison every row)
+    keys = pa.table({"c_custkey": pa.array(
+        sorted(k for k in big_orders.unique("o_custkey") if k is not None),
+        pa.int64())})
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
     return broadcast_semi_join(cust, keys, key="c_custkey", anti=True)
 
 
 SQL_ANTI_JOIN_CUSTOMERS = """
-SELECT c_custkey, c_name, c_acctbal FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_totalprice > 400000 AND o_custkey = c.c_custkey)
 """
 
 
@@ -452,7 +462,9 @@ def q_bloom_semi_orders(sf_dir: str):
     from ..stages.joins import bloom_semi_join
 
     spenders = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]) \
-        .filter(expr="c_acctbal > 9000.0").select_columns(["c_custkey"])
+        .filter(expr="c_acctbal > 9000.0").select_columns(["c_custkey"]) \
+        .map_batches(lambda t: t.filter(pc.is_valid(t.column("c_custkey"))),
+                     batch_format="pyarrow")  # IN: a NULL build key matches nothing
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
         .map_batches(lambda t: t.rename_columns(["o_orderkey", "c_custkey"]),
                      batch_format="pyarrow")
@@ -3251,13 +3263,20 @@ def q_intersect_order_keys(sf_dir: str):
     """Set op INTERSECT: order keys that are both urgent AND big-ticket —
     distributed distinct on one side, broadcast membership on the other
     (semi-join recast of INTERSECT; §2.7)."""
+    from ..stages.aggregates import grouped_agg_fast
+
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
     urgent = orders.filter(expr="o_orderpriority == '1-URGENT'").select_columns(["o_orderkey"])
     big_keys = orders.filter(expr="o_totalprice > 300000.0")
-    keys = pa.table(
-        {"o_orderkey": pa.array(sorted(big_keys.unique("o_orderkey")), pa.int64())}
-    )
-    return broadcast_semi_join(urgent, keys, key="o_orderkey")
+    # INTERSECT treats NULL as a value (NULL ∩ NULL → one NULL row): keep
+    # None in the broadcast set — pc.is_in's default null_matching MATCHES
+    # null probes against a null in the value set — and sort it last
+    keys = pa.table({"o_orderkey": pa.array(
+        sorted(big_keys.unique("o_orderkey"), key=lambda v: (v is None, v or 0)),
+        pa.int64())})
+    sem = broadcast_semi_join(urgent, keys, key="o_orderkey")
+    # set ops are DISTINCT: collapse any duplicate surviving keys
+    return grouped_agg_fast(sem, keys=["o_orderkey"], specs=[])
 
 
 SQL_INTERSECT_ORDER_KEYS = """
@@ -3270,13 +3289,19 @@ SELECT o_orderkey FROM orders WHERE o_totalprice > 300000
 def q_except_order_keys(sf_dir: str):
     """Set op EXCEPT: urgent order keys that are NOT big-ticket (anti
     membership; §2.7)."""
+    from ..stages.aggregates import grouped_agg_fast
+
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
     urgent = orders.filter(expr="o_orderpriority == '1-URGENT'").select_columns(["o_orderkey"])
     big_keys = orders.filter(expr="o_totalprice > 300000.0")
-    keys = pa.table(
-        {"o_orderkey": pa.array(sorted(big_keys.unique("o_orderkey")), pa.int64())}
-    )
-    return broadcast_semi_join(urgent, keys, key="o_orderkey", anti=True)
+    # EXCEPT treats NULL as a value: keeping None in the broadcast set makes
+    # anti drop null probes iff the big side has a null (pc.is_in null
+    # matching), which is exactly SQL EXCEPT; output is DISTINCT
+    keys = pa.table({"o_orderkey": pa.array(
+        sorted(big_keys.unique("o_orderkey"), key=lambda v: (v is None, v or 0)),
+        pa.int64())})
+    sem = broadcast_semi_join(urgent, keys, key="o_orderkey", anti=True)
+    return grouped_agg_fast(sem, keys=["o_orderkey"], specs=[])
 
 
 SQL_EXCEPT_ORDER_KEYS = """
