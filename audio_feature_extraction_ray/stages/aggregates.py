@@ -40,7 +40,9 @@ def grouped_stats(
     for c in cols:
         for s in stats:
             aggs.append(mk[s](on=c, alias_name=f"{s}_{c}"))
-    return ds.groupby(key).aggregate(*aggs)
+    from .util import null_safe_groupby_aggregate
+
+    return null_safe_groupby_aggregate(ds, key, *aggs)
 
 
 def global_stats(
@@ -114,12 +116,43 @@ def grouped_agg_fast(
     p1_aggs = list(dict.fromkeys(p1_aggs))
     count_col = "__cnt"
 
+    # NULL group keys never reach Arrow's group_by directly: pyarrow 16's
+    # grouper duplicates the null group once its hash table grows (observed:
+    # two (NULL, k) rows in one 82-row table emerge as TWO groups), so both
+    # phases group on non-null surrogates — an int8 is-null flag plus the
+    # key filled with a same-type sentinel — and the final output restores
+    # the nulls. SQL GROUP BY null semantics (one NULL group) hold exactly.
+    from .util import _null_fill_sentinel
+
+    flag_keys = [f"__gkn_{k}" for k in keys]
+    surrogate_keys = [c for pair in zip(flag_keys, keys) for c in pair]
+
+    def _encode_keys(t: pa.Table) -> pa.Table:
+        for k, fk in zip(keys, flag_keys):
+            col = t.column(k)
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            sent = _null_fill_sentinel(arr.type)
+            if sent is not None and arr.null_count:
+                t = t.set_column(t.schema.get_field_index(k), k,
+                                 _pc.fill_null(arr, sent))
+            t = t.append_column(fk, _pc.cast(_pc.is_null(arr), pa.int8()))
+        return t
+
+    def _decode_keys(t: pa.Table) -> pa.Table:
+        for k, fk in zip(keys, flag_keys):
+            val = t.column(k)
+            val = val.combine_chunks() if isinstance(val, pa.ChunkedArray) else val
+            isnull = _pc.cast(t.column(fk), pa.bool_())
+            t = t.set_column(t.schema.get_field_index(k), k,
+                             _pc.if_else(isnull, pa.scalar(None, val.type), val))
+        return t.drop_columns(flag_keys)
+
     def phase1(t: pa.Table) -> pa.Table:
         # NOTE: no empty-batch early return — Arrow's group_by handles 0-row
         # input and emits the partial-aggregate schema, so an upstream filter
         # that empties a block can never leak the pre-aggregation schema into
         # the shuffle (heterogeneous-schema bug).
-        gb = t.group_by(keys)
+        gb = _encode_keys(t).group_by(surrogate_keys)
         aggs = list(p1_aggs)
         if needs_count_all:
             aggs.append(([], "count_all"))
@@ -148,13 +181,13 @@ def grouped_agg_fast(
             return t.append_column("__bucket", pa.array([], pa.int32()))
         import polars as _pl
 
-        h = _pl.from_arrow(t.select(keys)).hash_rows(seed=42).to_numpy()
+        h = _pl.from_arrow(t.select(surrogate_keys)).hash_rows(seed=42).to_numpy()
         b = (h % np.uint64(num_final_partitions)).astype(np.int32)
         return t.append_column("__bucket", pa.array(b))
 
     def phase2(group: pa.Table) -> pa.Table:
         group = group.drop_columns(["__bucket"])
-        gb = group.group_by(keys)
+        gb = group.group_by(surrogate_keys)
         aggs = []
         for col, fn in p1_aggs:
             # combine partials: sum-of-sums, min-of-mins, max-of-maxs,
@@ -164,6 +197,7 @@ def grouped_agg_fast(
         if needs_count_all:
             aggs.append((count_col, "sum"))
         res = gb.aggregate(aggs)
+        res = _decode_keys(res)
         out: dict = {k: res.column(k) for k in keys}
         if count_alias:
             out[count_alias] = res.column(f"{count_col}_sum")
@@ -312,7 +346,9 @@ def approx_quantiles_grouped(
         # drop_nulls catches Arrow nulls; the is_not_nan filter catches raw
         # float NaNs, which would otherwise poison a group's centroid means
         # (the ungrouped approx_quantiles guards identically)
-        df = _pl.from_arrow(t.select([key, col])).drop_nulls()
+        # NULL group KEYS stay (SQL GROUP BY keeps one NULL group); only
+        # null/NaN VALUES drop (SQL aggregate semantics)
+        df = _pl.from_arrow(t.select([key, col])).drop_nulls(subset=[col])
         if df.height and df[col].dtype.is_float():
             df = df.filter(_pl.col(col).is_not_nan())
         if df.height == 0:
@@ -321,14 +357,17 @@ def approx_quantiles_grouped(
                  "m": pa.array([], pa.float64()), "w": pa.array([], pa.float64())}
             )
         df = df.sort([key, col])
-        karr = df[key].to_numpy()
+        # rle_id treats null==null as one run — int keys with nulls would
+        # otherwise degrade to float64/NaN where every NaN starts a new run
+        rid = df[key].rle_id().to_numpy()
         v = df[col].to_numpy().astype(np.float64)
-        starts = np.flatnonzero(np.concatenate(([True], karr[1:] != karr[:-1])))
-        bounds = np.append(starts, len(karr))
+        starts = np.flatnonzero(np.concatenate(([True], rid[1:] != rid[:-1])))
+        bounds = np.append(starts, len(rid))
+        kvals = df[key].to_arrow().take(pa.array(starts.astype(np.int64))).to_pylist()
         for i in range(len(starts)):
             seg = v[bounds[i] : bounds[i + 1]]
             m, w = _tdigest_compress(seg, np.ones(len(seg)), compression)
-            out_k.extend([karr[starts[i]]] * len(m))
+            out_k.extend([kvals[i]] * len(m))
             out_m.extend(m.tolist())
             out_w.extend(w.tolist())
         return pa.table(
@@ -345,12 +384,17 @@ def approx_quantiles_grouped(
         w = group.column("w").to_numpy(zero_copy_only=False)
         gm, gw = _tdigest_compress(m, w, compression)
         vals = _tdigest_quantiles(gm, gw, qs)
-        cols = {key: [group.column(key)[0].as_py()]}
+        # explicit key type: from_pydict would infer null type for the
+        # NULL group's [None] and break the map_groups concat
+        cols = {key: pa.array([group.column(key)[0].as_py()],
+                              group.schema.field(key).type)}
         for name, v in zip(out_fields, vals):
-            cols[name] = [v]
-        return pa.Table.from_pydict(cols)
+            cols[name] = pa.array([v], pa.float64())
+        return pa.table(cols)
 
-    return sketches.groupby(key).map_groups(per_key, batch_format="pyarrow")
+    from .util import null_safe_map_groups
+
+    return null_safe_map_groups(sketches, key, per_key)
 
 
 def mad_grouped(

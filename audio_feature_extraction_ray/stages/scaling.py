@@ -246,7 +246,12 @@ def winsorize(
     interpolation (one groupby over values only); phase 2: |keys|-row bounds
     broadcast back, vectorized clip. The outlier-taming step of a feature
     pipeline (reference analog: the robust-IQR / clip normalizers,
-    02_audio_preprocessing_experiment processor chain)."""
+    02_audio_preprocessing_experiment processor chain).
+
+    Null group keys never crash the bounds pass (null-safe groupby); the
+    join-back then follows SQL JOIN semantics — a null key matches no
+    bounds row, so the row survives with a NULL winsorized value (the same
+    contract as the operator's own oracle and :func:`target_encode`)."""
 
     def per_group(group: pa.Table) -> pa.Table:
         v = group.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
@@ -265,8 +270,10 @@ def winsorize(
             "__qhi": pa.array(out["__qhi"], pa.float64()),
         })
 
-    bounds = ds.select_columns([key, col]).groupby(key).map_groups(
-        per_group, batch_format="pyarrow"
+    from .util import null_safe_map_groups
+
+    bounds = null_safe_map_groups(
+        ds.select_columns([key, col]), key, per_group
     )
 
     def finish(t: pa.Table) -> pa.Table:

@@ -39,6 +39,102 @@ def null_safe_group_codes(col):
     return codes, labels_of, nd + (1 if has_null else 0)
 
 
+def _null_fill_sentinel(t: pa.DataType):
+    """A same-type constant usable as ``pc.fill_null`` padding. The value
+    never leaks into results — a parallel is-null flag column disambiguates
+    real sentinels from filled nulls."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.scalar("", t)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return pa.scalar(b"", t)
+    if pa.types.is_floating(t):
+        return pa.scalar(0.0, t)
+    if pa.types.is_integer(t):
+        return pa.scalar(0, t)
+    if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_boolean(t):
+        return pa.scalar(0, pa.int64()).cast(t)
+    return None
+
+
+def _null_safe_key_encode(keys: list[str]):
+    """Shared surrogate-key encoder for null-tolerant Ray groupby: returns
+    ``(encode_fn, flag_cols, val_cols)`` where ``encode_fn`` appends, per
+    key, an int8 is-null flag plus the key filled with a same-type sentinel.
+    Grouping on the (flag, filled) pairs is exactly SQL GROUP BY (one NULL
+    group) while keeping every shuffle key column non-null — which both
+    Ray's sort-based groupby (numpy object-sort crash on None) and pyarrow
+    16's Table.group_by (duplicate null groups after hash-table growth)
+    require."""
+    import pyarrow.compute as pc
+
+    flag_cols = [f"__nsk_n{i}" for i in range(len(keys))]
+    val_cols = [f"__nsk_v{i}" for i in range(len(keys))]
+
+    def encode(t: pa.Table) -> pa.Table:
+        for i, k in enumerate(keys):
+            col = t.column(k)
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            sent = _null_fill_sentinel(arr.type)
+            filled = arr if sent is None or arr.null_count == 0 \
+                else pc.fill_null(arr, sent)
+            t = t.append_column(flag_cols[i], pc.cast(pc.is_null(arr), pa.int8()))
+            t = t.append_column(val_cols[i], filled)
+        return t
+
+    return encode, flag_cols, val_cols
+
+
+def null_safe_map_groups(
+    ds: ray.data.Dataset,
+    keys: str | list[str],
+    fn,
+    batch_format: str = "pyarrow",
+) -> ray.data.Dataset:
+    """``ds.groupby(keys).map_groups(fn)`` that tolerates NULL group keys.
+
+    Groups on the non-null surrogate pairs from :func:`_null_safe_key_encode`
+    and hands ``fn`` the original columns (null keys intact) with the
+    surrogates stripped — SQL GROUP BY null semantics, no Ray sort crash.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    encode, flag_cols, val_cols = _null_safe_key_encode(keys)
+    surrogates = [c for pair in zip(flag_cols, val_cols) for c in pair]
+
+    def strip_then(group: pa.Table) -> pa.Table:
+        return fn(group.drop_columns(surrogates))
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(surrogates).map_groups(strip_then, batch_format=batch_format)
+
+
+def null_safe_groupby_aggregate(
+    ds: ray.data.Dataset,
+    keys: str | list[str],
+    *aggs,
+) -> ray.data.Dataset:
+    """``ds.groupby(keys).aggregate(*aggs)`` that tolerates NULL group keys:
+    aggregate over the non-null surrogates, then restore the original key
+    columns (nulls reconstructed from the flag) in key-first column order."""
+    import pyarrow.compute as pc
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    encode, flag_cols, val_cols = _null_safe_key_encode(keys)
+    surrogates = [c for pair in zip(flag_cols, val_cols) for c in pair]
+    out = ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(surrogates).aggregate(*aggs)
+
+    def decode(t: pa.Table) -> pa.Table:
+        for i, k in enumerate(keys):
+            val = t.column(val_cols[i])
+            val = val.combine_chunks() if isinstance(val, pa.ChunkedArray) else val
+            isnull = pc.cast(t.column(flag_cols[i]), pa.bool_())
+            t = t.append_column(k, pc.if_else(isnull, pa.scalar(None, val.type), val))
+        rest = [c for c in t.column_names if c not in keys and c not in surrogates]
+        return t.select(keys + rest)
+
+    return out.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def topk(
     ds: ray.data.Dataset,
     sort_keys: list[str],
