@@ -71,8 +71,19 @@ def bool_rates(ds: ray.data.Dataset, flag_exprs: dict[str, str]) -> ray.data.Dat
 
 
 def distinct_count(ds: ray.data.Dataset, col: str) -> int:
-    """Exact distinct count: groupby-key shuffle then count (A9)."""
-    return ds.groupby(col).count().count()
+    """Exact distinct count: groupby-key shuffle then count (A9).
+
+    Nulls are excluded — SQL ``COUNT(DISTINCT col)`` semantics (they would
+    also crash Ray's sort-based groupby, the same hazard the null-safe
+    groupby helpers guard; here SQL says drop them, so filtering is both
+    the correct semantics and the safe path)."""
+
+    def drop_null(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column(col)))
+
+    return ds.select_columns([col]).map_batches(
+        drop_null, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(col).count().count()
 
 
 def grouped_agg_fast(

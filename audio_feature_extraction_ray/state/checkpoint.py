@@ -327,7 +327,12 @@ def write_value_partitioned_resumable(
         os.replace(mtmp, marker)
         return pa.Table.from_pylist([row])
 
-    manifest_ds = ds.groupby(category_col).map_groups(write_group, batch_format="pyarrow")
+    # null-safe: a NULL category forms ONE partition (written as the
+    # str(None) = "None" category file) instead of crashing the sort-based
+    # groupby — partition columns in real corpora are nullable
+    from ..stages.util import null_safe_map_groups
+
+    manifest_ds = null_safe_map_groups(ds, category_col, write_group)
     tables = list(manifest_ds.iter_batches(batch_format="pyarrow", batch_size=None))
     return pa.concat_tables(tables) if tables else None
 

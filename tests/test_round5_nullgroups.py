@@ -201,3 +201,37 @@ def test_null_safe_map_groups_passes_original_columns(ray_session):
     out = _collect(null_safe_map_groups(rd.from_arrow(t), "k", fn))
     rows = {r["k"]: r["n"] for r in out.to_pylist()}
     assert rows == {None: 2, "a": 1}
+
+
+def test_distinct_count_excludes_nulls(ray_session):
+    """SQL COUNT(DISTINCT col) ignores nulls; a null value must also never
+    crash the groupby shuffle."""
+    from audio_feature_extraction_ray.stages.aggregates import distinct_count
+
+    t = pa.table({"c": pa.array(["a", None, "b", "a", None], pa.string())})
+    assert distinct_count(rd.from_arrow(t).repartition(2), "c") == 2
+
+
+def test_value_partitioned_writer_null_category(ray_session, tmp_path):
+    """A NULL partition value forms one 'None' category file instead of
+    crashing the sort-based groupby."""
+    import glob
+
+    from audio_feature_extraction_ray.state.checkpoint import (
+        write_value_partitioned_resumable,
+    )
+
+    t = pa.table({
+        "cat": pa.array(["x", None, "x", None], pa.string()),
+        "v": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    out = str(tmp_path / "parts")
+    manifest = write_value_partitioned_resumable(
+        rd.from_arrow(t).repartition(2), out, "cat", sort_keys=["v"])
+    cats = sorted(manifest.column("category").to_pylist())
+    assert cats == ["None", "x"]
+    assert sum(manifest.column("rows").to_pylist()) == 4
+    files = sorted(glob.glob(out + "/cat-*.parquet"))
+    assert len(files) == 2, "one file per category incl. the null category"
+    back = pa.concat_tables([pa.parquet.read_table(f) for f in files])
+    assert back.num_rows == 4
