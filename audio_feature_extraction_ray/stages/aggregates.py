@@ -133,7 +133,7 @@ def grouped_agg_fast(
     # phases group on non-null surrogates — an int8 is-null flag plus the
     # key filled with a same-type sentinel — and the final output restores
     # the nulls. SQL GROUP BY null semantics (one NULL group) hold exactly.
-    from .util import _null_fill_sentinel
+    from .util import null_filled_key
 
     flag_keys = [f"__gkn_{k}" for k in keys]
     surrogate_keys = [c for pair in zip(flag_keys, keys) for c in pair]
@@ -142,10 +142,9 @@ def grouped_agg_fast(
         for k, fk in zip(keys, flag_keys):
             col = t.column(k)
             arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            sent = _null_fill_sentinel(arr.type)
-            if sent is not None and arr.null_count:
-                t = t.set_column(t.schema.get_field_index(k), k,
-                                 _pc.fill_null(arr, sent))
+            filled = null_filled_key(arr, k)
+            if filled is not arr:
+                t = t.set_column(t.schema.get_field_index(k), k, filled)
             t = t.append_column(fk, _pc.cast(_pc.is_null(arr), pa.int8()))
         return t
 

@@ -53,7 +53,35 @@ def _null_fill_sentinel(t: pa.DataType):
         return pa.scalar(0, t)
     if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_boolean(t):
         return pa.scalar(0, pa.int64()).cast(t)
+    if pa.types.is_decimal(t):
+        import decimal
+
+        return pa.scalar(decimal.Decimal(0), t)
     return None
+
+
+def null_filled_key(arr: "pa.Array", key_name: str) -> "pa.Array":
+    """``arr`` with nulls replaced by the type's sentinel — the shared
+    null-safe-groupby filler. Dictionary keys are decoded first (their
+    sentinel is the value type's). Raises instead of silently passing
+    nulls through for a type with no sentinel: a null key reaching the
+    grouper re-exposes the duplicate-null-group bug this layer exists to
+    prevent, so an unsupported nullable key type must be loud."""
+    import pyarrow.compute as pc
+
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.dictionary_decode()
+    if arr.null_count == 0:
+        return arr
+    sent = _null_fill_sentinel(arr.type)
+    if sent is None:
+        raise TypeError(
+            f"group key {key_name!r} has nulls and type {arr.type} has no "
+            f"null-fill sentinel — cast the key to a supported type "
+            f"(string/int/float/timestamp/date/bool/binary/decimal) or "
+            f"filter nulls first"
+        )
+    return pc.fill_null(arr, sent)
 
 
 def _null_safe_key_encode(keys: list[str]):
@@ -74,11 +102,8 @@ def _null_safe_key_encode(keys: list[str]):
         for i, k in enumerate(keys):
             col = t.column(k)
             arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            sent = _null_fill_sentinel(arr.type)
-            filled = arr if sent is None or arr.null_count == 0 \
-                else pc.fill_null(arr, sent)
             t = t.append_column(flag_cols[i], pc.cast(pc.is_null(arr), pa.int8()))
-            t = t.append_column(val_cols[i], filled)
+            t = t.append_column(val_cols[i], null_filled_key(arr, k))
         return t
 
     return encode, flag_cols, val_cols

@@ -235,3 +235,27 @@ def test_value_partitioned_writer_null_category(ray_session, tmp_path):
     assert len(files) == 2, "one file per category incl. the null category"
     back = pa.concat_tables([pa.parquet.read_table(f) for f in files])
     assert back.num_rows == 4
+
+
+def test_grouped_agg_fast_null_decimal_key(ray_session):
+    import decimal
+
+    from audio_feature_extraction_ray.stages.aggregates import grouped_agg_fast
+
+    k = pa.array([decimal.Decimal("1.50"), None, decimal.Decimal("1.50")],
+                 pa.decimal128(10, 2))
+    t = pa.table({"k": k, "v": pa.array([1, 2, 3], pa.int64())})
+    out = _collect(grouped_agg_fast(
+        rd.from_arrow(t), keys=["k"], specs=[("v_sum", "v", "sum")]))
+    got = {(r["k"] is None): r["v_sum"] for r in out.to_pylist()}
+    assert got == {False: 4, True: 2}
+
+
+def test_null_safe_groupby_unsupported_key_type_raises(ray_session):
+    """A nullable key type with no sentinel must be LOUD, never silently
+    re-expose the duplicate-null-group hazard."""
+    from audio_feature_extraction_ray.stages.util import null_filled_key
+
+    arr = pa.array([[1], None], pa.list_(pa.int64()))
+    with pytest.raises(TypeError, match="no\\s+null-fill sentinel"):
+        null_filled_key(arr, "k")
