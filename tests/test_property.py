@@ -159,3 +159,45 @@ def test_int_threshold_matches_hex_string_compare(rate, h):
     else:
         k = max(0, min(65536, int(rate * 65536)))
         assert (h < thr) == (format(h, "04x") < format(k, "04x"))
+
+
+# ---------------------------------------------------------- null-safe key encoding
+
+_key_strategies = st.sampled_from(["int", "float", "str", "ts", "bool"])
+
+
+@settings(max_examples=60, deadline=None)
+@given(kind=_key_strategies, data=st.data())
+def test_null_filled_key_grouping_invariants(kind, data):
+    """The surrogate pair (is-null flag, sentinel-filled key) must induce
+    EXACTLY the SQL GROUP BY partition of the original nullable key: two
+    rows share a (flag, filled) pair iff they share a key value (null==null
+    as one group), and the filled array never contains a null."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from audio_feature_extraction_ray.stages.util import null_filled_key
+
+    base = {
+        "int": st.integers(-5, 5),
+        "float": st.sampled_from([0.0, 1.5, -2.25, 1e18]),
+        "str": st.sampled_from(["", "a", "b", "0", "None"]),
+        "ts": st.integers(0, 10),
+        "bool": st.booleans(),
+    }[kind]
+    vals = data.draw(st.lists(st.one_of(st.none(), base), min_size=1, max_size=30))
+    typ = {"int": pa.int64(), "float": pa.float64(), "str": pa.string(),
+           "ts": pa.timestamp("us"), "bool": pa.bool_()}[kind]
+    arr = pa.array(vals, typ)
+    filled = null_filled_key(arr, "k")
+    assert filled.null_count == 0
+    flags = pc.is_null(arr).to_pylist()
+    pairs = list(zip(flags, filled.to_pylist()))
+    orig = [None if v is None else v for v in arr.to_pylist()]
+    for i in range(len(vals)):
+        for j in range(len(vals)):
+            same_orig = (orig[i] is None and orig[j] is None) or \
+                (orig[i] is not None and orig[j] is not None and orig[i] == orig[j])
+            assert (pairs[i] == pairs[j]) == same_orig, (
+                f"rows {i},{j}: orig {orig[i]!r}/{orig[j]!r} "
+                f"pairs {pairs[i]!r}/{pairs[j]!r}")
