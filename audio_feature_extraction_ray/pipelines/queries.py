@@ -2569,7 +2569,13 @@ def q_minhash_verified_documents(sf_dir: str):
         docs, id_col="doc_id", est_threshold=0.5, exact_threshold=0.8,
         shingle_k=5,
     )
-    return pairs.select_columns(["id_a", "id_b"])
+    from ..stages.util import bounded_table
+
+    # probe-bounded (doc_id < N) pair set; empty at scales where no pair
+    # clears 0.8 — schema must survive emptiness (see bounded_table)
+    return bounded_table(pairs.select_columns(["id_a", "id_b"]),
+                         pa.schema([("id_a", pa.int64()),
+                                    ("id_b", pa.int64())]))
 
 
 SQL_MINHASH_VERIFIED_DOCUMENTS = """
@@ -4968,9 +4974,14 @@ def q_heavy_hitter_customers(sf_dir: str):
     1/φ partials per block (guaranteed-superset by the averaging argument),
     exact counts only for broadcast candidates on a pruned second scan."""
     from ..stages.aggregates import heavy_hitters
+    from ..stages.util import bounded_table
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey"])
-    return heavy_hitters(orders, "o_custkey", phi=0.001)
+    hh = heavy_hitters(orders, "o_custkey", phi=0.001)
+    # ≤1/φ rows by construction; an EMPTY hitter set (nobody above φ at
+    # larger sf) must still present its schema — see bounded_table
+    return bounded_table(hh, pa.schema([("o_custkey", pa.int64()),
+                                        ("n", pa.int64())]))
 
 
 SQL_HEAVY_HITTER_CUSTOMERS = """

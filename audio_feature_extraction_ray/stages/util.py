@@ -357,6 +357,21 @@ def key_bucketer(key_type: "pa.DataType", num_buckets: int, seed: int = 7):
     return bucket_of
 
 
+def bounded_table(ds: ray.data.Dataset, schema: pa.Schema) -> pa.Table:
+    """Collect a BOUNDED result into one Arrow table, schema intact even
+    when empty. Ray Data drops 0-row blocks at iteration, so an empty
+    Dataset ``to_pandas()``-es to a COLUMN-LESS frame no matter what schema
+    the pipeline carried — a gate/driver result that can legitimately be
+    empty (heavy hitters above a threshold, verified near-dup pairs) must
+    therefore be returned as a Table with an explicit schema. Only for
+    outputs with a proven bound (≤1/φ hitters, probe-bounded pair sets);
+    corpus-scale results stay Datasets."""
+    tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tables:
+        return schema.empty_table()
+    return pa.concat_tables(tables).cast(schema)
+
+
 def arrow_schema_of(ds: ray.data.Dataset) -> tuple[ray.data.Dataset, pa.Schema]:
     """Return ``(ds, arrow schema)``, normalizing pandas-backed blocks.
 
