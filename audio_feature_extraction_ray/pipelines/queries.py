@@ -1923,6 +1923,7 @@ WITH tagged AS (
   SELECT event_type AS g, value AS v,
          ts < TIMESTAMP '2024-01-16' AS is_ref
   FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
 ),
 span AS (SELECT g, MIN(v) AS mn, MAX(v) AS mx FROM tagged WHERE is_ref GROUP BY g),
 binned AS (
@@ -1930,7 +1931,7 @@ binned AS (
          CAST(LEAST(GREATEST(FLOOR((t.v - s.mn)
                   / (CASE WHEN s.mx > s.mn THEN s.mx - s.mn ELSE 1 END) * 10),
               0), 9) AS BIGINT) AS b
-  FROM tagged t JOIN span s ON t.g = s.g
+  FROM tagged t JOIN span s ON t.g IS NOT DISTINCT FROM s.g
 ),
 cnt AS (SELECT g, is_ref, b, COUNT(*) AS n FROM binned GROUP BY g, is_ref, b),
 tot AS (SELECT g,
@@ -1943,14 +1944,14 @@ shares AS (
          GREATEST(COALESCE(rc.n, 0) * 1.0 / tot.n_ref, 1e-6) AS p,
          GREATEST(COALESCE(cc.n, 0) * 1.0 / tot.n_cur, 1e-6) AS q
   FROM bins
-  JOIN tot ON tot.g = bins.g
-  LEFT JOIN cnt rc ON rc.g = bins.g AND rc.b = bins.b AND rc.is_ref
-  LEFT JOIN cnt cc ON cc.g = bins.g AND cc.b = bins.b AND NOT cc.is_ref
+  JOIN tot ON tot.g IS NOT DISTINCT FROM bins.g
+  LEFT JOIN cnt rc ON rc.g IS NOT DISTINCT FROM bins.g AND rc.b = bins.b AND rc.is_ref
+  LEFT JOIN cnt cc ON cc.g IS NOT DISTINCT FROM bins.g AND cc.b = bins.b AND NOT cc.is_ref
 )
 SELECT shares.g AS event_type,
        CAST(tot.n_ref AS BIGINT) AS n_ref, CAST(tot.n_cur AS BIGINT) AS n_cur,
        ROUND(SUM((p - q) * LN(p / q)), 6) AS psi
-FROM shares JOIN tot ON tot.g = shares.g
+FROM shares JOIN tot ON tot.g IS NOT DISTINCT FROM shares.g
 GROUP BY shares.g, tot.n_ref, tot.n_cur
 """
 
@@ -1973,6 +1974,7 @@ WITH tagged AS (
   SELECT event_type AS g, value AS v,
          ts < TIMESTAMP '2024-01-16' AS is_ref
   FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
 ),
 tot AS (
   SELECT g, SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
@@ -1993,7 +1995,7 @@ cum AS (
 SELECT cum.g AS event_type,
        CAST(tot.nr AS BIGINT) AS n_ref, CAST(tot.nc AS BIGINT) AS n_cur,
        ROUND(MAX(ABS(cr * 1.0 / tot.nr - cc * 1.0 / tot.nc)), 6) AS ks_d
-FROM cum JOIN tot ON tot.g = cum.g
+FROM cum JOIN tot ON tot.g IS NOT DISTINCT FROM cum.g
 GROUP BY cum.g, tot.nr, tot.nc
 """
 
@@ -2059,8 +2061,13 @@ ks_t AS (
   GROUP BY ks_cum.g, ks_tot.nr, ks_tot.nc
 ),
 tg AS (
-  SELECT g AS event_type, COUNT(v) AS n, SUM(v) AS s, SUM(v * v) AS ss
-  FROM tagged GROUP BY g
+  -- the Welch-t leg runs on the UNFILTERED table (like the engine's
+  -- group_vs_rest_ttest): COUNT(value) drops null values by itself, and a
+  -- null ts does not exclude a row from the t-test (only PSI/KS are
+  -- period-based); the null event_type group drops in the final joins
+  SELECT event_type, COUNT(value) AS n, SUM(value) AS s,
+         SUM(value * value) AS ss
+  FROM events GROUP BY event_type
 ),
 ttot AS (SELECT SUM(n) AS n, SUM(s) AS s, SUM(ss) AS ss FROM tg),
 tm AS (
@@ -2511,7 +2518,12 @@ def q_dedup_keep_documents(sf_dir: str):
             pc.utf8_lower(pc.utf8_trim(t.column("text").combine_chunks(),
                                        characters=" \t\n\r")), 0, 20
         )
-        fps = [hashlib.md5(s.encode()).hexdigest() for s in pref.to_pylist()]
+        # NULL text: SQL's PARTITION BY md5(NULL) groups every null doc into
+        # ONE partition; Ray's sort-groupby cannot order None keys, so a
+        # sentinel that no real md5 can collide with (not 32 hex chars)
+        # stands in — the fingerprint itself never leaves this query
+        fps = [hashlib.md5(s.encode()).hexdigest() if s is not None
+               else "\0null" for s in pref.to_pylist()]
         return pa.table(
             {"doc_id": t.column("doc_id"), "fingerprint_md5": pa.array(fps, pa.string())}
         )
@@ -2634,9 +2646,11 @@ gc AS (
 ),
 gm AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM gc GROUP BY doc_id)
 SELECT d.doc_id,
-       ROUND(CASE WHEN lf.n_lines > 0 THEN 1.0 - lf.n_distinct * 1.0 / lf.n_lines
+       ROUND(CASE WHEN d.text IS NULL THEN NULL
+                  WHEN lf.n_lines > 0 THEN 1.0 - lf.n_distinct * 1.0 / lf.n_lines
                   ELSE 0.0 END, 6) AS dup_line_frac,
-       ROUND(COALESCE(gm.mx * 1.0 / gm.tot, 0.0), 6) AS top_2gram_frac
+       ROUND(CASE WHEN d.text IS NULL THEN NULL
+                  ELSE COALESCE(gm.mx * 1.0 / gm.tot, 0.0) END, 6) AS top_2gram_frac
 FROM documents d JOIN lf USING (doc_id) LEFT JOIN gm USING (doc_id)
 """
 
@@ -2731,7 +2745,9 @@ sh AS (
                ELSE sum(contrib::HUGEINT) END)::BIGINT AS simhash
   FROM bits GROUP BY doc_id
 )
-SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE COALESCE(s.simhash, 0) END AS simhash
 FROM documents d LEFT JOIN sh s USING (doc_id)
 """
 
@@ -2755,13 +2771,13 @@ def _langid_sql() -> str:
     }
     return rf"""
 WITH toks AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, text IS NULL AS t_null,
          list_transform(
            string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'),
            x -> trim(lower(x), '.,!?;:()"' || chr(39))) AS t
   FROM documents
 ), scored AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, t_null,
          len(list_filter(t, x -> x IN ({sets['en']}))) AS s_en,
          len(list_filter(t, x -> x IN ({sets['de']}))) AS s_de,
          len(list_filter(t, x -> x IN ({sets['fr']}))) AS s_fr,
@@ -2769,7 +2785,8 @@ WITH toks AS (
   FROM toks
 )
 SELECT doc_id, lang,
-       CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       CASE WHEN t_null THEN NULL
+            WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
             WHEN s_fr >= s_es THEN 'fr'
@@ -2829,7 +2846,8 @@ shortf AS (
 )
 SELECT d.doc_id,
        md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))) AS fingerprint_md5,
-       COALESCE(l.fp, s.fp, 0) AS fingerprint_rolling
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE COALESCE(l.fp, s.fp, 0) END AS fingerprint_rolling
 FROM documents d LEFT JOIN longf l USING (doc_id) LEFT JOIN shortf s USING (doc_id)
 """
 

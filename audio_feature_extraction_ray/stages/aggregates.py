@@ -1770,11 +1770,18 @@ def psi_by_group(
         if pa.types.is_timestamp(ts.type):
             ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
         ref = pc.less(ts, pa.scalar(cutoff_us, pa.int64()))
-        return pa.table({
+        out = pa.table({
             group_col: t.column(group_col),
             value_col: t.column(value_col),
             "__ref": ref,
         })
+        # a NULL ts places the row in NEITHER period (SQL: ts < cutoff is
+        # NULL, true in no CASE branch) and NULL values carry no bin mass —
+        # drop both up front, before the rows cost exchange bytes
+        keep = pc.and_(pc.is_valid(ref), pc.is_valid(t.column(value_col)))
+        if not pc.all(keep).as_py():
+            out = out.filter(keep)
+        return out
 
     tagged = base.map_batches(prep, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
@@ -1800,10 +1807,18 @@ def psi_by_group(
         # bounds gather onto rows via the encoded indices
         enc = t.column(group_col).combine_chunks().dictionary_encode()
         dvals = enc.dictionary.to_pylist()
+        if enc.indices.null_count:
+            # NULL group key = one group (SQL GROUP BY): route through an
+            # appended sentinel dictionary slot, binned iff the null group
+            # has a reference-period span like any other group
+            idx = enc.indices.fill_null(len(dvals)) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            dvals = dvals + [None]
+        else:
+            idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         known_d = np.asarray([g in sp for g in dvals], dtype=bool)
         mn_d = np.asarray([sp[g][0] if g in sp else np.nan for g in dvals])
         mx_d = np.asarray([sp[g][1] if g in sp else np.nan for g in dvals])
-        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
         # groups with no reference period have no bin basis, and null/NaN
         # values carry no bin mass (SQL COUNT/aggregate null exclusion —
@@ -1849,7 +1864,8 @@ def psi_by_group(
         agg: dict = collections.defaultdict(lambda: np.zeros((2, n_bins)))
         for g, r, b, n in zip(gs, refs, bins, ns):
             agg[g][0 if r else 1, b] += n
-        keys = sorted(agg)
+        # None (the SQL null group) is not orderable against real keys
+        keys = sorted(agg, key=lambda g: (g is None, g))
         n_ref = np.array([agg[g][0].sum() for g in keys])
         n_cur = np.array([agg[g][1].sum() for g in keys])
         psi = []
@@ -1899,11 +1915,18 @@ def ks_by_group(
         ts = t.column(ts_col)
         if pa.types.is_timestamp(ts.type):
             ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
-        return pa.table({
+        ref = pc.less(ts, pa.scalar(cutoff_us, pa.int64()))
+        out = pa.table({
             group_col: t.column(group_col),
             value_col: t.column(value_col),
-            "__ref": pc.less(ts, pa.scalar(cutoff_us, pa.int64())),
+            "__ref": ref,
         })
+        # NULL ts / NULL value rows join neither sample — drop before the
+        # group exchange (per_part re-guards for direct callers)
+        keep = pc.and_(pc.is_valid(ref), pc.is_valid(t.column(value_col)))
+        if not pc.all(keep).as_py():
+            out = out.filter(keep)
+        return out
 
     tagged = base.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -1918,10 +1941,14 @@ def ks_by_group(
             return out_schema.empty_table()
         # null/NaN values join neither sample (scipy/SQL null exclusion) —
         # counting them would inflate one period's ECDF denominator and
-        # report drift between identical non-null distributions
+        # report drift between identical non-null distributions; a NULL
+        # __ref (NULL ts) places the row in neither period the same way
         vals = np.asarray(
             t.column(value_col).to_pandas(), dtype=np.float64)  # nulls→NaN
         keep = np.isfinite(vals)
+        refc = t.column("__ref").combine_chunks()
+        if refc.null_count:
+            keep &= pc.is_valid(refc).to_numpy(zero_copy_only=False)
         if not keep.all():
             t = t.filter(pa.array(keep))
             vals = vals[keep]

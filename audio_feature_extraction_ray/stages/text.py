@@ -68,34 +68,54 @@ class TextFeatures:
         from ..functions import textfx  # noqa: F401
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         _bound_cache(self._simhash_byte_cache)
         _bound_cache(self._fp_cache)
         col = batch.column(self.text_col)
+        # SQL null-in → null-out: every computed column is NULL for a NULL
+        # document (the kernels run over ""-filled slots, then the outputs
+        # are masked — matches md5(NULL)=NULL, length(NULL)=NULL, the
+        # oracles' CASE chains, etc.)
+        null_mask = None
+        if col.null_count:
+            null_mask = pc.is_null(col).combine_chunks()
+            col = col.fill_null("")
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+        def _masked(arr: pa.Array) -> pa.Array:
+            if null_mask is None:
+                return arr
+            return pc.if_else(null_mask, pa.scalar(None, arr.type), arr)
+
         out = {n: batch.column(n) for n in batch.column_names}
         if self.quality:
             qs = quality_batch(col)
-            out["n_chars_calc"] = pa.array(qs["n_chars"].astype("int64"), pa.int64())
-            out["n_tokens"] = pa.array(qs["n_tokens"].astype("int64"), pa.int64())
+            out["n_chars_calc"] = _masked(
+                pa.array(qs["n_chars"].astype("int64"), pa.int64()))
+            out["n_tokens"] = _masked(
+                pa.array(qs["n_tokens"].astype("int64"), pa.int64()))
             for c in ("punct_ratio", "digit_ratio", "upper_ratio", "avg_token_len"):
-                out[c] = pa.array(qs[c], pa.float64())
+                out[c] = _masked(pa.array(qs[c], pa.float64()))
         if self.lang:
-            out["lang_pred"] = pa.array(langid_batch(col), pa.string())
+            out["lang_pred"] = _masked(pa.array(langid_batch(col), pa.string()))
         if self.fingerprints:
             texts = col.to_pylist()
             # whole-document md5 is inherently per-row (one digest per doc)
-            out["fingerprint_md5"] = pa.array(
+            out["fingerprint_md5"] = _masked(pa.array(
                 [md5_fingerprint(t or "") for t in texts], pa.string()
-            )
-            out["fingerprint_rolling"] = pa.array(
+            ))
+            out["fingerprint_rolling"] = _masked(pa.array(
                 rolling_fingerprint_batch(col, token_hash_cache=self._fp_cache),
                 pa.int64(),
-            )
+            ))
         if self.simhash:
-            out["simhash"] = pa.array(simhash_batch(col, self._simhash_byte_cache), pa.int64())
+            out["simhash"] = _masked(
+                pa.array(simhash_batch(col, self._simhash_byte_cache), pa.int64()))
         if self.repetition:
             dup, top2 = repetition_batch(col, token_hash_cache=self._fp_cache)
-            out["dup_line_frac"] = pa.array(dup, pa.float64())
-            out["top_2gram_frac"] = pa.array(top2, pa.float64())
+            out["dup_line_frac"] = _masked(pa.array(dup, pa.float64()))
+            out["top_2gram_frac"] = _masked(pa.array(top2, pa.float64()))
         return pa.table(out)
 
 
@@ -133,7 +153,9 @@ def redact(
     def fn(t: pa.Table) -> pa.Table:
         col = t.column(text_col)
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        col = col.fill_null("")
+        # NULL text stays NULL with a NULL count: both pc.replace_substring_regex
+        # and pc.count_substring_regex propagate nulls, exactly like SQL's
+        # regexp_replace(NULL) / len(regexp_extract_all(NULL)) chains.
         total = None
         for pat, repl in patterns.items():
             if count_col is not None:
