@@ -1349,30 +1349,40 @@ def q_mad_events(sf_dir: str):
     rows shuffle) — landed within 10% of each group's exact MAD. The oracle
     replays the exact values and literal TRUE (measured sketch error ≲1%)."""
     from ..stages.aggregates import mad_grouped
+    from ..stages.util import null_safe_map_groups
 
     ev = read_table(sf_dir, "events", columns=["event_type", "value"])
 
     def per_group(group: pa.Table) -> pa.Table:
+        # DuckDB mad() skips NULL values; all-null group → NULL; NULL group
+        # keys form one group (SQL GROUP BY)
         v = group.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
         v = v[~np.isnan(v)]
         med = float(np.median(v)) if len(v) else np.nan
         mad = float(np.median(np.abs(v - med))) if len(v) else np.nan
         return pa.table({
             "event_type": pa.array([group.column("event_type")[0].as_py()], pa.string()),
-            "mad": pa.array([mad], pa.float64()),
+            "mad": pa.array([mad], pa.float64(), from_pandas=True),
         })
 
     exact = {r["event_type"]: r["mad"]
-             for r in ev.groupby("event_type").map_groups(
-                 per_group, batch_format="pyarrow").take_all()}
+             for r in null_safe_map_groups(ev, "event_type", per_group).take_all()}
     sketch = {r["event_type"]: r["mad"]
               for r in mad_grouped(ev, key="event_type", col="value").take_all()}
-    ok = set(exact) == set(sketch) and all(
-        abs(sketch[k] - exact[k]) <= 0.10 * max(exact[k], 1e-9) for k in exact)
+
+    def _close(k) -> bool:
+        e = exact[k]
+        if e is None:  # all-null group: the sketch legitimately has no row
+            return k not in sketch or sketch[k] is None
+        return k in sketch and sketch[k] is not None and \
+            abs(sketch[k] - e) <= 0.10 * max(e, 1e-9)
+
+    ok = set(sketch) <= set(exact) and all(_close(k) for k in exact)
+    keys = sorted(exact, key=lambda k: (k is None, k if k is not None else ""))
     tbl = pa.table({
-        "event_type": pa.array(sorted(exact), pa.string()),
-        "mad": pa.array([exact[k] for k in sorted(exact)], pa.float64()),
-        "mad_sketch_within_tol": pa.array([bool(ok)] * len(exact), pa.bool_()),
+        "event_type": pa.array(keys, pa.string()),
+        "mad": pa.array([exact[k] for k in keys], pa.float64(), from_pandas=True),
+        "mad_sketch_within_tol": pa.array([bool(ok)] * len(keys), pa.bool_()),
     })
     return _round_cols(ray.data.from_arrow(tbl), ["mad"], digits=6)
 
@@ -1588,12 +1598,14 @@ WITH e AS (
   SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
          's' || CAST(l_suppkey AS VARCHAR) AS dst
   FROM (SELECT DISTINCT o_custkey, l_suppkey
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL)
   UNION ALL
   SELECT 's' || CAST(l_suppkey AS VARCHAR),
          'c' || CAST(o_custkey AS VARCHAR)
   FROM (SELECT DISTINCT o_custkey, l_suppkey
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL)
 ),
 n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM n),
@@ -1663,9 +1675,14 @@ def _supplier_projection(sf_dir: str, min_support: int = 2,
         joined = hash_join(li, orders, on="l_orderkey",
                            right_on="o_orderkey",
                            join_type="inner", num_partitions=8)
+    # a NULL custkey co-purchases with nobody and a NULL suppkey cannot be
+    # a graph node (oracle: JOIN ON a.c = b.c / a.s < b.s both reject NULL)
+    # — drop them after the distinct, before the pair machinery
     cs = grouped_agg_fast(joined.select_columns(["o_custkey", "l_suppkey"]),
                           keys=["o_custkey", "l_suppkey"],
-                          specs=[]).materialize()
+                          specs=[]).map_batches(
+        lambda t: t.drop_null(), batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
 
     # Dense route: when the supplier side is small enough that a
     # supplier×customer bitset fits one worker (here 1000 × 100k/8 =
@@ -2937,9 +2954,15 @@ def q_neardup_embeddings(sf_dir: str):
     """Exact cosine-threshold pairs: probes vec_id < 100 vs the full table."""
     import pyarrow.dataset as pads
 
+    from ..stages.similarity import _drop_null_embeddings
+
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # NULL embeddings have no cosine → never pair (oracle: NULL >= 0.3 is
+    # false); drop them on BOTH sides with their ids to keep rows aligned
     probes = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
                         filter=(pads.field("vec_id") < 100)) \
+        .map_batches(lambda t: _drop_null_embeddings(t, "embedding"),
+                     batch_format="pyarrow", zero_copy_batch=True) \
         .to_pandas().sort_values("vec_id")
     qids = probes["vec_id"].to_numpy()
     qm = _normalize(np.stack(probes["embedding"].to_list()).astype(np.float64))
@@ -2948,6 +2971,11 @@ def q_neardup_embeddings(sf_dir: str):
     ref = _ray.put((qids, qm))
 
     def pairs(t: pa.Table) -> pa.Table:
+        t = _drop_null_embeddings(t, "embedding")
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         ids = t.column("vec_id").to_numpy(zero_copy_only=False)
         e = _normalize(_stack_embeddings(t.column("embedding")))
         pq, pm = _ray.get(ref)
@@ -3228,12 +3256,20 @@ FROM documents GROUP BY 1
 def q_percentiles_by_type(sf_dir: str):
     """Per-group exact percentiles (A4 grouped): p50/p90 of value per
     event_type via per-group sorted interpolation (quantile_cont)."""
+    from ..stages.util import null_safe_map_groups
+
     ev = read_table(sf_dir, "events", columns=["event_type", "value"])
 
     def per_group(group: pa.Table) -> pa.Table:
-        v = np.sort(group.column("value").to_numpy(zero_copy_only=False).astype(np.float64))
+        # quantile_cont skips NULL values; an all-null group reports NULL.
+        # NULL group keys form one group (SQL GROUP BY).
+        v = group.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.sort(v[~np.isnan(v)])
         out = {"event_type": [group.column("event_type")[0].as_py()]}
         for name, q in (("p50", 0.5), ("p90", 0.9)):
+            if len(v) == 0:
+                out[name] = [None]
+                continue
             pos = q * (len(v) - 1)
             lo, hi = int(np.floor(pos)), int(np.ceil(pos))
             out[name] = [float(v[lo] + (v[hi] - v[lo]) * (pos - lo))]
@@ -3241,7 +3277,7 @@ def q_percentiles_by_type(sf_dir: str):
                          "p50": pa.array(out["p50"], pa.float64()),
                          "p90": pa.array(out["p90"], pa.float64())})
 
-    agg = ev.groupby("event_type").map_groups(per_group, batch_format="pyarrow")
+    agg = null_safe_map_groups(ev, "event_type", per_group)
     return _round_cols(agg, ["p50", "p90"], digits=6)
 
 
@@ -3711,14 +3747,21 @@ def q_approx_percentiles_by_type(sf_dir: str):
     centroid-merge error — measured ≤4.5% at 200-value groups, shrinking
     with group size), and the oracle replays exact + TRUE."""
     from ..stages.aggregates import approx_quantiles_grouped
+    from ..stages.util import null_safe_map_groups
 
     ev = read_table(sf_dir, "events", columns=["event_type", "value"])
     sketch = approx_quantiles_grouped(ev, key="event_type", col="value", qs=[0.5, 0.9])
 
     def per_group_exact(group: pa.Table) -> pa.Table:
-        v = np.sort(group.column("value").to_numpy(zero_copy_only=False).astype(np.float64))
+        # quantile_cont skips NULL values; an all-null group reports NULL;
+        # NULL group keys form one group (SQL GROUP BY)
+        v = group.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.sort(v[~np.isnan(v)])
         out = {"event_type": [group.column("event_type")[0].as_py()]}
         for name, q in (("p50", 0.5), ("p90", 0.9)):
+            if len(v) == 0:
+                out[name] = [None]
+                continue
             pos = q * (len(v) - 1)
             lo, hi = int(np.floor(pos)), int(np.ceil(pos))
             out[name] = [float(v[lo] + (v[hi] - v[lo]) * (pos - lo))]
@@ -3726,20 +3769,37 @@ def q_approx_percentiles_by_type(sf_dir: str):
                          "p50": pa.array(out["p50"], pa.float64()),
                          "p90": pa.array(out["p90"], pa.float64())})
 
-    exact = ev.groupby("event_type").map_groups(per_group_exact, batch_format="pyarrow")
+    exact = null_safe_map_groups(ev, "event_type", per_group_exact)
     # both sides are n_groups rows (5 here) — a driver-side merge is bounded
-    # by group cardinality, same contract as any grouped-report query
-    edf = exact.to_pandas().set_index("event_type").sort_index()
-    sdf = sketch.to_pandas().set_index("event_type").sort_index()
-    spread = np.maximum(edf["p90"] - edf["p50"], 1e-9)
-    ok = ((sdf["p50"] - edf["p50"]).abs() <= 0.10 * spread) & \
-         ((sdf["p90"] - edf["p90"]).abs() <= 0.10 * spread)
+    # by group cardinality, same contract as any grouped-report query.
+    # Keyed as dicts (a NULL group key breaks pandas sort_index).
+    edf = {r["event_type"]: (r["p50"], r["p90"]) for r in exact.take_all()}
+    sdf = {r["event_type"]: (r["p50"], r["p90"]) for r in sketch.take_all()}
+
+    def _within(k) -> bool:
+        e50, e90 = edf[k]
+        if e50 is None or (isinstance(e50, float) and np.isnan(e50)):
+            # all-null group: no sketch row can exist — vacuously in-tol
+            return True
+        if k not in sdf:
+            return False
+        s50, s90 = sdf[k]
+        spread = max(e90 - e50, 1e-9)
+        return abs(s50 - e50) <= 0.10 * spread and abs(s90 - e90) <= 0.10 * spread
+
+    keys = sorted(edf, key=lambda k: (k is None, k if k is not None else ""))
     out = pa.table(
         {
-            "event_type": pa.array(edf.index.tolist(), pa.string()),
-            "p50": pa.array(_round_half_away(edf["p50"].to_numpy(), 6), pa.float64()),
-            "p90": pa.array(_round_half_away(edf["p90"].to_numpy(), 6), pa.float64()),
-            "tdigest_within_tol": pa.array(ok.tolist(), pa.bool_()),
+            "event_type": pa.array(keys, pa.string()),
+            "p50": pa.array(_round_half_away(
+                np.array([np.nan if edf[k][0] is None else edf[k][0]
+                          for k in keys], np.float64), 6),
+                pa.float64(), from_pandas=True),
+            "p90": pa.array(_round_half_away(
+                np.array([np.nan if edf[k][1] is None else edf[k][1]
+                          for k in keys], np.float64), 6),
+                pa.float64(), from_pandas=True),
+            "tdigest_within_tol": pa.array([_within(k) for k in keys], pa.bool_()),
         }
     )
     return ray.data.from_arrow(out)
@@ -3878,13 +3938,20 @@ def q_alignment_report_events(sf_dir: str):
     )
 
     def to_cohort(t: pa.Table) -> pa.Table:
-        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        uarr = t.column("user_id").combine_chunks()
+        # NULL user → NULL cohort (SQL: NULL % 10 IS NULL), kept as its own
+        # group downstream; fill_null keeps the modulo in native int64
+        cohort = pc.if_else(
+            uarr.is_valid(),
+            pa.array(uarr.fill_null(0).to_numpy(zero_copy_only=False) % 10,
+                     pa.int64()),
+            pa.scalar(None, pa.int64()))
         nc = t.column("n_clicks").to_numpy(zero_copy_only=False).astype(np.float64)
         nw = t.column("n_within").to_numpy(zero_copy_only=False).astype(np.float64)
         meets = (nw / np.maximum(nc, 1)) >= 0.95
         return pa.table(
             {
-                "cohort": pa.array(uid % 10, pa.int64()),
+                "cohort": cohort,
                 "n_clicks": t.column("n_clicks"),
                 "n_matched": t.column("n_matched"),
                 "sum_sq": t.column("sum_sq"),

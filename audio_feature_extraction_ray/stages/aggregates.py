@@ -429,7 +429,8 @@ def mad_grouped(
     exact ``map_groups`` path only when group cardinality is small and
     bit-exactness is required.
     """
-    from .joins import broadcast_join, bucket_hash_join
+    from .joins import broadcast_join, hash_join
+    from .util import _null_safe_key_encode
 
     base = ds.select_columns([key, col])
     med = approx_quantiles_grouped(base, key=key, col=col, qs=[0.5],
@@ -437,10 +438,20 @@ def mad_grouped(
     med = med.map_batches(lambda t: t.rename_columns([key, "__med"]),
                           batch_format="pyarrow", zero_copy_batch=True)
     med = med.materialize()
+    # join back on the non-null SURROGATE pair, not the raw key: this is a
+    # group-median re-attach, so the NULL group must match its own median
+    # (plain SQL equi-join semantics would drop it)
+    encode, flag_cols, val_cols = _null_safe_key_encode([key])
+    surrogates = [flag_cols[0], val_cols[0]]
+    base_e = base.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+    med_e = med.map_batches(lambda t: encode(t).drop_columns([key]),
+                            batch_format="pyarrow", zero_copy_batch=True)
     if med.count() <= broadcast_threshold:
-        joined = broadcast_join(base, med, keys=key)
+        joined = broadcast_join(base_e, med_e, keys=surrogates)
     else:
-        joined = bucket_hash_join(base, med, on=key)
+        # hash_join (Ray-native) takes composite keys; bucket_hash_join is
+        # single-key only
+        joined = hash_join(base_e, med_e, on=tuple(surrogates))
 
     def dev(t: pa.Table) -> pa.Table:
         x = pc.cast(t.column(col), pa.float64())
@@ -1022,13 +1033,19 @@ def cohort_retention(
         first = pc.cast(t.column("__first_ts"), pa.timestamp("us"))
         cw = pc.floor_temporal(first, unit="week", week_starts_monday=True)
         ew = pc.floor_temporal(ts, unit="week", week_starts_monday=True)
-        cw_i = pc.cast(cw, pa.int64()).to_numpy(zero_copy_only=False)
-        ew_i = pc.cast(ew, pa.int64()).to_numpy(zero_copy_only=False)
-        off = (ew_i - cw_i) // WEEK_US
+        # SQL NULL arithmetic: a NULL ts (or NULL first_ts, from an all-null
+        # user) yields a NULL week_offset cell, not a crash — compute the
+        # offset on sentinel-filled native ints and restore the null mask
+        cw_i = pc.cast(cw, pa.int64())
+        ew_i = pc.cast(ew, pa.int64())
+        valid = pc.and_(pc.is_valid(cw_i), pc.is_valid(ew_i))
+        off = (ew_i.fill_null(0).to_numpy(zero_copy_only=False)
+               - cw_i.fill_null(0).to_numpy(zero_copy_only=False)) // WEEK_US
         return pa.table(
             {
                 "cohort_week": cw,
-                "week_offset": pa.array(off, pa.int64()),
+                "week_offset": pc.if_else(valid, pa.array(off, pa.int64()),
+                                          pa.scalar(None, pa.int64())),
                 user_col: t.column(user_col),
             }
         )

@@ -18,7 +18,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .similarity import _stack_embeddings
+from .similarity import _drop_null_embeddings, _stack_embeddings
 
 
 def _moment_partials(ds: ray.data.Dataset, emb_col: str, d: int) -> tuple[int, np.ndarray, np.ndarray]:
@@ -30,6 +30,9 @@ def _moment_partials(ds: ray.data.Dataset, emb_col: str, d: int) -> tuple[int, n
     moments regardless of block arrival order."""
 
     def partial(t: pa.Table) -> pa.Table:
+        # SQL null exclusion: rows with a NULL embedding contribute nothing
+        # to the fitted moments (an aggregate over NULL vectors skips them).
+        t = _drop_null_embeddings(t, emb_col)
         if t.num_rows == 0:
             return pa.table({
                 "n": pa.array([], pa.int64()),
@@ -107,6 +110,9 @@ def pca_transform(
 
     def project(t: pa.Table) -> pa.Table:
         m, w = ray.get(ref)
+        # a NULL vector has no projection — its row is excluded WITH its id
+        # (SQL null exclusion; clean data is unaffected)
+        t = _drop_null_embeddings(t, emb_col)
         cols: dict[str, object] = {}
         if id_col is not None:
             cols[id_col] = t.column(id_col)
@@ -145,7 +151,13 @@ def kmeans(
     """
     from .util import topk
 
-    ds = ds.select_columns([id_col, emb_col]).materialize()
+    # null-embedding rows can neither seed nor join a cluster — exclude
+    # them (with their ids) up front, once, so every iteration's stacking
+    # stays row-aligned (SQL null exclusion; no-op on clean data)
+    ds = ds.select_columns([id_col, emb_col]).map_batches(
+        lambda t: _drop_null_embeddings(t, emb_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
     # k smallest ids via partial top-k (no global sort for k seed rows)
     seed_rows = topk(ds, [id_col], k, descending=False).take_all()
     if len(seed_rows) < k:

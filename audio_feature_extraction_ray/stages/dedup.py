@@ -829,11 +829,15 @@ def embedding_dedup_pairs(
 ) -> ray.data.Dataset:
     """Embedding-cosine near-dup pairs via hyperplane-LSH bucketing + exact
     within-bucket cosine (float64)."""
-    from .similarity import _hyperplanes, _normalize, _stack_embeddings, lsh_bucket_ids
+    from .similarity import (_drop_null_embeddings, _hyperplanes, _normalize,
+                             _stack_embeddings, lsh_bucket_ids)
 
     planes_holder: dict[int, np.ndarray] = {}
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        # NULL embedding → no cosine → never a near-dup pair (SQL: a NULL
+        # similarity passes no threshold); drop the row with its id
+        batch = _drop_null_embeddings(batch, emb_col)
         if batch.num_rows == 0:
             return pa.table({
                 id_col: batch.column(id_col),
@@ -1077,11 +1081,17 @@ def semantic_dedup(
     recast over embedding geometry instead of per-file heuristics.
     """
     from .decomp import kmeans
-    from .similarity import _normalize, _stack_embeddings
+    from .similarity import _drop_null_embeddings, _normalize, _stack_embeddings
 
     import ray as _ray
 
-    base = ds.select_columns([id_col, emb_col])
+    # SQL null exclusion: a row with a NULL embedding has no geometry to
+    # dedup on — it is excluded (with its id) from clustering AND from the
+    # output (kmeans applies the same filter internally; no-op clean data)
+    base = ds.select_columns([id_col, emb_col]).map_batches(
+        lambda t: _drop_null_embeddings(t, emb_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
     _, cent = kmeans(base, emb_col, id_col, k=k, iters=iters)
     cref = _ray.put(cent)  # raw centroids: assignment must replay kmeans' own
     # euclidean argmin rule, not a cosine variant
