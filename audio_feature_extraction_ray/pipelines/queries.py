@@ -579,10 +579,16 @@ def q_asof_events(sf_dir: str):
 
 
 SQL_ASOF_EVENTS = """
+-- engine contract (NOT DuckDB's sort-order quirk): a NULL-ts probe is a
+-- MISS and a NULL-ts build row is never a candidate — jts sentinels force
+-- both; no-ops on null-free data
 SELECT c.event_id, c.user_id, c.ts, p.value AS value_purchase, p.ts AS matched_ts
-FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
-ON c.user_id = p.user_id AND c.ts >= p.ts
+FROM (SELECT event_id, user_id, ts,
+             COALESCE(ts, TIMESTAMP '0001-01-01') AS jts
+      FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+ON c.user_id = p.user_id AND c.jts >= p.ts
 """
 
 
@@ -610,9 +616,12 @@ SELECT c.event_id, c.user_id, c.ts,
        CASE WHEN p.r_ts IS NOT NULL
                  AND epoch_us(c.ts) - epoch_us(p.r_ts) <= 7200000000
             THEN p.r_ts END AS matched_ts
-FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT user_id, ts AS r_ts, value FROM events WHERE event_type = 'purchase') p
-ON c.user_id = p.user_id AND c.ts >= p.r_ts
+FROM (SELECT event_id, user_id, ts,
+             COALESCE(ts, TIMESTAMP '0001-01-01') AS jts
+      FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts AS r_ts, value FROM events
+                WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+ON c.user_id = p.user_id AND c.jts >= p.r_ts
 """
 
 
@@ -637,9 +646,12 @@ def q_asof_events_bucketed(sf_dir: str):
 
 SQL_ASOF_EVENTS_BUCKETED = """
 SELECT c.event_id, c.user_id, c.ts, p.value AS value_purchase, p.r_ts AS matched_ts
-FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT user_id, ts AS r_ts, value FROM events WHERE event_type = 'purchase') p
-ON c.user_id = p.user_id AND c.ts >= p.r_ts
+FROM (SELECT event_id, user_id, ts,
+             COALESCE(ts, TIMESTAMP '0001-01-01') AS jts
+      FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts AS r_ts, value FROM events
+                WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+ON c.user_id = p.user_id AND c.jts >= p.r_ts
 """
 
 
@@ -668,9 +680,12 @@ SELECT c.event_id, c.user_id, c.ts,
        CASE WHEN p.r_ts IS NOT NULL
                  AND epoch_us(p.r_ts) - epoch_us(c.ts) <= 21600000000
             THEN p.r_ts END AS matched_ts
-FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT user_id, ts AS r_ts, value FROM events WHERE event_type = 'purchase') p
-ON c.user_id = p.user_id AND c.ts <= p.r_ts
+FROM (SELECT event_id, user_id, ts,
+             COALESCE(ts, TIMESTAMP '9999-12-31') AS jts
+      FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts AS r_ts, value FROM events
+                WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+ON c.user_id = p.user_id AND c.jts <= p.r_ts
 """
 
 
@@ -881,11 +896,14 @@ def q_sessionize_events(sf_dir: str):
 
 SQL_SESSIONIZE_EVENTS = """
 SELECT event_id, user_id,
-       CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+       CAST(SUM(CASE WHEN prev_id IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
                      THEN 1 ELSE 0 END)
               OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
 FROM (SELECT event_id, user_id, ts,
+             -- first-row test on the non-null id: a NULL-ts event (sorted
+             -- last) cannot PROVE a gap, so it extends the open session
+             lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events)
 """
@@ -925,11 +943,12 @@ def q_session_stats(sf_dir: str):
 SQL_SESSION_STATS = """
 WITH s AS (
   SELECT user_id, ts, value,
-         CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+         CAST(SUM(CASE WHEN prev_id IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
                        THEN 1 ELSE 0 END)
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
   FROM (SELECT event_id, user_id, ts, value,
+               lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         FROM events)
 )
@@ -3663,10 +3682,12 @@ WITH b AS (
   FROM events
 ), d AS (
   SELECT event_id, user_id, ts, v,
-         last_value(v IGNORE NULLS) OVER w AS pv,
-         last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS) OVER w AS pt,
-         first_value(v IGNORE NULLS) OVER w2 AS nv,
-         first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS) OVER w2 AS nt
+         -- an OBSERVATION needs both v and ts (a null-ts point has no
+         -- position on the time axis); pv/pt stay row-paired
+         last_value(CASE WHEN v IS NOT NULL AND ts IS NOT NULL THEN v END IGNORE NULLS) OVER w AS pv,
+         last_value(CASE WHEN v IS NOT NULL AND ts IS NOT NULL THEN ts END IGNORE NULLS) OVER w AS pt,
+         first_value(CASE WHEN v IS NOT NULL AND ts IS NOT NULL THEN v END IGNORE NULLS) OVER w2 AS nv,
+         first_value(CASE WHEN v IS NOT NULL AND ts IS NOT NULL THEN ts END IGNORE NULLS) OVER w2 AS nt
   FROM b
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING),
          w2 AS (PARTITION BY user_id ORDER BY ts, event_id

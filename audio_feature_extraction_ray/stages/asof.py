@@ -182,6 +182,11 @@ def asof_join(
         else:
             key_valid = None
             build_m = build_s
+        # a build row with a NULL timestamp is never a candidate (SQL ASOF:
+        # probe_ts >= NULL is false); its nullsafe 0-fill would otherwise
+        # sort to the segment front and win every backward match
+        rts_valid = pc.is_valid(part.column(_RTS)).to_numpy(zero_copy_only=False)
+        build_m = build_m & rts_valid[orig_s]
         pos = np.arange(npart)
         seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g_s)) + 1))
         seg_sizes = np.diff(np.concatenate((seg_first, [npart])))
@@ -446,8 +451,15 @@ def asof_join_bucketed(
 
     def bucket_col(ts_col: str):
         def fn(t: pa.Table) -> pa.Table:
-            b = _ts_i64(t.column(ts_col)) // bucket_us
-            return t.append_column("__b", pa.array(b, pa.int64()))
+            # a NULL ts has no bucket: __b stays NULL, which nulls the
+            # composite __kb below — the merge then treats the row exactly
+            # like a null-key row (probe → miss, build → not a candidate;
+            # the phase-C summary asof re-filters null __sb the same way)
+            arr = t.column(ts_col).combine_chunks()
+            b = _ts_i64_nullsafe(arr) // bucket_us
+            b_arr = pc.if_else(pc.is_valid(arr), pa.array(b, pa.int64()),
+                               pa.scalar(None, pa.int64()))
+            return t.append_column("__b", b_arr)
 
         return fn
 

@@ -317,10 +317,9 @@ def grouped_segments(
         if n == 0:
             return out_schema.empty_table()
         t = t.combine_chunks()
-        codes = (
-            t.column(key).combine_chunks().dictionary_encode().indices
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        )
+        # null-safe codes: NULL keys form ONE group (SQL GROUP BY) instead
+        # of the undefined NaN→int64 cast the raw indices would produce
+        codes, _, _ = null_safe_group_codes(t.column(key))
         order = np.argsort(codes, kind="stable")
         t = t.take(pa.array(order, pa.int64()))
         codes = codes[order]

@@ -48,6 +48,38 @@ def _ts_i64(col) -> np.ndarray:
         return a.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
+_NULL_BUCKET = np.int64(2**61)  # sorts after every real time bucket
+
+
+def _ts_i64_bucketed(col) -> np.ndarray:
+    """ts → int64 with nulls filled to 0 — callers mask/override null slots
+    explicitly (bucket sentinel, INT64_MAX ordering), so no arbitrary-cast
+    garbage ever participates in a comparison."""
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_timestamp(a.type):
+        a = a.cast(pa.timestamp("us", tz=a.type.tz), safe=False).cast(pa.int64())
+    return a.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+
+def _null_safe_kb(key_col, b_col) -> pa.Array:
+    """Composite (key, bucket) string for the bucketed-window exchanges with
+    SQL PARTITION BY null semantics: a NULL key gets a flagged sentinel slot
+    (prefix-disambiguated so no real key can collide) instead of nulling the
+    whole composite — which would collapse every (NULL-key, bucket) group
+    into one."""
+    import pyarrow.compute as pc
+
+    ks = pc.cast(key_col, pa.string())
+    ks = pc.if_else(pc.is_valid(ks),
+                    pc.binary_join_element_wise(
+                        pa.array(["v"] * len(ks), pa.string()),
+                        ks.combine_chunks() if isinstance(ks, pa.ChunkedArray) else ks,
+                        ""),
+                    pa.scalar("n", pa.string()))
+    return pc.binary_join_element_wise(ks, pc.cast(b_col, pa.string()), "\x1f")
+
+
 def _shift(x: np.ndarray, k: int) -> np.ndarray:
     """Shift with NaN fill (k>0: lag, k<0: lead)."""
     out = np.full_like(x, np.nan)
@@ -320,9 +352,22 @@ def window_features(
         if n == 0:
             return out_schema.empty_table()
         block = block.combine_chunks()
-        g = block.column(key).combine_chunks().dictionary_encode().indices \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        tsv_all = _ts_i64(block.column(ts))
+        from .util import null_safe_group_codes
+
+        # NULL entity keys form ONE partition (SQL PARTITION BY); NULL
+        # timestamps sort LAST within it (DuckDB ORDER BY ... ASC default),
+        # mapped to INT64_MAX so every positional kernel below — lag/lead,
+        # fills, expanding sums, row frames — sees them as ordinary rows at
+        # the partition end, exactly like the SQL window. The null mask is
+        # kept for the kernels whose SEMANTICS read the timestamp value
+        # (session gaps, time interpolation).
+        g, _, _ = null_safe_group_codes(block.column(key))
+        ts_arr = block.column(ts).combine_chunks()
+        ts_null_all = ts_arr.is_null().to_numpy(zero_copy_only=False)
+        tsv_all = _ts_i64(ts_arr)
+        if ts_null_all.any():
+            tsv_all = tsv_all.copy()
+            tsv_all[ts_null_all] = np.iinfo(np.int64).max
         if tiebreak is not None:
             tb = _f64(block.column(tiebreak))
             order = np.lexsort((tb, tsv_all, g))
@@ -330,6 +375,7 @@ def window_features(
             order = np.lexsort((tsv_all, g))
         block = block.take(pa.array(order, pa.int64()))
         tsv = tsv_all[order]
+        ts_null = ts_null_all[order]
         g = g[order]
         pos = np.arange(n)
         seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
@@ -372,17 +418,23 @@ def window_features(
                 np.where(okb, x[np.minimum(nv, n - 1)], np.nan), pa.float64(),
                 from_pandas=True)
         for c in interp_cols:
+            # time interpolation READS the timestamp: an observation needs
+            # BOTH value and ts non-null, and a null-ts gap row has no
+            # position on the time axis → NULL out (SQL epoch arithmetic)
             x = _f64(block.column(c))
             if interp_method == "cubic":
+                obs_x = np.where(ts_null, np.nan, x)
                 out = np.empty(n)
                 for st, size in zip(seg_first, seg_sizes):
                     sl = slice(st, st + size)
-                    out[sl] = _interp_time_cubic(x[sl].copy(), tsv[sl])
+                    out[sl] = _interp_time_cubic(obs_x[sl].copy(), tsv[sl])
+                # a null-ts row keeps its own value but is never filled
+                out = np.where(ts_null, x, out)
             else:
-                valid = ~np.isnan(x)
+                valid = ~np.isnan(x) & ~ts_null
                 lv = np.maximum.accumulate(np.where(valid, pos, -1))
                 nv = np.minimum.accumulate(np.where(valid, pos, n)[::-1])[::-1]
-                gap = ~valid & (lv >= seg_start_of) & (nv <= seg_end_of)
+                gap = np.isnan(x) & ~ts_null & (lv >= seg_start_of) & (nv <= seg_end_of)
                 out = x.copy()
                 if gap.any():
                     pv, nvv = x[lv[gap]], x[nv[gap]]
@@ -488,7 +540,10 @@ def window_features(
             cols[f"{c}_rollmean_t{w}"] = pa.array(out, pa.float64(), from_pandas=True)
         if session_gap_us is not None:
             gaps = np.diff(tsv, prepend=tsv[0] if n else 0)
-            new_sess = (gaps > session_gap_us) & (pos != seg_start_of)
+            # SQL: ts - lag(ts) with a NULL ts is NULL, and NULL > gap is
+            # false — a null-ts row (sorted last) never starts a session;
+            # nulls-last ordering makes the previous row's validity implied
+            new_sess = (gaps > session_gap_us) & (pos != seg_start_of) & ~ts_null
             incl = np.cumsum(new_sess.astype(np.int64))
             cols["session_id"] = pa.array(incl - incl[seg_start_of], pa.int64())
         return pa.table(cols, schema=out_schema)
@@ -597,8 +652,15 @@ def window_features_bucketed(
     out_schema = pa.schema(out_fields)
 
     def kb_of(t: pa.Table) -> pa.Table:
-        tsv = _ts_i64(t.column(ts))
-        b = tsv // bucket_us
+        # null-ts rows live in ONE sentinel bucket per entity that sorts
+        # after every real bucket — the bucketed mirror of the plain
+        # variant's NULLS-LAST ordering. They are never context for a real
+        # bucket (a real time frame can't reach them) and their own time
+        # frames cover exactly the null peer group (DuckDB RANGE nulls).
+        ts_arr = t.column(ts).combine_chunks()
+        ts_valid = ts_arr.is_valid().to_numpy(zero_copy_only=False)
+        tsv = _ts_i64_bucketed(ts_arr)
+        b = np.where(ts_valid, tsv // bucket_us, _NULL_BUCKET)
         t = t.append_column("__b", pa.array(b, pa.int64())) \
             .append_column("__ctx", pa.array(np.zeros(len(tsv), np.int8)))
         if ctx_reach > 0:
@@ -607,7 +669,7 @@ def window_features_bucketed(
             # to ctx_reach buckets ahead for windows spanning buckets)
             parts = [t]
             for j in range(1, ctx_reach + 1):
-                near = tsv >= (b + j) * bucket_us - max_w
+                near = ts_valid & (tsv >= (b + j) * bucket_us - max_w)
                 if near.any():
                     dup = t.filter(pa.array(near))
                     dup = dup.set_column(
@@ -620,11 +682,7 @@ def window_features_bucketed(
                     parts.append(dup)
             if len(parts) > 1:
                 t = pa.concat_tables(parts)
-        kb = pc.binary_join_element_wise(
-            pc.cast(t.column(key), pa.string()),
-            pc.cast(t.column("__b"), pa.string()),
-            "\x1f",
-        )
+        kb = _null_safe_kb(t.column(key), t.column("__b"))
         return t.append_column("__kb", kb)
 
     bucketed = ds.map_batches(kb_of, batch_format="pyarrow", zero_copy_batch=True)
@@ -643,6 +701,15 @@ def window_features_bucketed(
         summary_fields += [
             pa.field(f"__lastnn_v_{c}", pa.float64()), pa.field(f"__lastnn_t_{c}", pa.int64()),
             pa.field(f"__firstnn_v_{c}", pa.float64()), pa.field(f"__firstnn_t_{c}", pa.int64()),
+        ]
+    for c in interp_cols:
+        # interp-variant first-non-null: an interpolation OBSERVATION needs
+        # both value and ts (fills are positional and keep null-ts values;
+        # the prev direction needs no variant — null-ts rows only ever live
+        # in the LAST, sentinel bucket, so earlier-bucket carries agree)
+        summary_fields += [
+            pa.field(f"__firstnnI_v_{c}", pa.float64()),
+            pa.field(f"__firstnnI_t_{c}", pa.int64()),
         ]
     if session_gap_us is not None:
         summary_fields.append(pa.field("__starts", pa.int64()))
@@ -671,7 +738,13 @@ def window_features_bucketed(
             t.column("__kb").combine_chunks().dictionary_encode().indices
             .to_numpy(zero_copy_only=False).astype(np.int64)
         )
-        tsv = _ts_i64(t.column(ts))
+        ts_arr = t.column(ts).combine_chunks()
+        ts_null = ts_arr.is_null().to_numpy(zero_copy_only=False)
+        tsv = _ts_i64_bucketed(ts_arr)
+        if ts_null.any():
+            # the sentinel bucket's rows order NULLS-LAST-consistently and
+            # produce zero in-bucket gaps (no session starts among nulls)
+            tsv[ts_null] = np.iinfo(np.int64).max
         if tiebreak is not None:
             order = np.lexsort((_f64(t.column(tiebreak)), tsv, kb))
         else:
@@ -679,6 +752,7 @@ def window_features_bucketed(
         t = t.take(pa.array(order, pa.int64()))
         kb = kb[order]
         tsv = tsv[order]
+        ts_null = ts_null[order]
         pos = np.arange(n)
         seg_first = np.concatenate(([0], np.flatnonzero(np.diff(kb)) + 1))
         seg_sizes = np.diff(np.concatenate((seg_first, [n])))
@@ -742,6 +816,18 @@ def window_features_bucketed(
             out[f"__firstnn_t_{c}"] = pa.array(
                 np.where(has_first, tsv[np.minimum(nv, n - 1)].astype(np.float64), np.nan),
                 pa.float64(), from_pandas=True).cast(pa.int64())
+        for c in interp_cols:
+            x = _colv(c)
+            valid_i = ~np.isnan(x) & ~ts_null
+            nv_i = np.minimum.accumulate(np.where(valid_i, pos, n)[::-1])[::-1][seg_first]
+            has_first_i = nv_i <= seg_last
+            out[f"__firstnnI_v_{c}"] = pa.array(
+                np.where(has_first_i, x[np.minimum(nv_i, n - 1)], np.nan),
+                pa.float64(), from_pandas=True)
+            out[f"__firstnnI_t_{c}"] = pa.array(
+                np.where(has_first_i,
+                         tsv[np.minimum(nv_i, n - 1)].astype(np.float64), np.nan),
+                pa.float64(), from_pandas=True).cast(pa.int64())
         if session_gap_us is not None:
             gaps_flag = (
                 (np.diff(tsv, prepend=0) > session_gap_us) & (pos != seg_start_of)
@@ -770,6 +856,11 @@ def window_features_bucketed(
                           (f"__nextnn_v_{c}", pa.float64()), (f"__nextnn_t_{c}", pa.int64())):
             state_names.append(pref)
             state_types[pref] = typ
+    for c in interp_cols:
+        for pref, typ in ((f"__nextnnI_v_{c}", pa.float64()),
+                          (f"__nextnnI_t_{c}", pa.int64())):
+            state_names.append(pref)
+            state_types[pref] = typ
     state_row_schema = pa.schema(
         [pa.field(key, key_type), pa.field("__b", pa.int64())]
         + [pa.field(nm, state_types[nm]) for nm in state_names]
@@ -790,10 +881,10 @@ def window_features_bucketed(
         if n == 0:
             return states_schema.empty_table()
         t = t.combine_chunks()
-        g = (
-            t.column(key).combine_chunks().dictionary_encode().indices
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        )
+        from .util import null_safe_group_codes
+
+        # NULL keys form one summary segment (SQL PARTITION BY)
+        g, _, _ = null_safe_group_codes(t.column(key))
         bv = t.column("__b").to_numpy(zero_copy_only=False)
         order = np.lexsort((bv, g))
         t = t.take(pa.array(order, pa.int64()))
@@ -816,7 +907,10 @@ def window_features_bucketed(
         }
         if session_gap_us is not None:
             starts = t.column("__starts").to_numpy(zero_copy_only=False)
-            boundary = prev_ok & ((first_ts - last_ts[prev_i]) > session_gap_us)
+            # the sentinel (null-ts) bucket's first_ts is INT64_MAX — its
+            # rows extend the open session, never start one
+            boundary = prev_ok & ((first_ts - last_ts[prev_i]) > session_gap_us) \
+                & (first_ts != np.iinfo(np.int64).max)
             inc = starts + boundary.astype(np.int64)
             cum = np.cumsum(inc)
             excl = cum - inc
@@ -900,12 +994,24 @@ def window_features_bucketed(
             out[f"__nextnn_t_{c}"] = pa.array(
                 np.where(okn, fvt[np.minimum(nvx, n - 1)], np.nan), pa.float64(),
                 from_pandas=True).cast(pa.int64())
+        for c in interp_cols:
+            # interp-variant next carry: sourced from the ts-valid firstnnI
+            # summaries (same scan as nextnn)
+            fvv = _f64(t.column(f"__firstnnI_v_{c}"))
+            fvt = _f64(t.column(f"__firstnnI_t_{c}"))
+            valid2 = ~np.isnan(fvv)
+            nv = np.minimum.accumulate(np.where(valid2, pos, n)[::-1])[::-1]
+            next_ok = (pos + 1) <= seg_end_of
+            nvx = np.where(next_ok, nv[np.minimum(pos + 1, n - 1)], n)
+            okn = nvx <= seg_end_of
+            out[f"__nextnnI_v_{c}"] = pa.array(
+                np.where(okn, fvv[np.minimum(nvx, n - 1)], np.nan), pa.float64(),
+                from_pandas=True)
+            out[f"__nextnnI_t_{c}"] = pa.array(
+                np.where(okn, fvt[np.minimum(nvx, n - 1)], np.nan), pa.float64(),
+                from_pandas=True).cast(pa.int64())
         st = pa.table({nm: out[nm] for nm in state_row_schema.names}).cast(state_row_schema)
-        kb = pc.binary_join_element_wise(
-            pc.cast(st.column(key), pa.string()),
-            pc.cast(st.column("__b"), pa.string()),
-            "\x1f",
-        )
+        kb = _null_safe_kb(st.column(key), st.column("__b"))
         return st.append_column("__kb", kb)
 
     states = coarse_partitioned(summaries, key, scan_part)
@@ -967,10 +1073,14 @@ def window_features_bucketed(
         )
         side = t.column("__side").to_numpy(zero_copy_only=False)
         ctxf = t.column("__ctx").to_numpy(zero_copy_only=False)
-        tsv = _ts_i64(t.column(ts))
-        # state rows sort FIRST in their bucket via `side`; their null ts
-        # decodes to garbage ints but never participates in a comparison
-        # that matters (side is the higher-priority key)
+        ts_arr_c = t.column(ts).combine_chunks()
+        ts_null_c = ts_arr_c.is_null().to_numpy(zero_copy_only=False)
+        tsv = _ts_i64_bucketed(ts_arr_c)
+        if ts_null_c.any():
+            # data rows with NULL ts (the sentinel bucket) order last and
+            # give the zero-width time frames the null peer group needs;
+            # state rows' null ts is harmless either way (side dominates)
+            tsv[ts_null_c] = np.iinfo(np.int64).max
         if tiebreak is not None:
             order = np.lexsort((_f64(t.column(tiebreak)), tsv, side, kb))
         else:
@@ -980,6 +1090,7 @@ def window_features_bucketed(
         side = side[order]
         ctxf = ctxf[order]
         tsv = tsv[order]
+        ts_null_c = ts_null_c[order]
         seg_first = np.concatenate(([0], np.flatnonzero(np.diff(kb)) + 1))
         seg_sizes = np.diff(np.concatenate((seg_first, [N])))
         S = len(seg_first)
@@ -1015,6 +1126,7 @@ def window_features_bucketed(
         o_end_of = np.repeat(o_first + o_sizes - 1, o_sizes)
         opos = np.arange(no)
         tso = tsv[own_idx]
+        null_own = ts_null_c[own_idx]
 
         def run_flat_idx(L: np.ndarray) -> np.ndarray:
             return np.arange(int(L.sum())) - np.repeat(
@@ -1089,9 +1201,12 @@ def window_features_bucketed(
             x = _f64(t.column(c))[own_idx]
             pv = st_num(f"__prevnn_v_{c}")[o_seg]
             pt = st_num(f"__prevnn_t_{c}")[o_seg]
-            nxv = st_num(f"__nextnn_v_{c}")[o_seg]
-            nxt = st_num(f"__nextnn_t_{c}")[o_seg]
-            valid = ~np.isnan(x)
+            # interp-variant next carry: observations need value AND ts
+            nxv = st_num(f"__nextnnI_v_{c}")[o_seg]
+            nxt = st_num(f"__nextnnI_t_{c}")[o_seg]
+            # in-bucket observations likewise (only the sentinel bucket can
+            # contain null-ts rows among its own rows)
+            valid = ~np.isnan(x) & ~null_own
             lv = np.maximum.accumulate(np.where(valid, opos, -1))
             nv = np.minimum.accumulate(np.where(valid, opos, no)[::-1])[::-1]
             in_l = lv >= o_start_of
@@ -1100,7 +1215,9 @@ def window_features_bucketed(
             ltim = np.where(in_l, tso[np.maximum(lv, 0)].astype(np.float64), pt)
             rval = np.where(in_r, x[np.minimum(nv, no - 1)], nxv)
             rtim = np.where(in_r, tso[np.minimum(nv, no - 1)].astype(np.float64), nxt)
-            gap = ~valid & ~np.isnan(lval) & ~np.isnan(rval)
+            # a null-ts row keeps its own value but is never filled (no
+            # position on the time axis — plain-variant contract)
+            gap = np.isnan(x) & ~null_own & ~np.isnan(lval) & ~np.isnan(rval)
             outv = x.copy()
             if gap.any():
                 dt = rtim[gap] - ltim[gap]
@@ -1177,6 +1294,9 @@ def window_features_bucketed(
             prev_ts = np.where(opos == o_start_of, plt, tso[np.maximum(opos - 1, 0)].astype(np.float64))
             new_start = (tso.astype(np.float64) - prev_ts) > session_gap_us
             new_start &= ~np.isnan(prev_ts)  # first bucket of a key: no carry gap
+            # a null-ts row never PROVES a gap (SQL NULL comparison) — it
+            # extends the open session; same guard as the plain variant
+            new_start &= ~null_own
             inc = np.cumsum(new_start.astype(np.int64))
             local = inc - np.repeat(inc[o_first] - new_start[o_first].astype(np.int64), o_sizes)
             cols["session_id"] = pa.array(
@@ -1391,21 +1511,29 @@ def sessionize(
         if n == 0:
             return out_schema.empty_table()
         t = t.combine_chunks()
-        g = (
-            t.column(key).combine_chunks().dictionary_encode().indices
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        tsv = _ts_i64(t.column(ts))
+        from .util import null_safe_group_codes
+
+        # SQL null semantics (same contract as window_features): NULL keys
+        # form one partition, NULL ts sorts LAST, and a null-ts event can
+        # never PROVE a gap — it extends the open session
+        g, _, _ = null_safe_group_codes(t.column(key))
+        ts_arr = t.column(ts).combine_chunks()
+        ts_null = ts_arr.is_null().to_numpy(zero_copy_only=False)
+        tsv = _ts_i64(ts_arr)
+        if ts_null.any():
+            tsv = tsv.copy()
+            tsv[ts_null] = np.iinfo(np.int64).max
         order = np.lexsort((tsv, g))
         t = t.take(pa.array(order, pa.int64()))
         g = g[order]
         tsv = tsv[order]
+        ts_null = ts_null[order]
         pos = np.arange(n)
         seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
         seg_sizes = np.diff(np.concatenate((seg_first, [n])))
         seg_start_of = np.repeat(seg_first, seg_sizes)
         gaps = np.diff(tsv, prepend=tsv[0] if n else 0)
-        new_sess = (gaps > gap_us) & (pos != seg_start_of)
+        new_sess = (gaps > gap_us) & (pos != seg_start_of) & ~ts_null
         inc = np.cumsum(new_sess.astype(np.int64))
         sess = inc - inc[seg_start_of]
         out = t.append_column("session_id", pa.array(sess, pa.int64()))
@@ -1414,7 +1542,16 @@ def sessionize(
             starts = np.flatnonzero(run_start)
             counts = np.diff(np.append(starts, n))
             ends = starts + counts - 1
-            durs = tsv[ends] - tsv[starts]
+            if ts_null.any():
+                # duration reads only valid timestamps (SQL MAX/MIN skip
+                # NULL; trailing null-ts rows don't stretch the session,
+                # and INT64_MAX sentinels must not overflow the subtract)
+                lv = np.maximum.accumulate(np.where(~ts_null, pos, -1))
+                last_valid = lv[ends]
+                durs = np.where(last_valid >= starts,
+                                tsv[np.maximum(last_valid, 0)] - tsv[starts], 0)
+            else:
+                durs = tsv[ends] - tsv[starts]
             ok_runs = (counts >= min_events) & (durs >= min_duration_us)
             keep = np.repeat(ok_runs, counts)
             if not keep.all():
