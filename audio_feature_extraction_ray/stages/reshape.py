@@ -55,9 +55,10 @@ def one_hot(
     category set (sorted — every task agrees on the output schema); the set
     must be BOUNDED because it becomes schema width, so more than
     ``max_categories`` raises instead of silently fanning out thousands of
-    columns. Null values get 0 in every indicator (SQL ``CASE WHEN x = c``
-    semantics). The encode itself is a pure vectorized map — no shuffle
-    beyond the one distinct pass."""
+    columns. A NULL value yields NULL in every indicator (SQL ``x = c``
+    comparison semantics — an unknown category is unknown, not "not c").
+    The encode itself is a pure vectorized map — no shuffle beyond the one
+    distinct pass."""
     if categories is None:
         u = ds.select_columns([col]).unique(col)
         cats = sorted(c for c in u if c is not None)
@@ -73,9 +74,7 @@ def one_hot(
     def fn(t: pa.Table) -> pa.Table:
         x = t.column(col)
         for c in cats:
-            ind = pc.cast(
-                pc.fill_null(pc.equal(x, pa.scalar(c)), False), pa.int8()
-            )
+            ind = pc.cast(pc.equal(x, pa.scalar(c)), pa.int8())
             t = t.append_column(p + str(c), ind)
         return t
 

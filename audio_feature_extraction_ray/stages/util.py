@@ -217,7 +217,11 @@ def grouped_topk(
             return t
         idx = pa.compute.sort_indices(t, sort_keys=order)
         t = t.take(idx)
-        kv = t.column(key).to_numpy(zero_copy_only=False)
+        # null-safe run codes: NULL keys are ONE group (SQL PARTITION BY) —
+        # a raw to_numpy would NaN-degrade them and make every null row its
+        # own run (NaN != NaN); arrow sorts nulls at_end, so they're
+        # contiguous and adjacency on codes is exact
+        kv, _, _ = null_safe_group_codes(t.column(key))
         # rank within each key run (runs are contiguous after the sort)
         starts = np.flatnonzero(np.concatenate(([True], kv[1:] != kv[:-1])))
         run_id = np.cumsum(np.concatenate(([False], kv[1:] != kv[:-1])))

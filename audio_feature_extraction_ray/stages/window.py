@@ -51,6 +51,31 @@ def _ts_i64(col) -> np.ndarray:
 _NULL_BUCKET = np.int64(2**61)  # sorts after every real time bucket
 
 
+def _sorted_entity_block(block: pa.Table, key: str, ts: str,
+                         tiebreak: str | None = None):
+    """Shared null-safe prologue of the per-partition vectorized operators:
+    sort by (entity, ts[, tiebreak]) with SQL semantics — NULL keys form ONE
+    segment (null-safe dictionary codes, no NaN→int64 cast), NULL ts sorts
+    LAST (INT64_MAX sentinel, DuckDB ASC default). Returns
+    ``(sorted_block, g, tsv, ts_null)`` where ``g``/``tsv``/``ts_null`` are
+    row-aligned with the sorted block."""
+    from .util import null_safe_group_codes
+
+    block = block.combine_chunks()
+    g, _, _ = null_safe_group_codes(block.column(key))
+    ts_arr = block.column(ts).combine_chunks()
+    ts_null = ts_arr.is_null().to_numpy(zero_copy_only=False)
+    tsv = _ts_i64_bucketed(ts_arr)
+    if ts_null.any():
+        tsv[ts_null] = np.iinfo(np.int64).max
+    if tiebreak is not None:
+        order = np.lexsort((_f64(block.column(tiebreak)), tsv, g))
+    else:
+        order = np.lexsort((tsv, g))
+    block = block.take(pa.array(order, pa.int64()))
+    return block, g[order], tsv[order], ts_null[order]
+
+
 def _ts_i64_bucketed(col) -> np.ndarray:
     """ts → int64 with nulls filled to 0 — callers mask/override null slots
     explicitly (bucket sentinel, INT64_MAX ordering), so no arbitrary-cast
@@ -1567,9 +1592,15 @@ def time_bucket(
     """Stateless projection: integer bucket index of ``ts`` (floor division).
     Compose with groupby for segment/binned stats (A8)."""
 
+    import pyarrow.compute as pc
+
     def fn(t: pa.Table) -> pa.Table:
-        tsv = _ts_i64(t.column(ts))
-        return t.append_column(out_col, pa.array((tsv - origin_us) // width_us, pa.int64()))
+        # SQL NULL arithmetic: epoch(NULL) // w IS NULL — one NULL bucket
+        arr = t.column(ts).combine_chunks()
+        b = (_ts_i64_bucketed(arr) - origin_us) // width_us
+        out = pc.if_else(pc.is_valid(arr), pa.array(b, pa.int64()),
+                         pa.scalar(None, pa.int64()))
+        return t.append_column(out_col, out)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -1603,12 +1634,24 @@ def resample_grid(
             pa.field(ts, pa.timestamp("us")),
         ] + [pa.field(f"{c}_ffill", pa.float64()) for c in value_cols]
         out_schema = pa.schema(out_fields)
+        # a null-ts event has no position on the grid axis and can't anchor
+        # or fill a grid point (the ASOF oracle never matches it either) —
+        # drop those rows before computing per-entity spans; an entity with
+        # ONLY null-ts events gets no grid (SQL MIN(ts) IS NULL → empty
+        # generate_series)
+        ts_ok = block.column(ts).combine_chunks().is_valid() \
+            .to_numpy(zero_copy_only=False)
+        if not ts_ok.all():
+            block = block.filter(pa.array(ts_ok))
         n = block.num_rows
         if n == 0:
             return out_schema.empty_table()
         block = block.combine_chunks()
-        g = block.column(key).combine_chunks().dictionary_encode().indices \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
+        from .util import null_safe_group_codes
+
+        # NULL entity keys form one grid segment (SQL GROUP BY); their fill
+        # values are nulled below (an as-of against a NULL key is a miss)
+        g, _, _ = null_safe_group_codes(block.column(key))
         tsv_all = _ts_i64(block.column(ts))
         order = np.lexsort((tsv_all, g))
         block = block.take(pa.array(order, pa.int64()))
@@ -1639,9 +1682,16 @@ def resample_grid(
             key: block.column(key).take(pa.array(seg_first[seg_of], pa.int64())),
             ts: pa.array(grid_ts, pa.timestamp("us")),
         }
+        # the NULL-key segment keeps its grid but fills NULL — an as-of
+        # against a NULL entity key is a miss (engine-wide join contract)
+        key_null = block.column(key).combine_chunks().is_null() \
+            .to_numpy(zero_copy_only=False)
+        grid_null = key_null[seg_first[seg_of]]
         for c in value_cols:
             x = _f64(block.column(c))
-            cols[f"{c}_ffill"] = pa.array(x[src], pa.float64(), from_pandas=True)
+            cols[f"{c}_ffill"] = pa.array(
+                np.where(grid_null, np.nan, x[src]), pa.float64(),
+                from_pandas=True)
         return pa.table(cols, schema=out_schema)
 
     return coarse_partitioned(ds.select_columns([key, ts] + value_cols),
@@ -1877,6 +1927,7 @@ def ewma(
     ts: str,
     col: str,
     alpha: float,
+    tiebreak: str | None = None,
     n_partitions: int = 64,
 ) -> ray.data.Dataset:
     """Per-entity exponentially weighted moving average, recursive
@@ -1934,13 +1985,10 @@ def ewma(
         n = block.num_rows
         if n == 0:
             return out_schema.empty_table()
-        block = block.combine_chunks()
-        g = block.column(key).combine_chunks().dictionary_encode().indices \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        tsv = _ts_i64(block.column(ts))
-        order = np.lexsort((tsv, g))
-        block = block.take(pa.array(order, pa.int64()))
-        g = g[order]
+        # null-safe prologue: NULL keys one segment, NULL ts sorts last —
+        # a null-ts row is just the timeline's tail (its value still enters
+        # the recursion; order among null-ts peers pinned by `tiebreak`)
+        block, g, _, _ = _sorted_entity_block(block, key, ts, tiebreak)
         x = _f64(block.column(col))
         seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
         seg_sizes = np.diff(np.concatenate((seg_first, [n])))
@@ -2024,22 +2072,15 @@ def transition_counts(
         n = block.num_rows
         if n == 0:
             return out_schema.empty_table()
-        block = block.combine_chunks()
-        g = block.column(key).combine_chunks().dictionary_encode().indices \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        tsv = _ts_i64(block.column(ts))
-        if tiebreak is not None:
-            tb = _f64(block.column(tiebreak))
-            order = np.lexsort((tb, tsv, g))
-        else:
-            order = np.lexsort((tsv, g))
-        g = g[order]
+        # null-safe prologue: NULL keys one segment, NULL ts orders last
+        # (a null-ts event is the sequence tail, same as the SQL LEAD)
+        block, g, _, _ = _sorted_entity_block(block, key, ts, tiebreak)
         # next row belongs to the same entity ⇔ not the last row of its segment
         same = np.empty(n, dtype=bool)
         same[:-1] = g[:-1] == g[1:]
         same[-1] = False
         cur = np.flatnonzero(same)
-        states = block.column(state_col).take(pa.array(order, pa.int64()))
+        states = block.column(state_col).combine_chunks()
         return pa.table({
             state_col: states.take(pa.array(cur, pa.int64())),
             "next_" + state_col: states.take(pa.array(cur + 1, pa.int64())),
@@ -2087,21 +2128,16 @@ def time_weighted_avg(
         n = block.num_rows
         if n == 0:
             return out_schema.empty_table()
-        block = block.combine_chunks()
-        g = block.column(key).combine_chunks().dictionary_encode().indices \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        tsv = _ts_i64(block.column(ts))
-        if tiebreak is not None:
-            order = np.lexsort((_f64(block.column(tiebreak)), tsv, g))
-        else:
-            order = np.lexsort((tsv, g))
-        block = block.take(pa.array(order, pa.int64()))
-        g = g[order]
-        tsv = tsv[order]
+        block, g, tsv, ts_null = _sorted_entity_block(block, key, ts, tiebreak)
         x = _f64(block.column(col))
         same = np.empty(n, dtype=bool)
         same[:-1] = g[:-1] == g[1:]
         same[-1] = False
+        if ts_null.any():
+            # a trapezoid needs BOTH endpoints on the time axis: dt with a
+            # NULL ts is NULL and drops from num AND den (oracle WHERE
+            # dt IS NOT NULL) — also keeps the INT64_MAX sentinel out of dt
+            same[:-1] &= ~ts_null[:-1] & ~ts_null[1:]
         i = np.flatnonzero(same)  # rows with an in-entity successor
         dt = (tsv[i + 1] - tsv[i]).astype(np.float64)
         num = (x[i] + x[i + 1]) * 0.5 * dt
@@ -2158,19 +2194,13 @@ def value_runs(
         n = block.num_rows
         if n == 0:
             return out_schema.empty_table()
-        block = block.combine_chunks()
-        g = block.column(key).combine_chunks().dictionary_encode().indices \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        s = block.column(state_col).combine_chunks().dictionary_encode().indices \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        tsv = _ts_i64(block.column(ts))
-        if tiebreak is not None:
-            tb = _f64(block.column(tiebreak))
-            order = np.lexsort((tb, tsv, g))
-        else:
-            order = np.lexsort((tsv, g))
-        g = g[order]
-        s = s[order]
+        from .util import null_safe_group_codes
+
+        # null-safe prologue (NULL keys one segment, NULL ts last) + null-
+        # safe STATE codes: NULL states form runs like any other value (SQL
+        # rn - rt islands put all NULLs of a user in one window partition)
+        block, g, _, _ = _sorted_entity_block(block, key, ts, tiebreak)
+        s, _, _ = null_safe_group_codes(block.column(state_col))
         new_key = np.empty(n, dtype=bool)
         new_key[0] = True
         new_key[1:] = g[1:] != g[:-1]
@@ -2183,10 +2213,9 @@ def value_runs(
         kstart_of_run = kstarts[np.searchsorted(kstarts, rstarts, side="right") - 1]
         run_start = rstarts - kstart_of_run + 1
         take = pa.array(rstarts, pa.int64())
-        ordered = block.take(pa.array(order, pa.int64()))
         return pa.table({
-            key: ordered.column(key).take(take),
-            state_col: ordered.column(state_col).take(take),
+            key: block.column(key).take(take),
+            state_col: block.column(state_col).take(take),
             "run_start": pa.array(run_start, pa.int64()),
             "n_run": pa.array(rlens.astype(np.int64), pa.int64()),
         }, schema=out_schema)
