@@ -4330,8 +4330,11 @@ WITH q AS (
   FROM events GROUP BY 1
 )
 SELECT e.event_id, e.event_type,
-       ROUND(LEAST(GREATEST(e.value, q.ql), q.qh), 6) AS value_wins
-FROM events e JOIN q USING (event_type)
+       -- NULL value stays NULL (DuckDB LEAST/GREATEST would skip the NULL
+       -- and clamp to ql); NULL category clips to its OWN group's bounds
+       CASE WHEN e.value IS NULL THEN NULL
+            ELSE ROUND(LEAST(GREATEST(e.value, q.ql), q.qh), 6) END AS value_wins
+FROM events e JOIN q ON e.event_type IS NOT DISTINCT FROM q.event_type
 """
 
 
@@ -4348,8 +4351,11 @@ def q_cooccurrence_events(sf_dir: str):
 
 
 SQL_COOCCURRENCE_EVENTS = """
-WITH bi AS (SELECT DISTINCT user_id, event_type FROM events),
-n AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS v FROM events),
+-- a NULL basket is not a basket, a NULL item is not an item: both are
+-- excluded from pairs, marginals AND N (one consistent basis)
+WITH bi AS (SELECT DISTINCT user_id, event_type FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+n AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS v FROM bi),
 cnt AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS c FROM bi GROUP BY 1),
 p AS (
   SELECT a.event_type AS item_a, b.event_type AS item_b, COUNT(*) AS n_ab
@@ -5151,7 +5157,10 @@ WITH g AS (
 ), gm AS (SELECT SUM(s) / SUM(n) AS mu FROM g)
 SELECT e.event_id, e.event_type,
        ROUND((g.s + 10.0 * gm.mu) / (g.n + 10.0), 6) AS event_type_te
-FROM events e JOIN g USING (event_type) CROSS JOIN gm
+-- IS NOT DISTINCT FROM: a NULL category is its own level (one GROUP BY
+-- group) and gets its own smoothed encoding — missingness is signal
+FROM events e JOIN g ON e.event_type IS NOT DISTINCT FROM g.event_type
+CROSS JOIN gm
 """
 
 

@@ -1247,8 +1247,15 @@ def cooccurrence_lift(
     """
     import pyarrow.compute as pc
 
+    # a NULL basket id is not a basket and a NULL item is not an item —
+    # neither can pair, count as a marginal, or enter N (the SQL replay's
+    # equi-joins and a < b comparison reject them anyway; filtering up
+    # front keeps the marginals on the same basis as the pairs)
     distinct = grouped_agg_fast(
-        ds.select_columns([basket, item]), keys=[basket, item], specs=[]
+        ds.select_columns([basket, item]).map_batches(
+            lambda t: t.drop_null(), batch_format="pyarrow",
+            zero_copy_batch=True),
+        keys=[basket, item], specs=[]
     ).materialize()
     marg = grouped_agg_fast(distinct, keys=[item], specs=[], count_alias="c")
     n_baskets = grouped_agg_fast(distinct, keys=[basket], specs=[]).count()

@@ -23,6 +23,38 @@ from .aggregates import exact_quantiles, grouped_agg_fast
 from .joins import broadcast_join, bucket_hash_join
 
 
+def _null_safe_stats_join(
+    big: ray.data.Dataset,
+    stats: ray.data.Dataset,
+    key: str,
+    method: str = "broadcast",
+) -> ray.data.Dataset:
+    """Join a per-group stats table back onto its rows with SQL PARTITION BY
+    null semantics: the NULL group matches its OWN stats row (a plain
+    equi-join would orphan it). Joins on the non-null surrogate pair from
+    ``_null_safe_key_encode`` — same pattern as ``mad_grouped`` — and strips
+    the surrogates so callers see their original schema + stats columns."""
+    from .util import _null_safe_key_encode
+
+    encode, flag_cols, val_cols = _null_safe_key_encode([key])
+    surrogates = [flag_cols[0], val_cols[0]]
+    big_e = big.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+    stats_e = stats.map_batches(lambda t: encode(t).drop_columns([key]),
+                                batch_format="pyarrow", zero_copy_batch=True)
+    if method == "broadcast":
+        joined = broadcast_join(big_e, stats_e, keys=surrogates,
+                                join_type="left outer")
+    else:
+        # corpus-scale key sets: Ray-native hash join takes composite keys
+        # (bucket_hash_join is single-key)
+        from .joins import hash_join
+
+        joined = hash_join(big_e, stats_e, on=tuple(surrogates),
+                           join_type="left outer", num_partitions=16)
+    return joined.map_batches(lambda t: t.drop_columns(surrogates),
+                              batch_format="pyarrow", zero_copy_batch=True)
+
+
 def group_standardize(
     ds: ray.data.Dataset,
     key: str,
@@ -83,10 +115,9 @@ def group_standardize(
         return tbl.drop_columns(drop + ["__sq_" + c for c in cols if "__sq_" + c in tbl.column_names])
 
     with_sq = ds.map_batches(add_squares, batch_format="pyarrow", zero_copy_batch=True)
-    if method == "broadcast":
-        joined = broadcast_join(with_sq, stats, keys=key, join_type="left outer")
-    else:
-        joined = bucket_hash_join(with_sq, stats, on=key, join_type="left outer")
+    # surrogate-keyed join-back: the NULL group standardizes against its
+    # own stats (SQL PARTITION BY — a NULL key is one partition)
+    joined = _null_safe_stats_join(with_sq, stats, key, method=method)
     return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -142,10 +173,11 @@ def target_encode(
     :func:`~.aggregates.grouped_agg_fast` map-side combine. The global mean
     μ = ΣΣ/Σn falls out of the SAME partials (no second data pass). Phase 2
     joins the |categories|-row encoding table back — broadcast for
-    broadcastable cardinalities, :func:`bucket_hash_join` when the category
-    set is itself corpus-scale. Rows whose category can't be joined (null
-    category — SQL joins don't match nulls — or never seen with a non-null
-    target) get the smoothed prior μ, the n_g→0 limit of the formula.
+    broadcastable cardinalities, a composite-key hash join when the
+    category set is itself corpus-scale. A NULL category is its OWN level
+    (SQL GROUP BY: one NULL group — missingness is signal) and gets its
+    own smoothed encoding; categories never seen with a non-null target
+    get the smoothed prior μ, the n_g→0 limit of the formula.
     """
     if method not in ("broadcast", "shuffle"):
         raise ValueError(method)
@@ -177,10 +209,7 @@ def target_encode(
                             out_name: pa.array([], pa.float64())})
     enc_ds = ray.data.from_arrow(enc_tbl)
 
-    if method == "broadcast":
-        joined = broadcast_join(ds, enc_ds, keys=cat_col, join_type="left outer")
-    else:
-        joined = bucket_hash_join(ds, enc_ds, on=cat_col, join_type="left outer")
+    joined = _null_safe_stats_join(ds, enc_ds, cat_col, method=method)
 
     prior = mu  # smoothed limit for unseen categories (n_g -> 0)
 
@@ -228,7 +257,8 @@ def group_share(
             )
         return tbl.drop_columns([f"__s_{c}" for c in cols])
 
-    joined = broadcast_join(ds, stats, keys=key, join_type="left outer")
+    # NULL group keys share against their own group total (PARTITION BY)
+    joined = _null_safe_stats_join(ds, stats, key)
     return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -248,10 +278,10 @@ def winsorize(
     pipeline (reference analog: the robust-IQR / clip normalizers,
     02_audio_preprocessing_experiment processor chain).
 
-    Null group keys never crash the bounds pass (null-safe groupby); the
-    join-back then follows SQL JOIN semantics — a null key matches no
-    bounds row, so the row survives with a NULL winsorized value (the same
-    contract as the operator's own oracle and :func:`target_encode`)."""
+    NULL group keys form ONE group (SQL PARTITION BY): the bounds pass is
+    null-safe and the join-back matches the NULL group to its OWN bounds
+    via the surrogate pair, so null-key rows clip like any others; a NULL
+    value stays NULL."""
 
     def per_group(group: pa.Table) -> pa.Table:
         v = group.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
@@ -285,7 +315,7 @@ def winsorize(
             col + suffix, pa.array(w, pa.float64(), from_pandas=True)
         )
 
-    joined = broadcast_join(ds, bounds, keys=key, join_type="left outer")
+    joined = _null_safe_stats_join(ds, bounds, key)
     return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -306,7 +336,8 @@ def impute_group_mean(
         ds, keys=[key], specs=[(f"__mean_{col}", col, "mean")],
         num_final_partitions=num_final_partitions,
     )
-    joined = broadcast_join(ds, means, keys=[key], join_type="left outer")
+    # the NULL group imputes from its own mean (SQL PARTITION BY)
+    joined = _null_safe_stats_join(ds, means, key)
 
     def fill(t: pa.Table) -> pa.Table:
         x = pc.cast(t.column(col), pa.float64())

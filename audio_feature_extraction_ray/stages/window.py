@@ -1729,13 +1729,9 @@ def rolling_order_stats(
         )
         if n == 0:
             return out_schema.empty_table()
-        block = block.combine_chunks()
-        g = block.column(key).combine_chunks().dictionary_encode().indices \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        tsv = _ts_i64(block.column(ts))
-        order = np.lexsort((tsv, g))
-        block = block.take(pa.array(order, pa.int64()))
-        g = g[order]
+        # null-safe prologue: NULL keys one segment, NULL ts sorts last
+        # (nanmedian/fmin/fmax already skip NULL VALUES like SQL)
+        block, g, _, _ = _sorted_entity_block(block, key, ts)
         x = _f64(block.column(col))
         pos = np.arange(n)
         seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
@@ -1800,18 +1796,15 @@ def rolling_corr(
         )
         if n == 0:
             return out_schema.empty_table()
-        block = block.combine_chunks()
-        g = block.column(key).combine_chunks().dictionary_encode().indices \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        tsv = _ts_i64(block.column(ts))
-        if tiebreak is not None:
-            tb = block.column(tiebreak).to_numpy(zero_copy_only=False)
-            order = np.lexsort((tb, tsv, g))
+        # null-safe prologue; with x == ts a NULL timestamp is a NULL x —
+        # the pair drops like any SQL corr/regr NULL, and the INT64_MAX
+        # ordering sentinel never leaks into the arithmetic
+        block, g, tsv, ts_null = _sorted_entity_block(block, key, ts, tiebreak)
+        if x == ts:
+            xv = tsv.astype(np.float64)
+            xv[ts_null] = np.nan
         else:
-            order = np.lexsort((tsv, g))
-        block = block.take(pa.array(order, pa.int64()))
-        g, tsv = g[order], tsv[order]
-        xv = tsv.astype(np.float64) if x == ts else _f64(block.column(x))
+            xv = _f64(block.column(x))
         yv = _f64(block.column(y))
         pos = np.arange(n)
         seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
@@ -1874,18 +1867,15 @@ def rolling_regression(
                                          pa.field(intercept_out, pa.float64())])
         if n == 0:
             return out_schema.empty_table()
-        block = block.combine_chunks()
-        g = block.column(key).combine_chunks().dictionary_encode().indices \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        tsv = _ts_i64(block.column(ts))
-        if tiebreak is not None:
-            tb = block.column(tiebreak).to_numpy(zero_copy_only=False)
-            order = np.lexsort((tb, tsv, g))
+        # null-safe prologue; with x == ts a NULL timestamp is a NULL x —
+        # the pair drops like any SQL corr/regr NULL, and the INT64_MAX
+        # ordering sentinel never leaks into the arithmetic
+        block, g, tsv, ts_null = _sorted_entity_block(block, key, ts, tiebreak)
+        if x == ts:
+            xv = tsv.astype(np.float64)
+            xv[ts_null] = np.nan
         else:
-            order = np.lexsort((tsv, g))
-        block = block.take(pa.array(order, pa.int64()))
-        g, tsv = g[order], tsv[order]
-        xv = tsv.astype(np.float64) if x == ts else _f64(block.column(x))
+            xv = _f64(block.column(x))
         yv = _f64(block.column(y))
         pos = np.arange(n)
         seg_first = np.concatenate(([0], np.flatnonzero(np.diff(g)) + 1))
