@@ -46,11 +46,12 @@ def _null_safe_stats_join(
                                 join_type="left outer")
     else:
         # corpus-scale key sets: Ray-native hash join takes composite keys
-        # (bucket_hash_join is single-key)
+        # (bucket_hash_join is single-key); Ray spells the join type with
+        # an underscore, unlike pyarrow's "left outer"
         from .joins import hash_join
 
         joined = hash_join(big_e, stats_e, on=tuple(surrogates),
-                           join_type="left outer", num_partitions=16)
+                           join_type="left_outer", num_partitions=16)
     return joined.map_batches(lambda t: t.drop_columns(surrogates),
                               batch_format="pyarrow", zero_copy_batch=True)
 

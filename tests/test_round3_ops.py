@@ -620,8 +620,9 @@ def test_target_encode_smoothing_and_unseen():
     assert abs(by_cat["c"][0] - (7.0 + 2 * mu) / (1 + 2)) < 1e-12
     # 'b' has one null target: n counts non-null only (SQL COUNT(col))
     assert all(abs(v - (10.0 + 2 * mu) / (1 + 2)) < 1e-12 for v in by_cat["b"])
-    # null category -> smoothed prior mu
-    assert abs(by_cat[None][0] - mu) < 1e-12
+    # null category is its OWN level (one SQL GROUP BY group; missingness
+    # is signal): smoothed with its own (s=5.0, n=1) stats
+    assert abs(by_cat[None][0] - (5.0 + 2 * mu) / (1 + 2)) < 1e-12
     assert len(out) == 8
 
 

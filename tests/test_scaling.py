@@ -96,8 +96,10 @@ def test_melt_and_one_hot():
 
     oh = one_hot(ray.data.from_pandas(df), "cat").to_pandas().sort_values("rid")
     assert list(oh.columns[-2:]) == ["cat_x", "cat_y"]  # sorted, null excluded
-    assert oh["cat_x"].tolist() == [1, 0, 0]
-    assert oh["cat_y"].tolist() == [0, 0, 1]  # null row -> 0 everywhere
+    # NULL category -> NULL indicators (SQL x = c comparison semantics)
+    assert oh["cat_x"].tolist()[0] == 1 and oh["cat_x"].tolist()[2] == 0
+    assert np.isnan(oh["cat_x"].tolist()[1]) and np.isnan(oh["cat_y"].tolist()[1])
+    assert oh["cat_y"].tolist()[0] == 0 and oh["cat_y"].tolist()[2] == 1
 
     with pytest.raises(ValueError, match="distinct"):
         one_hot(ray.data.from_pandas(df), "cat", max_categories=1)
