@@ -1574,7 +1574,8 @@ WITH RECURSIVE q AS (
   SELECT d.doc_id, d.n_tokens,
          CAST(strpos('0123456789abcdef',
                      substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) % 16 AS part
-  FROM deduped d JOIN thr ON d.source = thr.source
+  -- a NULL source is its own domain (IS NOT DISTINCT FROM keeps it)
+  FROM deduped d JOIN thr ON d.source IS NOT DISTINCT FROM thr.source
   WHERE thr.k >= 65536
      OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < lpad(lower(to_hex(thr.k)), 4, '0')
 ), ordered AS (
@@ -2292,11 +2293,16 @@ def q_mix_domains_documents(sf_dir: str):
     def with_counts(t: pa.Table) -> pa.Table:
         from ..functions.textfx import _flat_tokens
 
-        _, _, n_tok = _flat_tokens(t.column("text"))
+        txt = t.column("text").combine_chunks()
+        _, _, n_tok = _flat_tokens(txt)
+        # NULL text → NULL count (null-in/null-out; SUM skips it so the
+        # domain totals agree with the oracle's)
+        counts = pc.if_else(txt.is_valid(), pa.array(n_tok, pa.int64()),
+                            pa.scalar(None, pa.int64()))
         return pa.table({
             "doc_id": t.column("doc_id"),
             "source": t.column("source"),
-            "token_count": pa.array(n_tok, pa.int64()),
+            "token_count": counts,
         })
 
     toks = docs.map_batches(with_counts, batch_format="pyarrow", zero_copy_batch=True)
@@ -2316,7 +2322,9 @@ thr AS (SELECT source,
                LEAST(65536, (SELECT MIN(total) FROM tot) * 65536 // total) AS k
         FROM tot)
 SELECT t.doc_id, t.source, t.token_count, thr.k AS mix_k
-FROM tok t JOIN thr ON t.source = thr.source
+-- a NULL source is its own domain (GROUP BY already budgeted it);
+-- IS NOT DISTINCT FROM keeps its rows in the mixture
+FROM tok t JOIN thr ON t.source IS NOT DISTINCT FROM thr.source
 WHERE thr.k >= 65536
    OR substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) < lpad(lower(to_hex(thr.k)), 4, '0')
 """
@@ -2346,7 +2354,10 @@ WITH RECURSIVE toks AS (
   FROM documents
 ),
 ordered AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY part ORDER BY doc_id) AS rn FROM toks
+  -- NULL-text docs are UNPACKABLE: they take no pack slot (see the UNION
+  -- branch below) and must not shift later docs' pack boundaries
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY part ORDER BY doc_id) AS rn
+  FROM toks WHERE token_count IS NOT NULL
 ),
 packed AS (
   SELECT part, rn, doc_id, token_count,
@@ -2366,6 +2377,11 @@ SELECT doc_id, token_count, part,
        part * 4294967296 + seq AS pack_id, pack_pos, pack_fill,
        token_count > 256 AS oversize
 FROM packed
+UNION ALL
+-- token_count > 256 (NULL) keeps the column BOOLEAN-typed; a bare NULL
+-- would union to a mixed-type pandas column and hash differently
+SELECT doc_id, token_count, part, NULL, NULL, NULL, token_count > 256
+FROM toks WHERE token_count IS NULL
 """
 
 
@@ -2926,7 +2942,14 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     small = pa.concat_tables(list(docs.iter_batches(batch_format="pyarrow", batch_size=None)))
     grams: dict[int, frozenset] = {}
     for did, txt in zip(small.column("doc_id").to_pylist(), small.column("text").to_pylist()):
-        t = (txt or "").strip(" \t\n\r").lower()
+        if txt is None:
+            # NULL text has NO shingles (empty set → jaccard 0 with
+            # anything, incl. another NULL — matches the oracle's empty
+            # list comprehension over a NULL string); a non-null '' keeps
+            # its singleton '' gram, same as the oracle's t[1:5]
+            grams[did] = frozenset()
+            continue
+        t = txt.strip(" \t\n\r").lower()
         grams[did] = frozenset(t[i : i + 5] for i in range(max(len(t) - 4, 1)))
     ref = _ray.put(grams)
     ids = sorted(grams)

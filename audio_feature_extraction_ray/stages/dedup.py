@@ -110,6 +110,13 @@ class _MinHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.textfx import minhash_signatures_batch
 
+        txt = batch.column(self.text_col).combine_chunks()
+        if txt.null_count:
+            # NULL text has NO shingles: it gets no signature and joins no
+            # band (the ''-fill fallback would give every NULL doc the same
+            # padded-space shingle and band all of them together as
+            # jaccard-1 "near-dups" of each other)
+            batch = batch.filter(txt.is_valid())
         sigs = minhash_signatures_batch(
             batch.column(self.text_col), self.a, self.b, self.shingle_k
         ).view(np.int64)

@@ -223,14 +223,18 @@ def chunk_text(
 
 def token_count_table(ds: ray.data.Dataset, id_col: str, text_col: str = "text") -> ray.data.Dataset:
     """Minimal projection: (id, token_count) with python str.split semantics
-    (columnar split — non-empty token slots counted, no per-doc loop)."""
+    (columnar split — non-empty token slots counted, no per-doc loop).
+    NULL text → NULL count (SQL null-in/null-out; '' counts 0)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        _, _, n_tok = _flat_tokens(batch.column(text_col))
+        txt = batch.column(text_col).combine_chunks()
+        _, _, n_tok = _flat_tokens(txt)
+        counts = pc.if_else(txt.is_valid(), pa.array(n_tok, pa.int64()),
+                            pa.scalar(None, pa.int64()))
         return pa.table(
             {
                 id_col: batch.column(id_col),
-                "token_count": pa.array(n_tok, pa.int64()),
+                "token_count": counts,
             }
         )
 
@@ -1170,8 +1174,32 @@ def pack_sequences(
         order = pc.sort_indices(ids)
         block = block.take(order)
         part = block.column("part")[0].as_py()
-        tok = pc.cast(block.column(tokens_col), pa.int64()).to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        tok_arr = pc.cast(block.column(tokens_col), pa.int64()).combine_chunks()
+        tok_null = tok_arr.is_null().to_numpy(zero_copy_only=False)
+        tok = tok_arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        if tok_null.any():
+            # a doc with a NULL token count (NULL text) is UNPACKABLE: it
+            # takes no pack slot and must not shift every later doc's pack
+            # boundaries — emitted with NULL pack columns, token count kept
+            # NULL (SQL null-in/null-out)
+            vidx = np.flatnonzero(~tok_null)
+            pack_v, pos_v, fill_v = greedy_pack_fold(tok[vidx], budget)
+            pack_of = np.zeros(n, np.int64)
+            pos = np.zeros(n, np.int64)
+            fill = np.zeros(n, np.int64)
+            pack_of[vidx], pos[vidx], fill[vidx] = pack_v, pos_v, fill_v
+            nn = pa.array(~tok_null)
+            i64_null = pa.scalar(None, pa.int64())
+            return pa.table({
+                id_col: block.column(id_col),
+                tokens_col: tok_arr,
+                "part": pa.array(np.full(n, part, dtype=np.int64)),
+                "pack_id": pc.if_else(nn, pa.array((np.int64(part) << 32) | pack_of), i64_null),
+                "pack_pos": pc.if_else(nn, pa.array(pos), i64_null),
+                "pack_fill": pc.if_else(nn, pa.array(fill), i64_null),
+                "oversize": pc.if_else(nn, pa.array(tok > budget),
+                                       pa.scalar(None, pa.bool_())),
+            }, schema=out_schema)
         pack_of, pos, fill = greedy_pack_fold(tok, budget)
         return pa.table({
             id_col: block.column(id_col),

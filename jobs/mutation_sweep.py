@@ -150,7 +150,11 @@ def compare(df: pd.DataFrame, odf: pd.DataFrame):
             if not ((x == y) | (np.isnan(x) & np.isnan(y))).all():
                 return f"values differ in {c}"
         else:
-            if not (a[c].astype(str) == b[c].astype(str)).all():
+            # None (pyarrow bool null) and NaN (duckdb bool null) are both
+            # SQL NULL — normalize before the string compare
+            x = a[c].astype(object).where(a[c].notna(), "<NULL>").astype(str)
+            y = b[c].astype(object).where(b[c].notna(), "<NULL>").astype(str)
+            if not (x == y).all():
                 return f"values differ in {c}"
     return None
 
