@@ -87,8 +87,12 @@ def detect_lang(text: str) -> str:
 # ---------------------------------------------------------------- fingerprints
 
 def md5_fingerprint(text: str, normalize: bool = True) -> str:
-    """Exact-dedup fingerprint; DuckDB oracle: ``md5(lower(trim(text)))``."""
-    t = text.strip().lower() if normalize else text
+    """Exact-dedup fingerprint over the CANONICAL token-join form:
+    lowercase, collapse every Unicode-whitespace run to one space, strip
+    edges (``' '.join(text.lower().split())``) — so NBSP/VT/ideographic
+    spacing variants of the same document hash identically. DuckDB replay:
+    ``md5(array_to_string(regexp_extract_all(lower(text), <nonws>), ' '))``."""
+    t = " ".join(text.lower().split()) if normalize else text
     return hashlib.md5(t.encode("utf-8")).hexdigest()
 
 
@@ -511,13 +515,17 @@ def quality_batch(texts) -> dict[str, np.ndarray]:
         pc.binary_join(pc.utf8_split_whitespace(texts), "")
     ).to_numpy(zero_copy_only=False).astype(np.float64)
     safe_n = np.maximum(n, 1.0)
+    # a ratio with a ZERO denominator is undefined, not 0 (SQL x/NULLIF):
+    # punct_ratio of '' is NULL, avg token length of a token-less doc is
+    # NULL — downstream threshold comparisons then drop those docs like
+    # any SQL WHERE on NULL
     return {
         "n_chars": n,
         "n_tokens": n_tok.astype(np.float64),
-        "punct_ratio": np.where(n > 0, n_punct / safe_n, 0.0),
-        "digit_ratio": np.where(n > 0, n_digit / safe_n, 0.0),
-        "upper_ratio": np.where(n_alpha > 0, n_upper / np.maximum(n_alpha, 1), 0.0),
-        "avg_token_len": np.where(n_tok > 0, tok_chars / np.maximum(n_tok, 1), 0.0),
+        "punct_ratio": np.where(n > 0, n_punct / safe_n, np.nan),
+        "digit_ratio": np.where(n > 0, n_digit / safe_n, np.nan),
+        "upper_ratio": np.where(n_alpha > 0, n_upper / np.maximum(n_alpha, 1), np.nan),
+        "avg_token_len": np.where(n_tok > 0, tok_chars / np.maximum(n_tok, 1), np.nan),
     }
 
 

@@ -1524,7 +1524,7 @@ def q_token_count_documents(sf_dir: str):
 SQL_TOKEN_COUNT_DOCUMENTS = r"""
 SELECT doc_id,
        CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
-            ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'))
+            ELSE len(regexp_extract_all(text, '@@NONWS@@'))
        END AS token_count
 FROM documents
 """
@@ -1554,11 +1554,11 @@ SQL_CORPUS_TRAIN_PREP_DOCUMENTS = r"""
 WITH RECURSIVE q AS (
   SELECT doc_id, source,
          CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
-              ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'))
+              ELSE len(regexp_extract_all(text, '@@NONWS@@'))
          END AS n_tokens,
          (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0
            / NULLIF(length(text), 0) AS punct_ratio,
-         md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13)))) AS fp
+         CASE WHEN text IS NULL THEN NULL ELSE md5(COALESCE(array_to_string(regexp_extract_all(lower(text), '@@NONWS@@'), ' '), '')) END AS fp
   FROM documents
 ), kept AS (
   SELECT * FROM q WHERE n_tokens >= 10 AND punct_ratio <= 0.2
@@ -2200,7 +2200,7 @@ SQL_CONCAT_CHUNKS_DOCUMENTS = r"""
 WITH tok AS (
   SELECT doc_id,
          CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
-              ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'))
+              ELSE len(regexp_extract_all(text, '@@NONWS@@'))
          END AS token_count,
          CAST(strpos('0123456789abcdef',
                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) % 16 AS part
@@ -2238,7 +2238,7 @@ def q_leakage_split_documents(sf_dir: str):
 SQL_LEAKAGE_SPLIT_DOCUMENTS = """
 WITH q AS (
   SELECT doc_id,
-         md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13)))) AS fp
+         CASE WHEN text IS NULL THEN NULL ELSE md5(COALESCE(array_to_string(regexp_extract_all(lower(text), '@@NONWS@@'), ' '), '')) END AS fp
   FROM documents
 ),
 g AS (
@@ -2266,7 +2266,7 @@ def q_unigram_lm_documents(sf_dir: str):
 SQL_UNIGRAM_LM_DOCUMENTS = r"""
 WITH toks AS (
   SELECT doc_id,
-         UNNEST(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+')) AS token
+         UNNEST(regexp_extract_all(text, '@@NONWS@@')) AS token
   FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
 ),
 counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
@@ -2313,7 +2313,7 @@ SQL_MIX_DOMAINS_DOCUMENTS = r"""
 WITH tok AS (
   SELECT doc_id, source,
          CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
-              ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'))
+              ELSE len(regexp_extract_all(text, '@@NONWS@@'))
          END AS token_count
   FROM documents
 ),
@@ -2347,7 +2347,7 @@ SQL_PACK_SEQUENCES_DOCUMENTS = r"""
 WITH RECURSIVE toks AS (
   SELECT doc_id,
          CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
-              ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'))
+              ELSE len(regexp_extract_all(text, '@@NONWS@@'))
          END AS token_count,
          CAST(strpos('0123456789abcdef',
                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) % 16 AS part
@@ -2427,16 +2427,16 @@ SQL_TEXT_QUALITY_DOCUMENTS = r"""
 SELECT doc_id,
        length(text) AS n_chars_calc,
        CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
-            ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'))
+            ELSE len(regexp_extract_all(text, '@@NONWS@@'))
        END AS n_tokens,
        ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0
              / NULLIF(length(text), 0), 6) AS punct_ratio,
        ROUND((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
              / NULLIF(length(text), 0), 6) AS digit_ratio,
        ROUND(list_aggregate(list_transform(
-               string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'),
+               regexp_extract_all(text, '@@NONWS@@'),
                x -> length(x)), 'sum') * 1.0
-             / NULLIF(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+')), 0),
+             / NULLIF(len(regexp_extract_all(text, '@@NONWS@@')), 0),
              6) AS avg_token_len
 FROM documents
 """
@@ -2464,11 +2464,11 @@ SQL_CORPUS_PIPELINE_DOCUMENTS = r"""
 WITH q AS (
   SELECT doc_id, text,
          CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
-              ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'))
+              ELSE len(regexp_extract_all(text, '@@NONWS@@'))
          END AS n_tokens,
          (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0
            / NULLIF(length(text), 0) AS punct_ratio,
-         md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13)))) AS fp
+         CASE WHEN text IS NULL THEN NULL ELSE md5(COALESCE(array_to_string(regexp_extract_all(lower(text), '@@NONWS@@'), ' '), '')) END AS fp
   FROM documents
 ), kept AS (
   SELECT * FROM q WHERE n_tokens >= 20 AND punct_ratio <= 0.1
@@ -2499,10 +2499,12 @@ def q_chunk_documents(sf_dir: str):
 
 SQL_CHUNK_DOCUMENTS = r"""
 WITH t AS (
+  -- a token-less doc (empty, whitespace-only incl. Unicode WS, or NULL)
+  -- produces NO chunks
   SELECT doc_id,
-         string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+') AS toks
+         regexp_extract_all(text, '@@NONWS@@') AS toks
   FROM documents
-  WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
+  WHERE len(regexp_extract_all(text, '@@NONWS@@')) > 0
 ), n AS (
   SELECT doc_id, toks, len(toks) AS nt,
          CASE WHEN len(toks) <= 64 THEN 1
@@ -2564,7 +2566,8 @@ def q_dedup_exact_documents(sf_dir: str):
 
 
 SQL_DEDUP_EXACT_DOCUMENTS = """
-SELECT md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13)))) AS fingerprint_md5,
+-- canonical token-join form: whitespace-variant duplicates hash equal
+SELECT CASE WHEN text IS NULL THEN NULL ELSE md5(COALESCE(array_to_string(regexp_extract_all(lower(text), '@@NONWS@@'), ' '), '')) END AS fingerprint_md5,
        MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
 FROM documents GROUP BY 1
 """
@@ -2710,8 +2713,8 @@ WITH lf AS (
   FROM documents
 ),
 tl AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-  FROM documents WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 2
+  SELECT doc_id, regexp_extract_all(text, '@@NONWS@@') AS toks
+  FROM documents WHERE len(regexp_extract_all(text, '@@NONWS@@')) >= 2
 ),
 pos AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks FROM tl),
 gc AS (
@@ -2751,7 +2754,7 @@ def q_decontaminate_documents(sf_dir: str):
 
 SQL_DECONTAMINATE_DOCUMENTS = r"""
 WITH tl AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  SELECT doc_id, regexp_extract_all(text, '@@NONWS@@') AS toks
   FROM documents
 ),
 pos AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM tl),
@@ -2798,7 +2801,7 @@ def q_simhash_documents(sf_dir: str):
 SQL_SIMHASH_DOCUMENTS = r"""
 WITH toks AS (
   SELECT DISTINCT doc_id, lower(u.tok) AS tok
-  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '@@NONWS@@'))
                AS tok
         FROM documents) u(doc_id, tok)
 ),
@@ -2847,7 +2850,7 @@ def _langid_sql() -> str:
 WITH toks AS (
   SELECT doc_id, lang, text IS NULL AS t_null,
          list_transform(
-           string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+'),
+           regexp_extract_all(text, '@@NONWS@@'),
            x -> trim(lower(x), '.,!?;:()"' || chr(39))) AS t
   FROM documents
 ), scored AS (
@@ -2885,7 +2888,7 @@ def q_fingerprint_documents(sf_dir: str):
 
 SQL_FINGERPRINT_DOCUMENTS = r"""
 WITH tl AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  SELECT doc_id, regexp_extract_all(text, '@@NONWS@@') AS toks
   FROM documents
 ),
 pos AS (
@@ -2919,7 +2922,7 @@ shortf AS (
   GROUP BY doc_id
 )
 SELECT d.doc_id,
-       md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))) AS fingerprint_md5,
+       CASE WHEN d.text IS NULL THEN NULL ELSE md5(COALESCE(array_to_string(regexp_extract_all(lower(d.text), '@@NONWS@@'), ' '), '')) END AS fingerprint_md5,
        CASE WHEN d.text IS NULL THEN NULL
             ELSE COALESCE(l.fp, s.fp, 0) END AS fingerprint_rolling
 FROM documents d LEFT JOIN longf l USING (doc_id) LEFT JOIN shortf s USING (doc_id)
@@ -3582,7 +3585,7 @@ def q_token_frequencies(sf_dir: str):
 
 SQL_TOKEN_FREQUENCIES = r"""
 WITH toks AS (
-  SELECT UNNEST(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+')) AS token
+  SELECT UNNEST(regexp_extract_all(text, '@@NONWS@@')) AS token
   FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
 )
 SELECT token, COUNT(*) AS n FROM toks GROUP BY token ORDER BY n DESC, token LIMIT 50
@@ -3602,7 +3605,7 @@ def q_vocab_documents(sf_dir: str):
 
 SQL_VOCAB_DOCUMENTS = r"""
 WITH toks AS (
-  SELECT UNNEST(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+')) AS token
+  SELECT UNNEST(regexp_extract_all(text, '@@NONWS@@')) AS token
   FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
 ),
 counts AS (
@@ -3791,8 +3794,13 @@ def q_approx_percentiles_events(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["value"])
     est = approx_quantiles(ds, "value", [0.25, 0.5, 0.75])
     exact = exact_quantiles(ds, "value", [0.25, 0.5, 0.75])
-    iqr = max(exact[2] - exact[0], 1e-9)
-    ok = all(abs(e - x) <= 0.05 * iqr for e, x in zip(est, exact))
+    if any(np.isnan(x) for x in exact):
+        # no values at all: quantiles are NULL and the sketch vacuously
+        # agrees (the oracle's literal TRUE)
+        ok = True
+    else:
+        iqr = max(exact[2] - exact[0], 1e-9)
+        ok = all(abs(e - x) <= 0.05 * iqr for e, x in zip(est, exact))
     return _one_row(
         {"p25": _round6_scalar(exact[0]), "p50": _round6_scalar(exact[1]),
          "p75": _round6_scalar(exact[2]), "tdigest_within_tol": bool(ok)}
@@ -4471,7 +4479,7 @@ def q_pmi_documents(sf_dir: str):
 
 SQL_PMI_DOCUMENTS = r"""
 WITH arrs AS (
-  SELECT string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+') AS arr
+  SELECT regexp_extract_all(text, '@@NONWS@@') AS arr
   FROM documents
   WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
 ), ucnt AS (
@@ -4840,7 +4848,7 @@ def q_substring_pairs_documents(sf_dir: str):
 
 SQL_SUBSTRING_PAIRS_DOCUMENTS = r"""
 WITH tl AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  SELECT doc_id, regexp_extract_all(text, '@@NONWS@@') AS toks
   FROM documents
 ),
 pos AS (
@@ -5202,7 +5210,7 @@ def q_tfidf_documents(sf_dir: str):
 SQL_TFIDF_DOCUMENTS = r"""
 WITH toks AS (
   SELECT doc_id,
-         UNNEST(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+')) AS token
+         UNNEST(regexp_extract_all(text, '@@NONWS@@')) AS token
   FROM documents
 ), tf AS (
   SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
@@ -5232,7 +5240,7 @@ def q_hashvec_documents(sf_dir: str):
 SQL_HASHVEC_DOCUMENTS = r"""
 WITH toks AS (
   SELECT doc_id,
-         UNNEST(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+')) AS token
+         UNNEST(regexp_extract_all(text, '@@NONWS@@')) AS token
   FROM documents
 ), tf AS (
   SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
@@ -5269,7 +5277,9 @@ def q_chi_square_events(sf_dir: str):
         )
 
     out = chi_square(ev.map_batches(band, batch_format="pyarrow", zero_copy_batch=True),
-                     "event_type", "band")
+                     "event_type", "band",
+                     in_schema=pa.schema([("event_type", pa.string()),
+                                          ("band", pa.int64())]))
     return _round_cols(out, ["chi2", "cramers_v"], digits=6)
 
 
@@ -5286,8 +5296,11 @@ cell AS (
   FROM ra CROSS JOIN rb LEFT JOIN c ON c.a = ra.a AND c.b = rb.b
 )
 SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
-       CAST(((SELECT COUNT(*) FROM ra) - 1) * ((SELECT COUNT(*) FROM rb) - 1) AS BIGINT) AS dof,
-       CAST((SELECT n FROM tot) AS BIGINT) AS n,
+       -- GREATEST/COALESCE: a 0-category (empty) input has dof 0 and n 0,
+       -- not (0-1)*(0-1) = 1 and NULL
+       CAST(GREATEST((SELECT COUNT(*) FROM ra) - 1, 0)
+            * GREATEST((SELECT COUNT(*) FROM rb) - 1, 0) AS BIGINT) AS dof,
+       CAST(COALESCE((SELECT n FROM tot), 0) AS BIGINT) AS n,
        ROUND(sqrt(SUM((o - e) * (o - e) / e)
              / ((SELECT n FROM tot)
                 * least((SELECT COUNT(*) FROM ra) - 1, (SELECT COUNT(*) FROM rb) - 1))), 6)
@@ -5334,7 +5347,7 @@ def q_bigram_frequencies(sf_dir: str):
 
 SQL_BIGRAM_FREQUENCIES = r"""
 WITH arrs AS (
-  SELECT string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+') AS arr
+  SELECT regexp_extract_all(text, '@@NONWS@@') AS arr
   FROM documents
   WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''
 ), bi AS (
@@ -5385,6 +5398,21 @@ UNION ALL SELECT 'purchase', (SELECT COUNT(*) FROM u2)
 # family — redundant variants (extra as-of modes, rank flavors, the unmerged
 # halves of consolidated slots) live in the tail and are covered by the local
 # sf0.001 oracle gate (tests/test_queries_gate.py) instead.
+
+# One shared tokenizer definition for every text oracle: the engine splits
+# with Arrow's utf8_split_whitespace (Unicode White_Space), which DuckDB's
+# ASCII '\\s+' does NOT reproduce on \x0b / NBSP / NEL / ideographic-space
+# text. regexp_extract_all with the complement class below is probe-verified
+# token-identical to the Arrow split (no trim dance, no empty-slot
+# artifacts, NULL text -> NULL).
+_RE2_NONWS = (r"[^\t\n\x{b}\x{c}\r \x{85}\x{a0}\x{1680}"
+              r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+")
+for _n in [n for n in list(globals()) if n.startswith("SQL_")]:
+    _v = globals()[_n]
+    if isinstance(_v, str) and "@@NONWS@@" in _v:
+        globals()[_n] = _v.replace("@@NONWS@@", _RE2_NONWS)
+del _n, _v
+
 
 QUERIES = {
     # -- 1-14: scans + aggregates + sketches + sampling (all oracle-paired)

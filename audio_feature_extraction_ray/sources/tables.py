@@ -46,6 +46,13 @@ def read_table(
         kwargs["schema"] = (
             pa.schema([full.field(c) for c in columns]) if columns else full
         )
+    if pq.ParquetFile(path).metadata.num_rows == 0:
+        # a ZERO-ROW table read through read_parquet loses its schema at
+        # iteration (Ray drops 0-row blocks), which breaks every
+        # schema-dependent downstream operator; hand back a typed empty
+        # dataset from the footer schema instead (row filters are vacuous
+        # on 0 rows)
+        return ray.data.from_arrow(kwargs["schema"].empty_table())
     if "override_num_blocks" not in kwargs:
         kwargs["override_num_blocks"] = _default_blocks(path)
     return ray.data.read_parquet(path, columns=columns, **kwargs)

@@ -944,6 +944,7 @@ def chi_square(
     ds: ray.data.Dataset,
     a_col: str,
     b_col: str,
+    in_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Pearson χ² test of independence between two categorical columns —
     the feature-relevance screen (is feature ``a`` informative about label
@@ -956,6 +957,13 @@ def chi_square(
     per-category comparison report (03_feature_comparison_experiment/
     feature_comparison.py grouped deltas) with an actual dependence test.
     """
+    from .util import arrow_schema_of, bounded_table
+
+    if in_schema is None:
+        # callers whose input went through a transform can pass in_schema
+        # explicitly — an ALL-EMPTY transformed dataset has no inferable
+        # schema (Ray runs no task over zero blocks)
+        ds, in_schema = arrow_schema_of(ds)
     counts = grouped_agg_fast(ds.select_columns([a_col, b_col]),
                               keys=[a_col, b_col], specs=[], count_alias="__n")
 
@@ -990,9 +998,14 @@ def chi_square(
             "cramers_v": pa.array([v], pa.float64()),
         })
 
-    return counts.repartition(1).map_batches(
-        finalize, batch_format="pyarrow", batch_size=None
-    )
+    # the contingency is |A|·|B| rows (categorical by assumption) — bound
+    # it so an ALL-EMPTY input still yields the one schema'd output row
+    # (zero blocks would otherwise skip finalize entirely)
+    cont = bounded_table(counts, pa.schema([
+        in_schema.field(a_col), in_schema.field(b_col),
+        pa.field("__n", pa.int64()),
+    ]))
+    return ray.data.from_arrow(finalize(cont))
 
 def cohort_retention(
     ds: ray.data.Dataset,
@@ -1132,9 +1145,21 @@ def funnel(
         )
 
     parts = coarse_partitioned(ds=ev, key=user_col, fn=per_part, n_partitions=n_partitions)
-    return grouped_agg_fast(
+    agg = grouped_agg_fast(
         parts, keys=["step"], specs=[("users", "users", "sum")], num_final_partitions=1
     )
+    # output is k rows BY CONTRACT — bound it so an all-empty input still
+    # presents the schema with zero counts (Ray drops 0-row blocks at
+    # iteration, which would otherwise surface a column-less result)
+    from .util import bounded_table
+
+    got = bounded_table(agg, pa.schema([("step", pa.string()),
+                                        ("users", pa.int64())]))
+    have = {r["step"]: r["users"] for r in got.to_pylist()}
+    return ray.data.from_arrow(pa.table({
+        "step": pa.array(list(steps), pa.string()),
+        "users": pa.array([int(have.get(s, 0)) for s in steps], pa.int64()),
+    }))
 
 
 def grouped_spearman(

@@ -161,15 +161,17 @@ def test_approx_quantiles_grouped_null_key_group(ray_session):
 
 def test_winsorize_null_key_rows_survive(ray_session):
     """Null group keys must not CRASH the bounds groupby (the pre-sweep
-    failure mode). Contract: join-back semantics, same as the operator's own
-    DuckDB oracle (``JOIN q USING (key)``) and ``target_encode`` — null-key
-    rows survive with a NULL winsorized value, never a bogus clip."""
+    failure mode). Contract: SQL PARTITION BY — the NULL group is a real
+    group that clips against its OWN quantile bounds (surrogate-keyed
+    join-back, same as group_standardize/impute; its oracle joins
+    IS NOT DISTINCT FROM)."""
     from audio_feature_extraction_ray.stages.scaling import winsorize
 
     rng = np.random.default_rng(5)
     keys = ["a"] * 50 + [None] * 50
     vals = np.concatenate([rng.normal(0, 1, 50), rng.normal(0, 1, 50)])
-    vals[0] = 100.0  # outlier in the non-null group
+    vals[0] = 100.0   # outlier in the non-null group
+    vals[50] = -80.0  # outlier in the NULL group
     t = pa.table({"k": pa.array(keys, pa.string()),
                   "v": pa.array(vals, pa.float64())})
     out = _collect(winsorize(
@@ -179,7 +181,8 @@ def test_winsorize_null_key_rows_survive(ray_session):
     a = out[out["k"].notna()]
     nul = out[out["k"].isna()]
     assert a["v_wins"].abs().max() < 50.0, "outlier clipped in the real group"
-    assert nul["v_wins"].isna().all(), "null-key rows get NULL (join-back semantics)"
+    assert nul["v_wins"].notna().all(), "NULL group clips like any other"
+    assert nul["v_wins"].abs().max() < 50.0, "outlier clipped in the NULL group"
 
 
 def test_null_safe_map_groups_passes_original_columns(ray_session):
